@@ -1,0 +1,58 @@
+"""Parquet sources for the driver fixture tables.
+
+The reference reads one Cassandra partition per call
+(provider/DeduplicationProvider.kt:181-192, point scan R1); our engine is
+set-oriented: one columnar parquet scan per table, with Catalyst handling
+column pruning (R2) and predicate pushdown (R3) automatically.
+
+At 100 TB these loaders are unchanged: ``spark.read.parquet`` over an
+object-store prefix splits into ~128 MiB tasks; the scale knobs are all
+in session.py. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
+# nanoseconds (spark.sql.legacy.parquet.nanosAsLong). Values are
+# microsecond-aligned in the fixtures, so ns→µs conversion is lossless.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Lazy — no job runs until an action."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
+    # Defensive: the driver may hand us a session built without our
+    # defaults; this SQL conf is runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            # integer `div`: float /1000 loses precision at epoch-ns scale
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use.
+
+    The analog of the reference's lazy per-use-case table registration
+    (provider/DeduplicationProvider.kt:226-236, R7): names enter the
+    catalog on demand, schema comes from the data.
+    """
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
