@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-format write (full computation, no
+driver collect — the honest measure of executor-side work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from distributed_deduplicator_spark import get_session
+from distributed_deduplicator_spark import queries as Q
+
+HEADLINE = [
+    "dedup_first_wins",
+    "dedup_first_wins_winners",
+    "dedup_within_ttl",
+    "pricing_summary",
+    "join_star_revenue",
+    "window_running_sum",
+    "text_stats",
+    "text_fingerprint_dedup",
+    "jaccard_ngram_pairs",
+    "minhash_near_dup",
+    "simhash_fingerprints",
+    "cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths so timings measure the queries, not
+    # session startup
+    Q.QUERIES["dedup_first_wins"](spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_query_suite_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,338 @@
+"""Near-duplicate detection & similarity search operators.
+
+The training-data-pipeline generalization of the reference's exact
+keyed dedup (provider/DeduplicationProvider.kt:67-94): where the
+reference arbitrates attempts sharing an *exact* key, these operators
+arbitrate documents/vectors sharing *approximate* identity.
+
+Scale design (100 TB):
+- everything is explode → hash-shuffle → aggregate; no cross joins
+  except the clearly-labeled brute-force baseline (bounded query set);
+- MinHash/SimHash signatures are computed with JVM-side xxhash64 in
+  whole-stage codegen — no Python;
+- LSH banding turns O(n²) pair generation into per-bucket joins, the
+  standard Broder MinHash + banding construction (public literature);
+- frequent-shingle skew (the 'the quick' problem) is the join's skew
+  axis: AQE skew handling plus an optional max-document-frequency
+  shingle cut handle it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_deduplicator_spark.functions import text as TXT
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built from normalized tokens; JVM-side transform over the token
+    array (no explode until the caller needs one row per shingle).
+    """
+    toks = TXT.tokens(text_col)
+    # n-gram i = tokens[i..i+n-1] joined by space; sequence over index.
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 0),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # when fewer than n tokens, sequence(0, size-n<0) would be invalid;
+    # guard with an empty array.
+    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(grams)).alias("shingle")))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 3, threshold: float = 0.5,
+                            max_shingle_doc_freq: int | None = None) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Plan: shingle explode → self-equi-join on shingle → count common →
+    join per-doc set sizes → filter. The only shuffles are on `shingle`
+    (pair generation) and (id_a, id_b) (pair aggregation); no cross
+    join. ``max_shingle_doc_freq`` optionally drops ubiquitous shingles
+    (bounded skew at corpus scale; off by default for exactness).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        keep = freq.where(F.col("_df") <= max_shingle_doc_freq).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                       & (F.col("a.id") < F.col("b.id")))
+               .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+               .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+                  .withColumn("jaccard", jac)
+                  .where(F.col("jaccard") >= threshold)
+                  .select("id_a", "id_b", "size_a", "size_b", "n_common", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (Broder; the scale path for near-dup)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """Per-id MinHash signature: array of num_hashes min-hash values.
+
+    h_i(s) = xxhash64(shingle, seed=i) — deterministic, JVM-side, one
+    aggregate pass (num_hashes MIN aggregates, all map-side
+    combinable). Returns (id, sig array<long>).
+    """
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Candidate pairs whose signatures collide in ≥1 band.
+
+    Band b = hash of sig[b*rows .. (b+1)*rows); join key is
+    (band_index, band_hash) so each bucket's pairs are generated by a
+    per-bucket self-join — the LSH trick that keeps pair generation
+    linear-ish in corpus size instead of O(n²).
+    """
+    bands_col = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+                  .alias("bucket"))
+        for b in range(bands)])
+    exploded = (sig.select("id", F.explode(bands_col).alias("bb"))
+                   .select("id", F.col("bb.band").alias("band"),
+                           F.col("bb.bucket").alias("bucket")))
+    a, b2 = exploded.alias("a"), exploded.alias("b")
+    return (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                     & (F.col("a.bucket") == F.col("b.bucket"))
+                     & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+
+
+def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 3, num_hashes: int = 64,
+                     bands: int = 16, rows: int = 4,
+                     threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup pipeline with exact-Jaccard verification.
+
+    shingle → signature → banded candidate pairs → verify candidates
+    with exact Jaccard (so precision is 1.0; recall is the LSH S-curve
+    at (bands, rows)). Deterministic end to end (seeded xxhash64).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = minhash_lsh_pairs(sig, bands, rows)
+
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (cand.join(a, cand.id_a == F.col("a.id"))
+                  .join(b, (cand.id_b == F.col("b.id"))
+                          & (F.col("a.shingle") == F.col("b.shingle")))
+                  .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+                  .withColumn("jaccard", jac)
+                  .where(F.col("jaccard") >= threshold)
+                  .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar) — 64-bit fingerprints + hamming near-dup
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from token hashes.
+
+    Bit b of the fingerprint = majority vote of bit b across
+    xxhash64(token) of all tokens. One explode + one groupBy with 64
+    map-side-combinable SUMs — entirely codegen'd.
+    """
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(TXT.tokens(text_col)).alias("tok")))
+    h = F.xxhash64("tok")
+    votes = [F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                          F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+             for b in range(64)]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
+                     max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any
+    pair within the radius collides exactly on ≥1 chunk → per-chunk
+    equi-join, then exact hamming verify via bit_count(xor).
+    """
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    sig = simhash64(df, id_col, text_col)
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright(F.col("simhash"), c * width)
+                  .bitwiseAND(F.lit((1 << width) - 1)).alias("piece"))
+        for c in range(nchunks)])
+    ex = (sig.select("id", "simhash", F.explode(chunks).alias("cc"))
+             .select("id", "simhash", F.col("cc.chunk").alias("chunk"),
+                     F.col("cc.piece").alias("piece")))
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                     & (F.col("a.piece") == F.col("b.piece"))
+                     & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     ham.alias("hamming"))
+             .distinct()
+             .where(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns, computed
+    in double, JVM-side (higher-order functions — no UDF)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Brute force = broadcast the (bounded) query set against the full
+    corpus — the correctness baseline. At 100 TB-scale corpora the
+    corpus side stays partitioned and is scanned once; cost is
+    O(|corpus| × |queries|) flops with no shuffle of the corpus. Use
+    :func:`ann_lsh_topk` when the query set itself is the corpus.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("query_vec"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("neighbor_vec"))
+    scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+               .withColumn("cosine", cosine(F.col("query_vec"),
+                                            F.col("neighbor_vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") <= k)
+                  .select("query_id", "neighbor_id",
+                          F.col("rk").alias("rank"), "cosine"))
+
+
+def _rp_sign(i: int, j: int) -> Column:
+    """Deterministic pseudo-random ±1 from (dimension i, hyperplane j)
+    — a hash-derived random-projection matrix that never needs to be
+    stored or broadcast."""
+    h = F.xxhash64(F.lit(i * 131071 + j))
+    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = 64) -> DataFrame:
+    """Multi-table random-hyperplane LSH (Charikar cosine LSH).
+
+    For each of ``num_tables`` independent tables, bit j of the bucket
+    id = sign(v · w_tj), with w_tj a ±1 hyperplane derived from a hash
+    of (table, plane, dimension) — deterministic, JVM-side, never
+    materialized. Returns one row per (vector, table):
+    (id, table, bucket, vec).
+
+    Collision probability for angle θ is (1-θ/π)^planes per table;
+    multiple tables trade compute for recall: R = 1-(1-p^b)^L — the
+    standard LSH parameter surface. More planes → smaller buckets
+    (less join work), lower per-table recall; more tables → linear
+    extra work, exponential recall recovery.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    tables = []
+    for t in range(num_tables):
+        bucket = None
+        for j in range(num_planes):
+            plane = t * 64 + j
+            proj = F.aggregate(
+                F.zip_with(vd,
+                           F.array(*[_rp_sign(i, plane) for i in range(dim)]),
+                           lambda x, w: x * w),
+                F.lit(0.0), lambda acc, v: acc + v)
+            bit = (F.when(proj >= 0, F.lit(1).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))
+            term = F.shiftleft(bit, j)
+            bucket = term if bucket is None else bucket.bitwiseXOR(term)
+        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                       F.explode(F.array(*tables)).alias("tb"))
+               .select("id", "vec", F.col("tb.table").alias("table"),
+                       F.col("tb.bucket").alias("bucket")))
+
+
+def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
+                 num_planes: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Approximate all-pairs top-k: cosine top-k over LSH-collided pairs.
+
+    The scale path vs brute force: candidate generation is per-(table,
+    bucket) self-joins — shuffle on (table, bucket), work Σ|bucket|²
+    per table instead of n². On corpora where neighbors are genuinely
+    close (real embeddings), raise num_planes to shrink buckets; the
+    fixtures are near-uniform random (top-5 cosine ≈ 0.32), the
+    hardest case for LSH, so defaults favor recall. Candidate pairs
+    are deduped across tables before the (expensive) cosine evaluation.
+    """
+    b = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col, dim)
+    a, c = b.alias("a"), b.alias("b")
+    cand = (a.join(c, (F.col("a.table") == F.col("b.table"))
+                     & (F.col("a.bucket") == F.col("b.bucket"))
+                     & (F.col("a.id") != F.col("b.id")))
+             .groupBy(F.col("a.id").alias("query_id"),
+                      F.col("b.id").alias("neighbor_id"))
+             .agg(F.first(F.col("a.vec")).alias("qv"),
+                  F.first(F.col("b.vec")).alias("nv")))
+    pairs = cand.select("query_id", "neighbor_id",
+                        cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+                 .where(F.col("rk") <= k)
+                 .select("query_id", "neighbor_id", F.col("rk").alias("rank"),
+                         "cosine"))

@@ -1,0 +1,390 @@
+"""Relational breadth (SURVEY.md §7 Phase 2): filters/projections, the
+join family, grouped/global aggregates, windows, sort/limit/top-k, set
+ops, scalar functions. All built-in Spark expressions — Catalyst handles
+pushdown/pruning/join selection; AQE handles runtime re-planning.
+
+Float discipline per queries/__init__ docstring: sums go through
+DECIMAL casts so both engines aggregate exactly; averages divide an
+exact decimal sum (as double) by a count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from distributed_deduplicator_spark.operators.relational import (
+    join_dim, topk_per_group, topk_global)
+from distributed_deduplicator_spark.queries.registry import query
+from distributed_deduplicator_spark.sources import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / projection (R1-R4)
+# ---------------------------------------------------------------------------
+
+@query("filter_project", oracle="""
+SELECT p_partkey, p_name, p_brand, p_size,
+       round(p_retailprice * 1.1, 2) AS taxed_price
+FROM part
+WHERE p_size BETWEEN 10 AND 40
+  AND p_type LIKE '%BRASS%'
+  AND p_brand <> 'Brand#45'
+""")
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + LIKE + inequality predicates with a computed projection.
+    Range/equality predicates push into the parquet scan (PushedFilters);
+    projection prunes the read schema (reference R2-R4)."""
+    p = _t(spark, sf_dir, "part")
+    return (p.where((F.col("p_size").between(10, 40))
+                    & F.col("p_type").like("%BRASS%")
+                    & (F.col("p_brand") != "Brand#45"))
+             .select("p_partkey", "p_name", "p_brand", "p_size",
+                     F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed_price")))
+
+
+@query("predicate_in_null", oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+  AND o_totalprice IS NOT NULL
+  AND year(o_orderdate) >= 1997
+""")
+def q_predicate_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list, NULL test, and a derived-date predicate (reference R3
+    generalized beyond single-key equality)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.where(F.col("o_orderstatus").isin("F", "P")
+                    & F.col("o_totalprice").isNotNull()
+                    & (F.year("o_orderdate") >= 1997))
+             .select("o_orderkey", "o_orderstatus", "o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (R9 generalized)
+# ---------------------------------------------------------------------------
+
+@query("pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregate: the canonical partial-agg →
+    shuffle → final-agg plan (map-side combine = the reference's burst
+    absorber analog, SURVEY.md R13)."""
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
+    return (l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+             .groupBy("l_returnflag", "l_linestatus")
+             .agg(F.sum(dec("l_quantity", 2)).alias("sum_qty"),
+                  F.sum(dec("l_extendedprice", 2)).alias("sum_base_price"),
+                  F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        .cast("decimal(18,4)")).alias("sum_disc_price"),
+                  (F.sum(dec("l_quantity", 2)).cast("double") / F.count("*"))
+                  .alias("avg_qty"),
+                  F.count("*").alias("count_order")))
+
+
+@query("agg_distinct", oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped COUNT DISTINCT (expand + two-phase aggregate plan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+             .agg(F.count_distinct("l_partkey").alias("n_parts"),
+                  F.count_distinct("l_suppkey").alias("n_supps"),
+                  F.count("*").alias("n_rows")))
+
+
+@query("agg_global", oracle="""
+SELECT count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+""")
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (ungrouped) aggregate — single-row result via partial
+    aggregation; no data concentration until the final 1-partition agg."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.count("*").alias("n_orders"),
+                 F.count_distinct("o_custkey").alias("n_customers"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_revenue"),
+                 F.min("o_orderdate").alias("first_order"),
+                 F.max("o_orderdate").alias("last_order"))
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+@query("join_star_revenue", oracle="""
+SELECT n_name, r_name,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'F'
+GROUP BY n_name, r_name
+""")
+def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join: fact lineitem⋈orders shuffles on orderkey; the
+    customer/nation/region dims broadcast (no fact shuffle on their
+    keys). The 100 TB plan: one big-table shuffle join + N broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.groupBy("n_name", "r_name")
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@query("join_left_order_counts", oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""")
+def q_join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count=0, spend=0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .groupBy("c_custkey", "c_name")
+             .agg(F.count("o_orderkey").alias("n_orders"),
+                  F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                             F.lit(0).cast("decimal(28,2)")).alias("spend")))
+
+
+@query("join_semi", oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+""")
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 urgent order — existence test
+    without multiplying rows (the set form of the reference's 'does a
+    SUCCESS row exist for this key' check, DeduplicationProvider.kt:132)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+@query("join_anti", oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@query("join_dim_broadcast", oracle="""
+SELECT n_name, count(*) AS n_customers,
+       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def q_join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast dimension join via the join_dim helper."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (join_dim(c, n, on=c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_balance")))
+
+
+# ---------------------------------------------------------------------------
+# Windows (R8's ordering semantics generalized)
+# ---------------------------------------------------------------------------
+
+@query("window_topk_per_group", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer (deterministic tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3)
+
+
+@query("window_lag_lead", oracle="""
+SELECT user_id, event_type, ts, event_id,
+       lag(event_id)  OVER w AS prev_event_id,
+       lead(event_id) OVER w AS next_event_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS usecs_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over each user's event timeline."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .alias("usecs_since_prev"))
+
+
+@query("window_running_sum", oracle="""
+SELECT user_id, ts, event_id,
+       sum(CAST(value AS DECIMAL(18,2)))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS running_value
+FROM events
+""")
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "user_id", "ts", "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"))
+
+
+@query("window_rank_dense", oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       rank()       OVER w AS bal_rank,
+       dense_rank() OVER w AS bal_dense_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""")
+def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with gaps semantics."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select("c_mktsegment", "c_custkey", "c_acctbal",
+                    F.rank().over(w).alias("bal_rank"),
+                    F.dense_rank().over(w).alias("bal_dense_rank"))
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------------
+
+@query("topk_global", oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 10
+""")
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 — TakeOrderedAndProject (heap per partition +
+    driver merge of 10), never a full sort (reference R1's clustering
+    order generalized to global ordering)."""
+    c = _t(spark, sf_dir, "customer")
+    return topk_global(c.select("c_custkey", "c_name", "c_acctbal"),
+                       [F.col("c_acctbal").desc(), F.col("c_custkey")], 10)
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@query("set_ops", oracle="""
+WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     supp_nations AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS membership
+  FROM (SELECT nationkey FROM cust_nations INTERSECT SELECT nationkey FROM supp_nations)
+UNION ALL
+SELECT nationkey, 'customer_only' AS membership
+  FROM (SELECT nationkey FROM cust_nations EXCEPT SELECT nationkey FROM supp_nations)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS membership
+  FROM (SELECT nationkey FROM supp_nations EXCEPT SELECT nationkey FROM cust_nations)
+""")
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT over nation membership sets
+    (reference's audit-set algebra, SURVEY.md §2.2 'Set ops')."""
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.col("c_nationkey").alias("nationkey")).distinct())
+    s = (_t(spark, sf_dir, "supplier")
+         .select(F.col("s_nationkey").alias("nationkey")).distinct())
+    both = c.intersect(s).withColumn("membership", F.lit("both"))
+    conly = c.exceptAll(s).withColumn("membership", F.lit("customer_only"))
+    sonly = s.exceptAll(c).withColumn("membership", F.lit("supplier_only"))
+    return both.unionByName(conly).unionByName(sonly)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (R5/R12/R13 toolbox: strings, dates, hashing)
+# ---------------------------------------------------------------------------
+
+@query("scalar_functions", oracle="""
+SELECT o_orderkey,
+       upper(o_orderpriority) AS pri_upper,
+       substr(o_orderpriority, 1, 1) AS pri_code,
+       concat_ws(':', o_orderkey, o_custkey) AS compound_key,
+       sha256(concat_ws(':', o_orderkey, o_custkey)) AS attempt_id,
+       year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       round(o_totalprice / 1000.0, 3) AS price_k
+FROM orders
+WHERE o_orderkey % 100 = 0
+""")
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String building (the reference's compound cache key
+    'ks:table:key', DeduplicationProvider.kt:44 → concat_ws), date
+    arithmetic (TTL horizons, R12), and sha256-derived deterministic
+    attempt ids (replacing UUIDv4, DeduplicationProvider.kt:43)."""
+    o = _t(spark, sf_dir, "orders")
+    ck = F.concat_ws(":", F.col("o_orderkey"), F.col("o_custkey"))
+    return (o.where(F.col("o_orderkey") % 100 == 0)
+             .select("o_orderkey",
+                     F.upper("o_orderpriority").alias("pri_upper"),
+                     F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+                     ck.alias("compound_key"),
+                     F.sha2(ck, 256).alias("attempt_id"),
+                     F.year("o_orderdate").alias("o_year"),
+                     F.month("o_orderdate").alias("o_month"),
+                     (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+                     .alias("due_date"),
+                     F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k")))

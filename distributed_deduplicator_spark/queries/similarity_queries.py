@@ -1,0 +1,107 @@
+"""Similarity / near-dup queries (SURVEY.md Phase 5; the north-star
+LLM-pipeline suite): exact n-gram Jaccard join (oracle-checked),
+MinHash-LSH near-dup (rows-only; verified against the exact join in
+tests), SimHash (rows-only), brute-force cosine top-k (oracle-checked)
+and LSH-bucketed ANN (rows-only; recall-tested)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_deduplicator_spark.operators import similarity as S
+from distributed_deduplicator_spark.queries.registry import query
+from distributed_deduplicator_spark.sources import load_table
+
+# DuckDB twin of functions.text.normalize + tokens
+_NORM_SQL = (r"string_split_regex(trim(regexp_replace(regexp_replace("
+             r"lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')")
+
+_JACCARD_THRESHOLD = 0.35
+_NGRAM = 3
+
+@query("jaccard_ngram_pairs", oracle=rf"""
+WITH toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, sa.set_size AS size_a, sb.set_size AS size_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+      >= {_JACCARD_THRESHOLD}
+""")
+def q_jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join over documents — the
+    ground-truth near-dup operator (explode → shingle join → count;
+    no cross join)."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.jaccard_similarity_join(d, "doc_id", "text",
+                                     n=_NGRAM, threshold=_JACCARD_THRESHOLD)
+
+
+@query("minhash_near_dup")  # rows-only: LSH recall is probabilistic by design
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16×4) candidate generation with exact-Jaccard
+    verification (precision 1.0). Deterministic seeded xxhash64; recall
+    vs the exact join asserted in tests/test_similarity.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.minhash_near_dup(d, "doc_id", "text", n=_NGRAM,
+                              num_hashes=64, bands=16, rows=4,
+                              threshold=_JACCARD_THRESHOLD)
+
+
+@query("simhash_fingerprints")  # rows-only: xxhash64 has no DuckDB twin
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (Charikar) for every document —
+    one explode + 64 map-side-combinable votes, all codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.simhash64(d, "doc_id", "text")
+
+
+_TOPK = 5
+_NQUERIES = 8
+
+@query("cosine_topk", oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_NQUERIES}),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, nv) AS cosine
+  FROM q JOIN c ON query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= {_TOPK}
+""")
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 8 query vectors — brute-force
+    baseline: broadcast queries, scan corpus once, window top-k.
+    Cosine via higher-order array functions (JVM, no UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _NQUERIES)
+    out = S.cosine_topk_bruteforce(emb, q, k=_TOPK)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 6).alias("cosine_r"))
+
+
+@query("ann_lsh_topk")  # rows-only: approximate by construction
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors approximate top-5 via multi-table random-hyperplane
+    LSH — the 100 TB path (per-bucket joins, Σ|bucket|² ≪ n²). Recall
+    vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, k=_TOPK, num_tables=8, num_planes=4)

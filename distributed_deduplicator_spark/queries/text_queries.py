@@ -1,0 +1,142 @@
+"""Text-analysis queries over the documents fixture (SURVEY.md §7
+Phase 5 / the training-data-pipeline extension).
+
+Oracle notes: Spark regexes are Java, DuckDB's are RE2 — every pattern
+used here (`\\w`, `\\s`, `\\b`, alternation) behaves identically in
+both. Counts and lengths are integers; ratios are per-row double
+arithmetic (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_deduplicator_spark.functions import text as TXT
+from distributed_deduplicator_spark.operators import dedup as D
+from distributed_deduplicator_spark.queries.registry import query
+from distributed_deduplicator_spark.sources import load_table
+
+
+@query("text_stats", oracle=r"""
+SELECT doc_id, lang,
+       length(text) AS n_chars_actual,
+       len(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS n_words,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+            AS DOUBLE) / length(text) AS punct_ratio
+FROM documents
+""")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars, normalized word count, BPE-ish token
+    count, punctuation ratio — all codegen'd built-ins, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang",
+        TXT.char_count("text").alias("n_chars_actual"),
+        TXT.token_count("text").alias("n_words"),
+        TXT.word_regex_count("text").alias("n_tokens"),
+        TXT.punct_ratio("text").alias("punct_ratio"))
+
+
+@query("text_lang_profile", oracle=r"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(length(text)) AS total_chars,
+       CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY lang, source
+""")
+def q_text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by (lang, source) — integer sums, exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"),
+                 (F.sum(F.length("text")).cast("double") / F.count("*"))
+                 .alias("avg_chars"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+_SW = TXT.LANG_STOPWORDS
+
+@query("text_lang_id", oracle=rf"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["en"])})\b')) AS hits_en,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["de"])})\b')) AS hits_de,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["fr"])})\b')) AS hits_fr,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["es"])})\b')) AS hits_es,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["zh"])})\b')) AS hits_zh
+  FROM documents)
+SELECT doc_id, labeled_lang, hits_en, hits_de, hits_fr, hits_es, hits_zh,
+       CASE greatest(hits_en, hits_de, hits_fr, hits_es, hits_zh)
+            WHEN 0 THEN 'und'
+            WHEN hits_en THEN 'en'
+            WHEN hits_de THEN 'de'
+            WHEN hits_fr THEN 'fr'
+            WHEN hits_es THEN 'es'
+            ELSE 'zh' END AS pred_lang
+FROM scores
+""")
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-kernel language ID (n-gram heuristic). Ties resolve in
+    fixed lang order (en,de,fr,es,zh); zero hits → 'und'."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = {lg: TXT.stopword_hits("text", lg).alias(f"hits_{lg}")
+            for lg in ("en", "de", "fr", "es", "zh")}
+    scored = d.select(F.col("doc_id"), F.col("lang").alias("labeled_lang"),
+                      *hits.values())
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in hits])
+    pred = (F.when(best == 0, F.lit("und"))
+             .when(F.col("hits_en") == best, F.lit("en"))
+             .when(F.col("hits_de") == best, F.lit("de"))
+             .when(F.col("hits_fr") == best, F.lit("fr"))
+             .when(F.col("hits_es") == best, F.lit("es"))
+             .otherwise(F.lit("zh")))
+    return scored.withColumn("pred_lang", pred)
+
+
+@query("text_quality_filter", oracle=r"""
+WITH q AS (
+  SELECT doc_id, lang,
+         (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END
+          + least(CAST(len(string_split_regex(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                '\s+', ' ', 'g')), ' ')) AS DOUBLE) / 100.0, 1.0)
+          + CASE WHEN CAST(length(text) AS DOUBLE)
+                      / (len(string_split_regex(trim(regexp_replace(
+                          regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                          '\s+', ' ', 'g')), ' ')) + 1) BETWEEN 3 AND 12
+                 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+  FROM documents)
+SELECT doc_id, lang, round(quality, 6) AS quality
+FROM q WHERE quality >= 0.5
+""")
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length band + wordiness + mean word
+    length) with a keep-threshold — the C4/Gopher-style gate."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang", TXT.quality_score("text").alias("q"))
+    return (q.where(F.col("q") >= 0.5)
+             .select("doc_id", "lang", F.round("q", 6).alias("quality")))
+
+
+@query("text_fingerprint_dedup", oracle=r"""
+SELECT doc_id, fp,
+       CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+            THEN 'SUCCESS' ELSE 'DUPLICATE' END AS verdict
+FROM (SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+      FROM documents)
+""")
+def q_text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup by content fingerprint (md5 of normalized text),
+    arbitrated first-wins by doc_id — the reference's first-writer-wins
+    (R8) applied to content identity."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", TXT.fingerprint("text").alias("fp"))
+    return D.dedup_first_wins(fp, keys=["fp"], order_by=["doc_id"])

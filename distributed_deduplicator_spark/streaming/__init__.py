@@ -1,0 +1,13 @@
+from distributed_deduplicator_spark.streaming.dedup_stream import (
+    events_stream,
+    stream_dedup_within_watermark,
+    stream_windowed_counts,
+    run_stream_to_df,
+)
+
+__all__ = [
+    "events_stream",
+    "stream_dedup_within_watermark",
+    "stream_windowed_counts",
+    "run_stream_to_df",
+]

@@ -1,0 +1,71 @@
+"""Similarity-operator quality gates: MinHash-LSH recall vs the exact
+Jaccard join; ANN recall vs brute-force cosine; SimHash sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_deduplicator_spark.operators import similarity as S
+from distributed_deduplicator_spark.sources import load_table
+
+THRESH = 0.35
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_minhash_precision_and_recall(spark, docs):
+    exact = {(r.id_a, r.id_b)
+             for r in S.jaccard_similarity_join(
+                 docs, "doc_id", "text", n=3, threshold=THRESH).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in S.minhash_near_dup(
+                  docs, "doc_id", "text", n=3, threshold=THRESH).collect()}
+    # exact-verify step ⇒ precision 1.0
+    assert approx <= exact
+    # banding (16×4) S-curve: ~50% collision at j≈0.5; at j≥0.5 recall
+    # should be high. Check recall over the confidently-similar pairs.
+    strong = {(r.id_a, r.id_b)
+              for r in S.jaccard_similarity_join(
+                  docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    if strong:
+        recall = len(approx & strong) / len(strong)
+        assert recall >= 0.8, f"strong-pair recall {recall}"
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    sig = S.simhash64(docs, "doc_id", "text")
+    n = sig.count()
+    assert n == docs.count()
+    # fingerprints are 64-bit and deterministic
+    again = S.simhash64(docs, "doc_id", "text")
+    assert sig.exceptAll(again).count() == 0
+
+
+def test_ann_recall_vs_bruteforce(spark, emb):
+    k = 5
+    sample = emb.where(F.col("vec_id") < 50)
+    exact = S.cosine_topk_bruteforce(emb, sample, k=k)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = S.ann_lsh_topk(emb, k=k, num_tables=8, num_planes=4)
+    approx_pairs = {(r.query_id, r.neighbor_id)
+                    for r in approx.collect()
+                    if r.query_id < 50}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # fixtures are near-uniform random vectors (top-5 cosine ≈ 0.32,
+    # the LSH worst case): 8 tables × 4 planes gives p^4≈0.13/table,
+    # R = 1-(1-0.13)^8 ≈ 0.67 expected recall on true neighbors.
+    assert recall >= 0.45, f"ANN recall {recall}"
+
+
+def test_jaccard_join_symmetric_pairs_only_once(spark, docs):
+    pairs = S.jaccard_similarity_join(docs, "doc_id", "text",
+                                      n=3, threshold=THRESH)
+    bad = pairs.where(F.col("id_a") >= F.col("id_b")).count()
+    assert bad == 0
