@@ -1,0 +1,83 @@
+"""Guarded exactly-once execution surface (reference R10/R11).
+
+The reference's whole point: run user logic at most once per key, and
+if the logic fails, mark the attempt FAILED so the key is re-claimable
+(process(), provider/DeduplicationProvider.kt:35-123; compensation
+:96-114). The set-oriented rendering:
+
+1. arbitrate attempts (first-wins) → winners hold the sole claim;
+2. run the user's function ONLY on winner rows (Arrow-batched);
+3. a per-row exception becomes verdict FAILED + an `error` column —
+   the compensation write (R11) as data instead of exception control
+   flow;
+4. losers keep verdict DUPLICATE and never execute user logic.
+
+At scale the user function runs embarrassingly parallel over the
+winner partition set; one winner per key ⇒ work is bounded by key
+cardinality, not attempt volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_deduplicator_spark.operators.dedup import (
+    STATE_NAMES, STATE_SUCCESS, STATE_FAILED, dedup_first_wins)
+
+SUCCESS = STATE_NAMES[STATE_SUCCESS]
+FAILED = STATE_NAMES[STATE_FAILED]
+
+
+def guarded_process(df: DataFrame,
+                    keys: Sequence[str],
+                    order_by: Sequence[str],
+                    block: Callable[[dict], object],
+                    result_type: T.DataType = T.StringType(),
+                    ) -> DataFrame:
+    """Run ``block`` exactly once per key (on the winning attempt).
+
+    Returns every attempt row plus:
+    - ``verdict``: SUCCESS (winner, block ok) | FAILED (winner, block
+      raised) | DUPLICATE (loser; block never ran),
+    - ``result``: block's return value for SUCCESS rows, else null,
+    - ``error``: stringified exception for FAILED rows, else null.
+
+    The reference throws DuplicateException at losers and rethrows
+    user errors after compensating (DeduplicationProvider.kt:93-114);
+    here both outcomes are verdict rows — same audit content.
+    """
+    arbitrated = dedup_first_wins(df, keys, order_by)
+    out_schema = T.StructType(
+        arbitrated.schema.fields
+        + [T.StructField("result", result_type, True),
+           T.StructField("error", T.StringType(), True)])
+    in_cols = [f.name for f in arbitrated.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results, errors, verdicts = [], [], []
+            for row in pdf.to_dict("records"):
+                if row["verdict"] != SUCCESS:
+                    results.append(None); errors.append(None)
+                    verdicts.append(row["verdict"])
+                    continue
+                try:
+                    results.append(block(row))
+                    errors.append(None)
+                    verdicts.append(SUCCESS)
+                except Exception as exc:  # user-code failure → FAILED row
+                    results.append(None)
+                    errors.append(f"{type(exc).__name__}: {exc}")
+                    verdicts.append(FAILED)
+            pdf = pdf.copy()
+            pdf["verdict"] = verdicts
+            pdf["result"] = results
+            pdf["error"] = errors
+            yield pdf[in_cols + ["result", "error"]]
+
+    return arbitrated.mapInPandas(run, schema=out_schema)

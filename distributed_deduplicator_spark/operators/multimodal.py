@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as `binary`
+columns with typed metadata, processed by Arrow-batched Python (the
+only sane place for codec work in Spark). This module makes the
+*plumbing* real — schemas, batch shapes, partitioning, UDF signatures,
+deterministic fake feature extraction — while the actual codec calls
+(PIL/ffmpeg/torchaudio are not in this container) are stubbed behind
+import-tries and a clearly-marked NotImplementedError.
+
+Reference tie-in: payloads are treated exactly like the reference's
+opaque user `block` (R10, DeduplicationProvider.kt:96) — the engine
+moves/arbitrates them without interpreting them; interpretation is a
+pluggable per-row function at the edge.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),   # image|audio|video
+    T.StructField("payload", T.BinaryType(), False),       # opaque bytes
+    T.StructField("meta", T.StructType([                   # typed metadata
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]), False),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("content_sha", T.StringType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), False),
+])
+
+_FEATURE_DIM = 8
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents fixture:
+    payload = utf-8 bytes of the text (a stand-in corpus of opaque
+    blobs with realistic size skew), media_type assigned round-robin.
+    """
+    mt = F.element_at(F.lit(["image", "audio", "video"]),
+                      (F.col("doc_id") % 3 + 1).cast("int"))
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mt.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(F.col("source").alias("source"),
+                 F.col("lang").alias("lang"),
+                 F.octet_length(payload).cast("long").alias("n_bytes"))
+         .alias("meta"))
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a codec+model feature extractor:
+    8 floats derived from the sha256 digest. Stable across runs and
+    engines — lets the full Spark plumbing be exercised and tested
+    without image/audio libs."""
+    h = hashlib.sha256(payload).digest()
+    return [int.from_bytes(h[i * 4:(i + 1) * 4], "big") / 2**32
+            for i in range(_FEATURE_DIM)]
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — STUB: PIL/imageio are not installed in this
+    environment. The mapInPandas plumbing in extract_features is the
+    real, tested path; swap _fake_decode_features for a real decoder
+    when the codec libs exist."""
+    try:
+        import PIL.Image  # type: ignore  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL; not available in this "
+            "environment — use the deterministic fake extractor") from exc
+    raise NotImplementedError("wire PIL decode here when available")
+
+
+def extract_features(media: DataFrame,
+                     extractor: Callable[[bytes], list[float]] | None = None,
+                     batch_note: str = "arrow") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: each Arrow batch arrives as a pandas DataFrame with a
+    `payload` bytes column; the extractor runs per row *inside the
+    batch loop* (vectorize further in a real model-serving extractor).
+    Partitioning is inherited from the source — at 100 TB repartition
+    upstream so batches are ~100-500 rows of multi-MB payloads.
+    """
+    fn = extractor or _fake_decode_features
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fn(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "content_sha": [hashlib.sha256(p).hexdigest()
+                                for p in pdf["payload"]],
+                "feature": feats,
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata aggregation (no Python): payload size profile
+    per media_type — the cheap pre-pass that decides decode batching."""
+    return (media.groupBy("media_type")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+                 F.min(F.col("meta.n_bytes")).alias("min_bytes"),
+                 F.max(F.col("meta.n_bytes")).alias("max_bytes")))

@@ -1,0 +1,126 @@
+"""Multimodal + guarded-execution queries.
+
+The media table derives deterministically from documents (payload =
+utf-8 bytes of text), so the binary-column plumbing is oracle-checkable
+wherever the computation is hash/length-based; the feature-array path
+(Python extractor) is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_deduplicator_spark.operators import multimodal as MM
+from distributed_deduplicator_spark.operators.guarded import guarded_process
+from distributed_deduplicator_spark.queries.registry import query
+from distributed_deduplicator_spark.sources import load_table
+
+_MEDIA_TYPE_SQL = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+                   "ELSE 'video' END")
+
+
+@query("multimodal_stats", oracle=f"""
+SELECT {_MEDIA_TYPE_SQL} AS media_type,
+       count(*) AS n_items,
+       sum(octet_length(encode(text))) AS total_bytes,
+       min(octet_length(encode(text))) AS min_bytes,
+       max(octet_length(encode(text))) AS max_bytes
+FROM documents
+GROUP BY 1
+""")
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload size profile per media_type — pure-JVM metadata pass
+    over binary columns (no Python touches the payload)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_stats(MM.media_from_documents(docs))
+
+
+@query("multimodal_content_hash", oracle=f"""
+SELECT doc_id AS media_id,
+       {_MEDIA_TYPE_SQL} AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+""")
+def q_multimodal_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched extraction over binary payloads (mapInPandas),
+    checking the deterministic parts (byte count + sha256) against the
+    oracle — proves the batch plumbing end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    feats = MM.extract_features(media)
+    return feats.select("media_id", "media_type", "n_bytes", "content_sha")
+
+
+@query("multimodal_features")  # rows-only: fake-extractor float arrays
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full feature-extraction pipeline incl. the 8-dim feature vector
+    from the deterministic fake extractor (real codecs stubbed —
+    operators/multimodal.py docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.media_from_documents(docs))
+
+
+@query("guarded_process", oracle="""
+WITH arb AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 'SUCCESS' ELSE 'DUPLICATE' END AS verdict
+  FROM events)
+SELECT user_id, event_type, ts, event_id, value,
+       CASE WHEN verdict = 'SUCCESS' AND value < 0
+            THEN 'FAILED' ELSE verdict END AS verdict,
+       CASE WHEN verdict = 'SUCCESS' AND value >= 0
+            THEN user_id || ':' || CAST(round(value * 2, 2) AS VARCHAR)
+            END AS result,
+       CASE WHEN verdict = 'SUCCESS' AND value < 0
+            THEN 'ValueError: negative value' END AS error
+FROM arb
+""")
+def q_guarded_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once guarded execution (reference R10/R11): user block
+    runs only on winning attempts; block failure → verdict FAILED with
+    the error recorded (compensation as data)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value")
+
+    def block(row: dict) -> str:
+        if row["value"] < 0:
+            raise ValueError("negative value")
+        return f"{row['user_id']}:{round(row['value'] * 2, 2)}"
+
+    return guarded_process(ev, ["user_id", "event_type"],
+                           ["ts", "event_id"], block,
+                           result_type=T.StringType())
+
+
+_QSCALE = 10  # quantization: floor(x * 10) per dimension
+
+@query("embedding_quantize_dedup", oracle=f"""
+SELECT vec_id, label, qsig,
+       CASE WHEN row_number() OVER (PARTITION BY qsig ORDER BY vec_id) = 1
+            THEN 'SUCCESS' ELSE 'DUPLICATE' END AS verdict
+FROM (SELECT vec_id, label,
+             array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(CAST(floor(x * {_QSCALE}) AS BIGINT) AS VARCHAR)),
+                 ',') AS qsig
+      FROM embeddings)
+""")
+def q_embedding_quantize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup by quantized-signature equality: integer-
+    quantize each dimension (floor(x*10) — exact in IEEE doubles, so
+    cross-engine stable), join on the signature — the exact-match fast
+    path of embedding dedup (hash-groupBy, map-side combinable; the
+    cosine-threshold path is ann_lsh_topk/minhash)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qsig = F.array_join(
+        F.transform(F.col("embedding"),
+                    lambda x: F.floor(x.cast("double") * _QSCALE)
+                               .cast("bigint").cast("string")),
+        ",")
+    from distributed_deduplicator_spark.operators.dedup import dedup_first_wins
+    sig = emb.select("vec_id", "label", qsig.alias("qsig"))
+    return dedup_first_wins(sig, keys=["qsig"], order_by=["vec_id"])

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_deduplicator_spark import streaming as ST
 from distributed_deduplicator_spark.queries.registry import query
+from distributed_deduplicator_spark.streaming.stateful import ttl_dedup_stateful
 
 
 @query("stream_dedup_watermark")  # rows-only: representative row per key
@@ -33,3 +34,37 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch aggregation, so fully oracle-checked."""
     s = ST.stream_windowed_counts(spark, sf_dir)
     return ST.run_stream_to_df(s, spark, output_mode="complete")
+
+
+_TTL_SECONDS = 86400
+
+@query("stream_ttl_dedup_stateful", oracle=f"""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+walk AS (
+  SELECT user_id, event_type, ts, event_id, rn,
+         ts AS last_accepted, TRUE AS accepted
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_type, o.ts, o.event_id, o.rn,
+         CASE WHEN epoch(o.ts) - epoch(w.last_accepted) >= {_TTL_SECONDS}
+              THEN o.ts ELSE w.last_accepted END,
+         epoch(o.ts) - epoch(w.last_accepted) >= {_TTL_SECONDS}
+  FROM ordered o
+  JOIN walk w ON o.user_id = w.user_id AND o.event_type = w.event_type
+             AND o.rn = w.rn + 1)
+SELECT user_id, event_type, ts, event_id,
+       CASE WHEN accepted THEN 'SUCCESS' ELSE 'DUPLICATE' END AS verdict
+FROM walk
+""")
+def q_stream_ttl_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming TTL dedup via applyInPandasWithState — the
+    custom stateful operator (one timestamp of state per live key,
+    reference usingTtl semantics). Drained through availableNow, the
+    output equals the batch recurrence, so it is fully oracle-checked."""
+    ev = ST.events_stream(spark, sf_dir)
+    return ST.run_stream_to_df(ttl_dedup_stateful(ev, _TTL_SECONDS),
+                               spark, output_mode="append")

@@ -1,0 +1,63 @@
+"""Sinks: append/overwrite writes in parquet/csv/json, partitioned
+layouts, and catalog table registration (reference R5/R6/R7).
+
+The reference's writes are per-record INSERTs with wasApplied checks
+(DeduplicationProvider.kt:135-155); a set-oriented engine writes whole
+relations atomically per partition-directory. Partitioning discipline
+for 100 TB: partition by a low-cardinality derived column (date, lang,
+media_type), never by a key with millions of values; target file sizes
+come from upstream repartition, not the writer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "append",
+                  partition_by: Sequence[str] | None = None,
+                  target_partitions: int | None = None) -> None:
+    """Parquet sink (R5 append / R6 overwrite-as-upsert-ledger).
+
+    ``target_partitions`` repartitions before write to control output
+    file count/size (the writer-side knob that matters at scale).
+    """
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read.option("header", "true")
+    return (r.schema(schema) if schema is not None
+            else r.option("inferSchema", "true")).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read
+    return (r.schema(schema).json(path) if schema is not None
+            else r.json(path))
+
+
+def create_table_if_not_exists(spark: SparkSession, name: str,
+                               df: DataFrame, path: str) -> None:
+    """Lazy table creation (R7, createTableIfNotExist,
+    DeduplicationProvider.kt:226-236): register a parquet path as a
+    catalog table on first use; no-op when it already exists."""
+    if not spark.catalog.tableExists(name):
+        df.write.mode("errorifexists").option("path", path) \
+          .saveAsTable(name)

@@ -1,0 +1,71 @@
+"""Custom stateful streaming: exact TTL-horizon dedup with
+applyInPandasWithState (SURVEY.md §4 custom-work item 2, streaming
+form).
+
+``dropDuplicatesWithinWatermark`` approximates the reference's TTL
+semantics (state evicted by watermark); this operator reproduces them
+*exactly*: per key, an attempt is accepted iff it is ≥ ttl after the
+last accepted attempt (usingTtl, DeduplicationProvider.kt:203,219) —
+the state is one timestamp per live key, evicted by processing-time
+timeout, so state size is bounded by live-key cardinality exactly as
+the reference's Cassandra TTL bounds its table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("verdict", T.StringType()),
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("last_accepted_us", T.LongType()),
+])
+
+
+def ttl_dedup_stateful(events: DataFrame, ttl_seconds: int) -> DataFrame:
+    """Streaming exact TTL dedup on (user_id, event_type).
+
+    State = last accepted timestamp (µs) per key. Within a micro-batch
+    rows are processed in (ts, event_id) order, so replaying the whole
+    fixture through one availableNow batch produces exactly the batch
+    operator's output (oracle-checkable).
+    """
+    ttl_us = ttl_seconds * 1_000_000
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (last_us,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            verdicts = []
+            for t in pdf["ts"]:
+                t_us = int(t.value // 1000)  # pandas ns → µs
+                if last_us is None or t_us - last_us >= ttl_us:
+                    verdicts.append("SUCCESS")
+                    last_us = t_us
+                else:
+                    verdicts.append("DUPLICATE")
+            out = pdf[["user_id", "event_type", "ts", "event_id"]].copy()
+            out["verdict"] = verdicts
+            yield out
+        if last_us is not None:
+            state.update((last_us,))
+
+    return (events.groupBy("user_id", "event_type")
+            .applyInPandasWithState(fn,
+                                    outputStructType=OUT_SCHEMA,
+                                    stateStructType=STATE_SCHEMA,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
