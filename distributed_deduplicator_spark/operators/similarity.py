@@ -19,6 +19,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,22 +31,28 @@ from distributed_deduplicator_spark.functions import text as TXT
 # Shingling
 # ---------------------------------------------------------------------------
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Built from normalized tokens; JVM-side transform over the token
-    array (no explode until the caller needs one row per shingle).
-    """
+def shingle_array(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle set per document, as one row per
+    doc: (id, shingles array<string>, set_size). JVM-side transform
+    over the token array — no explode, no shuffle."""
     toks = TXT.tokens(text_col)
     # n-gram i = tokens[i..i+n-1] joined by space; sequence over index.
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 0),
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    # when fewer than n tokens, sequence(0, size-n<0) would be invalid;
-    # guard with an empty array.
-    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(grams)).alias("shingle")))
+    # when fewer than n tokens, the sequence bound is clamped to 0 and
+    # the whole array is replaced by an empty one.
+    grams = F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+             .otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("id"), grams.alias("shingles"),
+                     F.size(grams).alias("set_size"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded shingle relation: one row per (id, shingle)."""
+    arr = shingle_array(df, id_col, text_col, n)
+    return arr.select("id", F.explode("shingles").alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -53,36 +61,89 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
 def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
                             n: int = 3, threshold: float = 0.5,
-                            max_shingle_doc_freq: int | None = None) -> DataFrame:
+                            method: str = "prefix") -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+    Exact (both methods return identical results):
 
-    Plan: shingle explode → self-equi-join on shingle → count common →
-    join per-doc set sizes → filter. The only shuffles are on `shingle`
-    (pair generation) and (id_a, id_b) (pair aggregation); no cross
-    join. ``max_shingle_doc_freq`` optionally drops ubiquitous shingles
-    (bounded skew at corpus scale; off by default for exactness).
+    - ``method='prefix'`` (default): PPJoin-style prefix filtering
+      (Xiao et al., WWW'08 — public literature). Shingles are globally
+      ordered rarest-first; a pair with J ≥ τ MUST share a shingle
+      within the first ``|A| - ceil(τ|A|) + 1`` rarest shingles of each
+      doc, so candidate generation joins only those prefixes — on
+      skewed vocabularies (the 100 TB reality) this cuts the join's
+      Σ df² blowup by orders of magnitude. Verification computes the
+      exact intersection with ``array_intersect`` on the full sets
+      (no second explode).
+    - ``method='allpairs'``: plain shingle self-join + pair count; the
+      simple plan, better when shingle frequencies are near-uniform.
     """
-    sh = shingles(df, id_col, text_col, n)
-    if max_shingle_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        keep = freq.where(F.col("_df") <= max_shingle_doc_freq).select("shingle")
-        sh = sh.join(F.broadcast(keep), "shingle")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    arr = shingle_array(df, id_col, text_col, n).where(F.col("set_size") > 0)
+    if method == "allpairs":
+        sh = arr.select("id", F.explode("shingles").alias("shingle"))
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                           & (F.col("a.id") < F.col("b.id")))
+                   .groupBy(F.col("a.id").alias("id_a"),
+                            F.col("b.id").alias("id_b"))
+                   .agg(F.count("*").alias("n_common")))
+        sizes = arr.select("id", "set_size")
+        sa = sizes.select(F.col("id").alias("id_a"),
+                          F.col("set_size").alias("size_a"))
+        sb = sizes.select(F.col("id").alias("id_b"),
+                          F.col("set_size").alias("size_b"))
+        jac = (F.col("n_common").cast("double")
+               / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
+        return (common.join(sa, "id_a").join(sb, "id_b")
+                      .withColumn("jaccard", jac)
+                      .where(F.col("jaccard") >= threshold)
+                      .select("id_a", "id_b", "size_a", "size_b",
+                              "n_common", "jaccard"))
+    if method != "prefix":
+        raise ValueError("method must be 'prefix' or 'allpairs'")
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                       & (F.col("a.id") < F.col("b.id")))
-               .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-               .agg(F.count("*").alias("n_common")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    # --- PPJoin-lite ---
+    sh = arr.select("id", F.explode("shingles").alias("shingle"))
+    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # per doc: shingles ordered rarest-first (df, shingle) — the global
+    # canonical order required by the prefix theorem
+    ordered = (sh.join(doc_freq, "shingle")
+                 .groupBy("id")
+                 .agg(F.sort_array(
+                     F.collect_list(F.struct("df", "shingle"))).alias("os")))
+    ordered = ordered.select(
+        "id",
+        F.transform("os", lambda s: s["shingle"]).alias("ordered_shingles"),
+        F.size("os").alias("set_size"))
+    prefix_len = (F.col("set_size")
+                  - F.ceil(F.col("set_size") * F.lit(float(threshold))).cast("int")
+                  + 1)
+    prefixes = ordered.select(
+        "id", "set_size",
+        F.explode(F.slice("ordered_shingles", 1, prefix_len)).alias("shingle"))
+    pa, pb = prefixes.alias("a"), prefixes.alias("b")
+    cand = (pa.join(pb, (F.col("a.shingle") == F.col("b.shingle"))
+                      & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.col("a.set_size").alias("size_a"),
+                      F.col("b.set_size").alias("size_b"))
+              .distinct())
+    # length filter: J ≥ τ requires τ·|A| ≤ |B| ≤ |A|/τ
+    cand = cand.where((F.col("size_b") >= F.col("size_a") * threshold)
+                      & (F.col("size_a") >= F.col("size_b") * threshold))
+    sets = ordered.select("id", F.col("ordered_shingles"))
+    verified = (cand
+                .join(sets.select(F.col("id").alias("id_a"),
+                                  F.col("ordered_shingles").alias("sh_a")), "id_a")
+                .join(sets.select(F.col("id").alias("id_b"),
+                                  F.col("ordered_shingles").alias("sh_b")), "id_b")
+                .withColumn("n_common",
+                            F.size(F.array_intersect("sh_a", "sh_b"))))
     jac = (F.col("n_common").cast("double")
            / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
-    return (common.join(sa, "id_a").join(sb, "id_b")
-                  .withColumn("jaccard", jac)
-                  .where(F.col("jaccard") >= threshold)
-                  .select("id_a", "id_b", "size_a", "size_b", "n_common", "jaccard"))
+    return (verified.withColumn("jaccard", jac)
+                    .where(F.col("jaccard") >= threshold)
+                    .select("id_a", "id_b", "size_a", "size_b",
+                            "n_common", "jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -136,24 +197,28 @@ def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
     with exact Jaccard (so precision is 1.0; recall is the LSH S-curve
     at (bands, rows)). Deterministic end to end (seeded xxhash64).
     """
-    sh = shingles(df, id_col, text_col, n)
+    arr = shingle_array(df, id_col, text_col, n).where(F.col("set_size") > 0)
+    sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes)
     cand = minhash_lsh_pairs(sig, bands, rows)
 
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (cand.join(a, cand.id_a == F.col("a.id"))
-                  .join(b, (cand.id_b == F.col("b.id"))
-                          & (F.col("a.shingle") == F.col("b.shingle")))
-                  .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    # verify with exact intersection on the full sets (array_intersect
+    # — no second explode-join)
+    sets = arr.select("id", "shingles", "set_size")
+    verified = (cand
+                .join(sets.select(F.col("id").alias("id_a"),
+                                  F.col("shingles").alias("sh_a"),
+                                  F.col("set_size").alias("size_a")), "id_a")
+                .join(sets.select(F.col("id").alias("id_b"),
+                                  F.col("shingles").alias("sh_b"),
+                                  F.col("set_size").alias("size_b")), "id_b")
+                .withColumn("n_common",
+                            F.size(F.array_intersect("sh_a", "sh_b"))))
     jac = (F.col("n_common").cast("double")
            / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
-    return (common.join(sa, "id_a").join(sb, "id_b")
-                  .withColumn("jaccard", jac)
-                  .where(F.col("jaccard") >= threshold)
-                  .select("id_a", "id_b", "jaccard"))
+    return (verified.withColumn("jaccard", jac)
+                    .where(F.col("jaccard") >= threshold)
+                    .select("id_a", "id_b", "jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -307,18 +372,28 @@ def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
 
 
 def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
-                 num_planes: int = 4, id_col: str = "vec_id",
-                 vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+                 num_planes: int | None = None, id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int = 64,
+                 target_bucket: int = 64) -> DataFrame:
     """Approximate all-pairs top-k: cosine top-k over LSH-collided pairs.
 
     The scale path vs brute force: candidate generation is per-(table,
     bucket) self-joins — shuffle on (table, bucket), work Σ|bucket|²
-    per table instead of n². On corpora where neighbors are genuinely
-    close (real embeddings), raise num_planes to shrink buckets; the
-    fixtures are near-uniform random (top-5 cosine ≈ 0.32), the
-    hardest case for LSH, so defaults favor recall. Candidate pairs
+    per table instead of n².
+
+    ``num_planes=None`` adapts to corpus size: planes =
+    ceil(log2(n / target_bucket)), keeping expected bucket occupancy
+    ≈ target_bucket so per-table join work stays ~n·target_bucket at
+    any scale (the knob that keeps this sub-quadratic at 100 TB).
+    More tables buy recall linearly in compute; on corpora where
+    neighbors are genuinely close (real embeddings), smaller
+    target_bucket is safe. The fixtures are near-uniform random
+    (top-5 cosine ≈ 0.32) — the hardest case for LSH. Candidate pairs
     are deduped across tables before the (expensive) cosine evaluation.
     """
+    if num_planes is None:
+        n = emb.count()  # one cheap count to size the index
+        num_planes = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
     b = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col, dim)
     a, c = b.alias("a"), b.alias("b")
     cand = (a.join(c, (F.col("a.table") == F.col("b.table"))

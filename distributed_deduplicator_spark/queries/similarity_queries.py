@@ -104,4 +104,4 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH — the 100 TB path (per-bucket joins, Σ|bucket|² ≪ n²). Recall
     vs brute force asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_lsh_topk(emb, k=_TOPK, num_tables=8, num_planes=4)
+    return S.ann_lsh_topk(emb, k=_TOPK, num_tables=8)  # planes auto-sized
