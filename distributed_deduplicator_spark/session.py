@@ -42,6 +42,14 @@ _DEFAULTS = {
     # events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp,
     # so read as long and convert in the source layer (sources/fixtures.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate duplicates the explode's child expression
+    # into a `size(...) > 0` filter that predicate-pushdown then drags to
+    # the scan — for our shingle/token pipelines that evaluates the whole
+    # regex+transform chain twice, once interpreted and single-threaded
+    # at the file split. The inferred filter is redundant with explode's
+    # own empty-array skip; excluding the rule is pure win here.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

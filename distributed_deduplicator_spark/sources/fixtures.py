@@ -43,6 +43,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow source up to cluster parallelism.
+
+    CPU-heavy per-row stages (shingling, hashing, LSH projections) are
+    bounded by the scan's split count; a single-row-group parquet file
+    (the fixtures) yields ONE split, serializing the map stage onto one
+    of 32 cores. A round-robin repartition of the few needed columns is
+    a trivially cheap shuffle next to the compute it parallelizes.
+
+    At real scale this is a no-op: a 100 TB table scans as thousands of
+    splits, which is ≥ the target, so no shuffle is inserted.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
