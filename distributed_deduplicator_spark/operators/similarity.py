@@ -165,6 +165,67 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm, public literature): hash every k-token gram,
+    then keep the minimum hash of each sliding window of ``window``
+    consecutive gram hashes; the distinct selected hashes are the
+    document's fingerprint set.
+
+    Guarantee: two documents sharing a token run of length
+    ≥ k + window − 1 share at least one fingerprint — the
+    substring-robust alternative to whole-document md5.
+
+    All JVM-side; each derived array is materialized in its own
+    projection so nothing expensive is re-evaluated inside lambdas.
+    Returns (id, fingerprints array<bigint> sorted, n_fingerprints).
+    """
+    base = fanout(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("_text")))
+    toked = base.select("id", TXT.tokens("_text").alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    grams = F.when(F.size(toks) >= k, grams) \
+             .otherwise(F.array().cast("array<bigint>"))
+    hashed = toked.select("id", grams.alias("_kh"))
+    kh = F.col("_kh")
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(kh) - window, F.lit(0))),
+        lambda j: F.array_min(F.slice(kh, j + 1, window)))
+    # fewer k-grams than the window: the whole doc is one window
+    mins = F.when(F.size(kh) >= window, mins) \
+            .otherwise(F.when(F.size(kh) > 0, F.array(F.array_min(kh)))
+                        .otherwise(F.array().cast("array<bigint>")))
+    fp = hashed.select(
+        "id", F.sort_array(F.array_distinct(mins)).alias("fingerprints"))
+    return fp.select("id", "fingerprints",
+                     F.size("fingerprints").alias("n_fingerprints"))
+
+
+def winnow_near_dup(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5, window: int = 4,
+                    min_shared: int = 2) -> DataFrame:
+    """Pairs sharing ≥ min_shared winnowing fingerprints — near-dup by
+    shared substring evidence. Explode fingerprints → equi-join →
+    count, the same sub-quadratic shape as the shingle join."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    ex = fp.select("id", F.explode("fingerprints").alias("fp"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                     & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding (Broder; the scale path for near-dup)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,112 @@
+"""Temporal operators: sessionization and as-of joins.
+
+The reference's TTL horizon (provider/DeduplicationProvider.kt:203,219)
+treats time as a dedup boundary; these operators generalize that into
+the two temporal primitives every event pipeline needs:
+
+- :func:`sessionize` — gap-based session assignment (a new session
+  starts when the inter-event gap exceeds ``gap_seconds``). Unlike the
+  TTL recurrence in ``dedup_within_ttl`` (horizon restarts only at
+  ACCEPTED rows), the session gap restarts at EVERY row, which makes it
+  fully window-expressible: lag + boundary flag + running sum — one
+  shuffle, no custom state.
+- :func:`asof_join` — for each left row, the latest right row at or
+  before its timestamp (per key). Implemented as the union-sort trick:
+  tag both sides, sort within key by (ts, tag), and carry the last seen
+  right payload forward with last(ignorenulls) — ONE shuffle of
+  left+right, linear work, no per-key blowup (the naive
+  join-then-filter plan multiplies each left row by ALL earlier right
+  matches before reducing — quadratic in matches per key).
+
+Scale notes: both shuffle once on the join/session key; skewed keys
+are split by AQE. State per key is O(1) in the window evaluation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
+               gap_seconds: int, order_by: Sequence[str] | None = None,
+               session_col: str = "session_seq") -> DataFrame:
+    """Assign a per-key session sequence number (1-based).
+
+    A row starts a new session when it is the key's first row or when
+    ``ts - previous ts > gap_seconds``. ``order_by`` defaults to
+    ``[ts_col]``; pass an extra unique column for a deterministic total
+    order under timestamp ties.
+    """
+    order = list(order_by) if order_by else [ts_col]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_us = int(gap_seconds) * 1_000_000
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    boundary = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us), 1).otherwise(0)
+    running = Window.partitionBy(*keys).orderBy(*order) \
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("_b", boundary) \
+             .withColumn(session_col, F.sum("_b").over(running)) \
+             .drop("_b")
+
+
+def session_stats(df: DataFrame, keys: Sequence[str], ts_col: str,
+                  gap_seconds: int,
+                  order_by: Sequence[str] | None = None) -> DataFrame:
+    """One row per (key, session): event count, start/end, duration."""
+    s = sessionize(df, keys, ts_col, gap_seconds, order_by)
+    return (s.groupBy(*keys, "session_seq")
+             .agg(F.count("*").alias("n_events"),
+                  F.min(ts_col).alias("session_start"),
+                  F.max(ts_col).alias("session_end"),
+                  ((F.unix_micros(F.max(ts_col))
+                    - F.unix_micros(F.min(ts_col))) / F.lit(1_000_000.0))
+                  .alias("duration_s")))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              left_key: str, right_key: str,
+              left_ts: str, right_ts: str,
+              payload: Sequence[str],
+              right_order: Sequence[str] | None = None) -> DataFrame:
+    """Left as-of join: attach the latest right row with
+    ``right_ts <= left_ts`` per key; payload columns are null when no
+    right row precedes the left row.
+
+    Deterministic under ties: among right rows sharing the greatest
+    eligible ``right_ts``, the one greatest by ``right_order`` (defaults
+    to ``payload``) wins — mirror this in any oracle.
+    """
+    r_order = list(right_order) if right_order else list(payload)
+    lcols = left.columns
+    l = (left.select(F.col(left_key).alias("_k"),
+                     F.col(left_ts).alias("_ts"),
+                     F.lit(1).alias("_tag"),
+                     F.struct(*lcols).alias("_l"),
+                     F.lit(None).cast(
+                         right.select(F.struct(*r_order, *[
+                             c for c in payload if c not in r_order
+                         ]).alias("_r")).schema["_r"].dataType).alias("_r")))
+    r = (right.select(F.col(right_key).alias("_k"),
+                      F.col(right_ts).alias("_ts"),
+                      F.lit(0).alias("_tag"),
+                      F.lit(None).cast(
+                          left.select(F.struct(*lcols).alias("_l"))
+                              .schema["_l"].dataType).alias("_l"),
+                      F.struct(*r_order, *[
+                          c for c in payload if c not in r_order
+                      ]).alias("_r")))
+    u = l.unionByName(r)
+    # At equal ts the right row sorts first (tag 0 < 1) so `<=`
+    # semantics hold; _r orders right rows under right_ts ties so
+    # last() picks the maximal one deterministically.
+    w = (Window.partitionBy("_k").orderBy("_ts", "_tag", "_r")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+    return (carried.where(F.col("_tag") == 1)
+                   .select(*[F.col(f"_l.{c}").alias(c) for c in lcols],
+                           *[F.col(f"_last_r.{c}").alias(c) for c in payload]))

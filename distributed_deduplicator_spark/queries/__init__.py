@@ -29,4 +29,5 @@ from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import text_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import similarity_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import streaming_queries  # noqa: F401,E402
+from distributed_deduplicator_spark.queries import temporal_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import multimodal_queries  # noqa: F401,E402

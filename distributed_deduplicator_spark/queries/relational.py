@@ -388,3 +388,117 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
                      .alias("due_date"),
                      F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k")))
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation (rollup / cube / pivot) and distribution stats
+# ---------------------------------------------------------------------------
+
+@query("rollup_orders", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""")
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status×priority → grand
+    total) in ONE pass: Spark plans rollup as a single Expand +
+    aggregate — no per-level rescans."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .alias("sum_price"),
+                  F.grouping_id().alias("gid")))
+
+
+@query("cube_orders", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""")
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one Expand
+    + aggregate pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .alias("sum_price"),
+                  F.grouping_id().alias("gid")))
+
+
+@query("pivot_status_counts", oracle="""
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders GROUP BY o_orderpriority
+""")
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority. Explicit pivot
+    values keep the plan single-pass (no distinct-values pre-query) —
+    the rule at scale; missing cells coalesce to 0 like SQL count."""
+    o = _t(spark, sf_dir, "orders")
+    p = (o.groupBy("o_orderpriority")
+          .pivot("o_orderstatus", ["F", "O", "P"])
+          .agg(F.count(F.lit(1))))
+    return p.select("o_orderpriority",
+                    F.coalesce("F", F.lit(0)).alias("n_f"),
+                    F.coalesce("O", F.lit(0)).alias("n_o"),
+                    F.coalesce("P", F.lit(0)).alias("n_p"))
+
+
+@query("percentiles_by_status", oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.90), 6) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+       round(min(o_totalprice), 6) AS lo,
+       round(max(o_totalprice), 6) AS hi
+FROM orders GROUP BY o_orderstatus
+""")
+def q_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    `percentile` == DuckDB `quantile_cont`). At 100 TB swap to
+    approx_percentile (t-digest sketch, map-side combinable) — exact
+    percentile materializes per-group value multisets."""
+    o = _t(spark, sf_dir, "orders")
+    pct = lambda p: F.round(F.expr(f"percentile(o_totalprice, {p})"), 6)  # noqa: E731
+    return (o.groupBy("o_orderstatus")
+             .agg(pct(0.50).alias("p50"),
+                  pct(0.90).alias("p90"),
+                  pct(0.99).alias("p99"),
+                  F.round(F.min("o_totalprice"), 6).alias("lo"),
+                  F.round(F.max("o_totalprice"), 6).alias("hi")))
+
+
+@query("json_props_stats", oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
+         AS n_distinct_k,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+""")
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path into typed column, then
+    grouped stats — get_json_object stays JVM-side (Jackson), no UDF.
+    At scale prefer from_json with an explicit schema once per
+    pipeline, then columnar ops on the struct."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.withColumn("_k", k)
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.count_distinct("_k").alias("n_distinct_k"),
+                  F.sum("_k").alias("sum_k"),
+                  F.min("_k").alias("min_k"),
+                  F.max("_k").alias("max_k")))

@@ -68,3 +68,35 @@ def q_stream_ttl_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ST.events_stream(spark, sf_dir)
     return ST.run_stream_to_df(ttl_dedup_stateful(ev, _TTL_SECONDS),
                                spark, output_mode="append")
+
+
+_SESSION_GAP_S = 1800
+
+@query("stream_session_windows", oracle=f"""
+WITH b AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS nb
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM b)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {_SESSION_GAP_S} SECOND AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+""")
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via the streaming engine's
+    session_window state merge. Drained with availableNow the result
+    equals batch gap-sessionization ([min ts, max ts + gap) per
+    session), so it is fully oracle-checked."""
+    s = ST.stream_session_windows(spark, sf_dir,
+                                  gap=f"{_SESSION_GAP_S} seconds")
+    return ST.run_stream_to_df(s, spark, output_mode="complete")

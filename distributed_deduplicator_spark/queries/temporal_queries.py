@@ -1,0 +1,96 @@
+"""Temporal queries: sessionization and as-of join over events/orders.
+
+The event-time generalization of the reference's TTL horizon
+(provider/DeduplicationProvider.kt:203,219): where dedup_within_ttl
+restarts its horizon only at accepted rows (a custom recurrence),
+sessions restart at every row — plain window algebra, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_deduplicator_spark.operators import temporal as TP
+from distributed_deduplicator_spark.queries.registry import query
+from distributed_deduplicator_spark.sources import load_table
+
+_GAP_S = 1800  # 30-minute session gap
+_GAP_US = _GAP_S * 1_000_000
+
+
+@query("sessionize_events", oracle=f"""
+WITH b AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+              THEN 1 ELSE 0 END AS nb
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, ts,
+       sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+FROM b
+""")
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag boundary flag +
+    running sum — one shuffle on user_id, deterministic under ties via
+    event_id."""
+    e = load_table(spark, sf_dir, "events")
+    s = TP.sessionize(e, ["user_id"], "ts", _GAP_S,
+                      order_by=["ts", "event_id"])
+    return s.select("event_id", "user_id", "ts", "session_seq")
+
+
+@query("session_stats", oracle=f"""
+WITH b AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+              THEN 1 ELSE 0 END AS nb
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM b)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s
+FROM s GROUP BY user_id, session_seq
+""")
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup (count, bounds, duration) on the session
+    assignment — session key reuses the sessionize shuffle partitioning
+    so the groupBy needs no second exchange of the big side."""
+    e = load_table(spark, sf_dir, "events")
+    return TP.session_stats(e, ["user_id"], "ts", _GAP_S,
+                            order_by=["ts", "event_id"])
+
+
+@query("asof_join_orders", oracle="""
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN o1 o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""")
+def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the customer's latest
+    order at-or-before the event time. Right side pre-reduced to one
+    row per (custkey, orderdate) so ties are deterministic; the join
+    itself is the union-sort-carry plan (one shuffle, linear — see
+    operators/temporal.py)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    o1 = (o.groupBy("o_custkey", "o_orderdate")
+           .agg(F.max("o_orderkey").alias("o_orderkey"),
+                F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice")))
+    return TP.asof_join(e, o1, "user_id", "o_custkey", "ts", "o_orderdate",
+                        payload=["o_orderkey", "o_totalprice"],
+                        right_order=["o_orderkey"])

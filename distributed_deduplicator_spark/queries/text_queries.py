@@ -140,3 +140,14 @@ def q_text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = d.select("doc_id", TXT.fingerprint("text").alias("fp"))
     return D.dedup_first_wins(fp, keys=["fp"], order_by=["doc_id"])
+
+
+@query("text_winnow_fingerprints")  # rows-only: xxhash64 has no DuckDB twin
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, sliding-window minima) document
+    fingerprints — substring-robust dedup evidence; verified against a
+    pure-Python reference in tests/test_similarity.py."""
+    from distributed_deduplicator_spark.operators import similarity as S
+    d = load_table(spark, sf_dir, "documents")
+    return S.winnow_fingerprints(d, "doc_id", "text", k=5, window=4) \
+            .select("id", "n_fingerprints")

@@ -2,6 +2,7 @@ from distributed_deduplicator_spark.streaming.dedup_stream import (
     events_stream,
     stream_dedup_within_watermark,
     stream_windowed_counts,
+    stream_session_windows,
     run_stream_to_df,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "events_stream",
     "stream_dedup_within_watermark",
     "stream_windowed_counts",
+    "stream_session_windows",
     "run_stream_to_df",
 ]

@@ -90,3 +90,22 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str,
                    F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"))
               .select(F.col("w.start").alias("window_start"),
                       "event_type", "n_events", "total_value"))
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str,
+                           gap: str = "30 minutes",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user, computed by the streaming
+    engine (`session_window` merges windows while events arrive within
+    the gap). Once drained, each session is [min ts, max ts + gap) with
+    its event count — identical to batch gap-sessionization, so it is
+    oracle-checkable.
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return (ev.groupBy(F.session_window("ts", gap).alias("w"),
+                       F.col("user_id"))
+              .agg(F.count("*").alias("n_events"))
+              .select("user_id",
+                      F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"),
+                      "n_events"))
