@@ -24,8 +24,13 @@ HEADLINE = [
     "pricing_summary",
     "join_star_revenue",
     "window_running_sum",
+    "session_stats",
+    "asof_join_orders",
+    "rollup_orders",
+    "json_props_stats",
     "text_stats",
     "text_fingerprint_dedup",
+    "text_winnow_fingerprints",
     "jaccard_ngram_pairs",
     "minhash_near_dup",
     "simhash_fingerprints",

@@ -444,7 +444,7 @@ def _plane_signs(plane: int, dim: int) -> list[float]:
 
 def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   dim: int = 64) -> DataFrame:
+                   dim: int = 64, unit: DataFrame | None = None) -> DataFrame:
     """Multi-table random-hyperplane LSH (Charikar cosine LSH).
 
     For each of ``num_tables`` independent tables, bit j of the bucket
@@ -460,23 +460,23 @@ def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
     (less join work), lower per-table recall; more tables → linear
     extra work, exponential recall recovery.
     """
-    u = unit_vectors(emb, id_col, vec_col)
-    vd = F.col("unit")  # sign(unit·w) == sign(v·w): norms are positive
+    u = unit if unit is not None else unit_vectors(emb, id_col, vec_col)
+    # sign(unit·w) == sign(v·w): norms are positive. Each table's
+    # bucket is ONE sql string (one py4j call) — building these as
+    # composed Column objects costs hundreds of driver round trips.
     tables = []
     for t in range(num_tables):
-        bucket = None
+        bits = []
         for j in range(num_planes):
-            plane = t * 64 + j
-            proj = F.aggregate(
-                F.zip_with(vd, F.lit(_plane_signs(plane, dim)),
-                           lambda x, w: x * w),
-                F.lit(0.0), lambda acc, v: acc + v)
-            bit = (F.when(proj >= 0, F.lit(1).cast("long"))
-                    .otherwise(F.lit(0).cast("long")))
-            term = F.shiftleft(bit, j)
-            bucket = term if bucket is None else bucket.bitwiseXOR(term)
-        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return (u.select("id", F.explode(F.array(*tables)).alias("tb"))
+            signs = ",".join(f"{s:.1f}"
+                             for s in _plane_signs(t * 64 + j, dim))
+            proj = (f"aggregate(zip_with(unit, array({signs}),"
+                    f" (x, w) -> x * w), 0D, (acc, v) -> acc + v)")
+            bits.append(f"shiftleft(if({proj} >= 0, 1L, 0L), {j})")
+        bucket = " | ".join(bits)
+        tables.append(f"struct({t}L as table, ({bucket}) as bucket)")
+    tb = F.expr(f"explode(array({','.join(tables)}))").alias("tb")
+    return (u.select("id", tb)
              .select("id", F.col("tb.table").alias("table"),
                      F.col("tb.bucket").alias("bucket")))
 
@@ -507,7 +507,9 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
     if num_planes is None:
         n = emb.count()  # one cheap count to size the index
         num_planes = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
-    b = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col, dim)
+    u = unit_vectors(emb, id_col, vec_col)
+    b = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col, dim,
+                       unit=u)
     a, c = b.alias("a"), b.alias("b")
     cand = (a.join(c, (F.col("a.table") == F.col("b.table"))
                      & (F.col("a.bucket") == F.col("b.bucket"))
@@ -515,7 +517,6 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
              .select(F.col("a.id").alias("query_id"),
                      F.col("b.id").alias("neighbor_id"))
              .distinct())
-    u = unit_vectors(emb, id_col, vec_col)
     pairs = (cand
              .join(u.select(F.col("id").alias("query_id"),
                             F.col("unit").alias("qu")), "query_id")
