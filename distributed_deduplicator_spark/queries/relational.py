@@ -502,3 +502,15 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum("_k").alias("sum_k"),
                   F.min("_k").alias("min_k"),
                   F.max("_k").alias("max_k")))
+
+
+@query("agg_approx_distinct")  # rows-only: HLL++ estimates are engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the sketch is THE 100 TB cardinality path (fixed-size map-side
+    combinable state vs the exact count's per-group value expansion).
+    Relative-error gate asserted in tests/test_relational_extra.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+             .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                  F.count_distinct("l_partkey").alias("exact_parts")))

@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): the dedup operators against
+pure-Python reference models, over randomized attempt logs.
+
+SURVEY.md §5: the reference has no property tests; we add them because
+our TTL-horizon recurrence is the one genuinely custom operator — and
+it ships two implementations (JVM fold / Arrow applyInPandas) that must
+agree with each other and with a sequential model.
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distributed_deduplicator_spark.operators import dedup as D
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, seconds-offset, attempt) triples; timestamps are
+# second-granular so ties across attempts are common — exercising the
+# deterministic (ts, attempt_id) tiebreak.
+attempts = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2", "k3"]),
+              st.integers(min_value=0, max_value=5000),
+              st.integers(min_value=0, max_value=10**6)),
+    min_size=1, max_size=60, unique=True)
+
+
+def _df(spark, log):
+    rows = [(k, BASE + dt.timedelta(seconds=s), f"a{a:07d}")
+            for k, s, a in log]
+    return spark.createDataFrame(rows, ["key", "ts", "attempt_id"])
+
+
+def _model_first_wins(log):
+    """verdict per (key, ts, attempt): earliest (ts, attempt) per key
+    is SUCCESS, the rest DUPLICATE."""
+    out = {}
+    by_key = {}
+    for k, s, a in sorted(log, key=lambda r: (r[0], r[1], f"a{r[2]:07d}")):
+        if k not in by_key:
+            by_key[k] = True
+            out[(k, s, a)] = "SUCCESS"
+        else:
+            out[(k, s, a)] = "DUPLICATE"
+    return out
+
+
+def _model_ttl(log, ttl_s):
+    """sequential accepted-horizon recurrence per key."""
+    out = {}
+    last = {}
+    for k, s, a in sorted(log, key=lambda r: (r[0], r[1], f"a{r[2]:07d}")):
+        if k not in last or s - last[k] >= ttl_s:
+            last[k] = s
+            out[(k, s, a)] = "SUCCESS"
+        else:
+            out[(k, s, a)] = "DUPLICATE"
+    return out
+
+
+def _collect(df):
+    return {(r.key, int((r.ts - BASE).total_seconds()),
+             int(r.attempt_id[1:])): r.verdict
+            for r in df.collect()}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(log=attempts)
+def test_first_wins_matches_model(spark, log):
+    got = _collect(D.dedup_first_wins(_df(spark, log), ["key"],
+                                      ["ts", "attempt_id"]))
+    assert got == _model_first_wins(log)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(log=attempts, ttl=st.sampled_from([1, 60, 900, 3600]))
+def test_ttl_jvm_and_arrow_match_model(spark, log, ttl):
+    df = _df(spark, log)
+    model = _model_ttl(log, ttl)
+    jvm = _collect(D.dedup_within_ttl(df, ["key"], "ts", ttl,
+                                      order_by=["ts", "attempt_id"],
+                                      impl="jvm"))
+    assert jvm == model
+    arrow = _collect(D.dedup_within_ttl(df, ["key"], "ts", ttl,
+                                        order_by=["ts", "attempt_id"],
+                                        impl="arrow"))
+    assert arrow == model
