@@ -124,3 +124,80 @@ def media_stats(media: DataFrame) -> DataFrame:
                  F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
                  F.min(F.col("meta.n_bytes")).alias("min_bytes"),
                  F.max(F.col("meta.n_bytes")).alias("max_bytes")))
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_index", T.IntegerType(), False),
+    T.StructField("frame_offset_bytes", T.LongType(), False),
+    T.StructField("frame_payload", T.BinaryType(), False),
+])
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  sampler: Callable[[bytes, int], list[bytes]] | None = None
+                  ) -> DataFrame:
+    """Deterministic frame sampling for video payloads — the
+    one-row-in, N-rows-out batch shape of every video pipeline.
+
+    Real frame extraction needs ffmpeg (absent here); the default
+    sampler slices the payload at n evenly-spaced offsets, which keeps
+    the Spark side — explode fan-out, Arrow batch shapes, downstream
+    per-frame feature joins — fully real and testable. Swap ``sampler``
+    for a codec-backed one in production.
+    """
+    def default_sampler(payload: bytes, n: int) -> list[bytes]:
+        if not payload:
+            return []
+        step = max(len(payload) // n, 1)
+        return [payload[i * step:(i + 1) * step] for i in range(n)
+                if i * step < len(payload)]
+
+    fn = sampler or default_sampler
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [],
+                   "frame_offset_bytes": [], "frame_payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = fn(payload, n_frames)
+                step = max(len(payload) // n_frames, 1) if payload else 0
+                for i, fr in enumerate(frames):
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame_offset_bytes"].append(i * step)
+                    out["frame_payload"].append(fr)
+            yield pd.DataFrame(out)
+
+    videos = media.where(F.col("media_type") == "video")
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def feature_near_dup(features: DataFrame, threshold: float = 0.999,
+                     id_col: str = "media_id",
+                     vec_col: str = "feature") -> DataFrame:
+    """Embedding-cosine near-dup over extracted features, sub-quadratic:
+    bucket by the sign-quantization code of the unit vector (near-dup
+    pairs at cosine ≥ ~0.999 share every sign bit unless a component
+    sits at ≈0 — the standard recall caveat of sign LSH), self-join per
+    bucket, verify with the exact cosine. Exact payload dups (identical
+    feature vectors) always collide. Work is Σ|bucket|², not n²."""
+    from distributed_deduplicator_spark.operators import similarity as S
+    dim = _FEATURE_DIM
+    u = S.unit_vectors(features, id_col=id_col, vec_col=vec_col)
+    code = None
+    for i in range(dim):
+        bit = F.when(F.col("unit")[i] >= 0, F.lit(1).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        code = term if code is None else code.bitwiseXOR(term)
+    ub = u.select("id", "unit", code.alias("bucket"))
+    a = ub.select(F.col("id").alias("id_a"), F.col("unit").alias("qu"),
+                  F.col("bucket").alias("ba"))
+    b = ub.select(F.col("id").alias("id_b"), F.col("unit").alias("nu"),
+                  F.col("bucket").alias("bb"))
+    return (a.join(b, (F.col("ba") == F.col("bb"))
+                     & (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b",
+                     S._dot_indexed("qu", "nu", dim).alias("cosine"))
+             .where(F.col("cosine") >= threshold))

@@ -165,6 +165,113 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+def ivf_assign(unit: DataFrame, centroids: DataFrame,
+               dim: int, nprobe: int = 1) -> DataFrame:
+    """Assign each unit vector to its ``nprobe`` nearest centroids.
+
+    Centroids broadcast (nlist × dim doubles — always tiny next to the
+    corpus); the scoring join is a broadcast nested loop producing
+    n × nlist rows whose dots run in codegen, then a per-id top-nprobe.
+    Returns (id, unit, centroid_id, rank 1..nprobe).
+    """
+    scored = (unit.crossJoin(F.broadcast(centroids))
+                  .select("id", "unit", "centroid_id",
+                          _dot_indexed("unit", "cunit", dim).alias("cdot")))
+    w = Window.partitionBy("id").orderBy(F.col("cdot").desc(), "centroid_id")
+    return (scored.withColumn("crank", F.row_number().over(w))
+                  .where(F.col("crank") <= nprobe)
+                  .select("id", "unit", "centroid_id", "crank"))
+
+
+def ivf_centroids(unit: DataFrame, nlist: int, dim: int,
+                  refine: bool = True) -> DataFrame:
+    """Deterministic IVF centroids: seed with the ``nlist`` vectors
+    minimal by xxhash64(id) (a uniform random-but-reproducible sample —
+    the IVF-flat bootstrap), optionally one Lloyd refinement step
+    computed on a ~10% hash-sample of the corpus (train on a sample,
+    index everything — standard IVF practice at scale).
+
+    Returns (centroid_id, cunit array<double>).
+    """
+    seeds = (unit.withColumn("_h", F.xxhash64(F.col("id")))
+                 .orderBy("_h").limit(nlist)
+                 .select(F.row_number().over(
+                     Window.orderBy("_h")).alias("centroid_id"),
+                         F.col("unit").alias("cunit")))
+    if not refine:
+        return seeds
+    sample = unit.where(F.xxhash64(F.col("id"), F.lit(7)) % 10 == 0)
+    assigned = ivf_assign(sample, seeds, dim, nprobe=1)
+    # per-centroid mean per dimension (posexplode → avg → re-pack),
+    # renormalized to a unit vector; empty centroids keep their seed
+    means = (assigned.select("centroid_id",
+                             F.posexplode("unit").alias("pos", "v"))
+                     .groupBy("centroid_id", "pos").agg(F.avg("v").alias("m"))
+                     .groupBy("centroid_id")
+                     .agg(F.array_sort(F.collect_list(
+                         F.struct("pos", "m"))).alias("pm"))
+                     .select("centroid_id",
+                             F.transform("pm", lambda s: s["m"]).alias("_c")))
+    means = (means.select("centroid_id", "_c",
+                          F.sqrt(F.aggregate(
+                              "_c", F.lit(0.0),
+                              lambda a, v: a + v * v)).alias("_n"))
+                  .select("centroid_id",
+                          F.transform("_c", lambda v: v / F.col("_n"))
+                          .alias("cunit")))
+    return (seeds.alias("s")
+                 .join(means.alias("m"), "centroid_id", "left")
+                 .select("centroid_id",
+                         F.coalesce("m.cunit", "s.cunit").alias("cunit")))
+
+
+def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
+                 nprobe: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Approximate all-pairs cosine top-k via an IVF-flat index — the
+    partition-pruning alternative to random-hyperplane LSH
+    (:func:`ann_lsh_topk`): vectors live in one centroid list; each
+    query probes its ``nprobe`` nearest lists, so the candidate join
+    touches ~nprobe/nlist of the corpus per query instead of all of it.
+
+    ``nlist=None`` → ≈√n lists (the classic IVF sizing: both the
+    assignment scan (n·nlist) and the probe work (n·nprobe·n/nlist)
+    grow as n^1.5, balanced). All deterministic — hash-seeded
+    centroids, one sample-based Lloyd step, fixed tie-breaks.
+    """
+    if nlist is None:
+        n = emb.count()
+        nlist = max(4, int(math.sqrt(max(n, 4))))
+    u = unit_vectors(emb, id_col, vec_col)
+    cents = ivf_centroids(u, nlist, dim)
+    lists = ivf_assign(u, cents, dim, nprobe=1) \
+        .select("id", F.col("centroid_id").alias("list_id"))
+    probes = ivf_assign(u, cents, dim, nprobe=nprobe) \
+        .select(F.col("id").alias("query_id"),
+                F.col("centroid_id").alias("list_id"))
+    cand = (probes.join(lists, "list_id")
+                  .where(F.col("query_id") != F.col("id"))
+                  .select("query_id", F.col("id").alias("neighbor_id"))
+                  .distinct())
+    pairs = (cand
+             .join(u.select(F.col("id").alias("query_id"),
+                            F.col("unit").alias("qu")), "query_id")
+             .join(u.select(F.col("id").alias("neighbor_id"),
+                            F.col("unit").alias("nu")), "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     _dot_indexed("qu", "nu", dim).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+                 .where(F.col("rk") <= k)
+                 .select("query_id", "neighbor_id", F.col("rk").alias("rank"),
+                         "cosine"))
+
+
+# ---------------------------------------------------------------------------
 # Winnowing (rolling-hash document fingerprints)
 # ---------------------------------------------------------------------------
 

@@ -124,3 +124,46 @@ def q_embedding_quantize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_deduplicator_spark.operators.dedup import dedup_first_wins
     sig = emb.select("vec_id", "label", qsig.alias("qsig"))
     return dedup_first_wins(sig, keys=["qsig"], order_by=["vec_id"])
+
+
+@query("multimodal_frame_sample", oracle=f"""
+WITH v AS (
+  SELECT doc_id AS media_id, encode(text) AS payload
+  FROM documents WHERE doc_id % 3 = 2),
+idx AS (
+  SELECT media_id, payload,
+         greatest(octet_length(payload) // 4, 1) AS step,
+         unnest(range(4)) AS frame_index
+  FROM v)
+SELECT media_id, CAST(frame_index AS INTEGER) AS frame_index,
+       frame_index * step AS frame_offset_bytes,
+       octet_length(payload) - frame_index * step >= 1 AS has_bytes
+FROM idx
+WHERE frame_index * step < octet_length(payload)
+""")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one payload row fans out to N
+    frame rows via mapInPandas (offsets deterministic, codec stubbed —
+    operators/multimodal.py). Offsets and fan-out cardinality are
+    oracle-checked; frame bytes themselves are opaque."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.media_from_documents(docs), n_frames=4)
+    return frames.select(
+        "media_id", "frame_index", "frame_offset_bytes",
+        (F.octet_length("frame_payload") >= 1).alias("has_bytes"))
+
+
+@query("multimodal_feature_neardup")  # rows-only: fake-extractor floats
+def q_multimodal_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over extracted media features:
+    sign-quantization buckets + exact cosine verify (sub-quadratic;
+    identical payloads always collide at cosine 1.0). The corpus is
+    salted with 10 re-ingested copies (media_id + 100000) — the
+    re-crawl scenario — whose pairs the operator must surface; asserted
+    exactly in tests/test_sinks_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    clones = (media.where(F.col("media_id") < 10)
+                   .withColumn("media_id", F.col("media_id") + 100000))
+    feats = MM.extract_features(media.unionByName(clones))
+    return MM.feature_near_dup(feats, threshold=0.999)

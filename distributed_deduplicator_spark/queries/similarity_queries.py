@@ -105,3 +105,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, k=_TOPK, num_tables=8)  # planes auto-sized
+
+
+@query("ann_ivf_topk")  # rows-only: approximate by construction
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors approximate top-5 via an IVF-flat index (√n lists,
+    probe 4) — the partition-pruning ANN path, complementary to the
+    hyperplane-LSH one. Recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(emb, k=_TOPK, nprobe=4)

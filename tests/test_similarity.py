@@ -69,3 +69,20 @@ def test_jaccard_join_symmetric_pairs_only_once(spark, docs):
                                       n=3, threshold=THRESH)
     bad = pairs.where(F.col("id_a") >= F.col("id_b")).count()
     assert bad == 0
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    k = 5
+    exact = S.cosine_topk_bruteforce(emb, emb, k=k)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = S.ann_ivf_topk(emb, k=k, nprobe=4)
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # near-uniform random fixtures are the worst case for any ANN; with
+    # sqrt(n) lists and 4 probes the probed fraction is ~4/sqrt(n).
+    assert recall >= 0.3, f"IVF recall {recall}"
+    # every reported neighbor must carry its true cosine (verify step)
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in ex:
+            assert abs(r.cosine - ex[(r.query_id, r.neighbor_id)]) < 1e-9

@@ -71,3 +71,33 @@ def test_feature_extraction_batch_shape(spark, docs):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG...")
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    from distributed_deduplicator_spark.operators import multimodal as MM
+    from distributed_deduplicator_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    frames = MM.sample_frames(media, n_frames=4)
+    n_videos = media.where("media_type = 'video'").count()
+    got = frames.groupBy("media_id").count().collect()
+    assert len(got) == n_videos
+    assert all(r["count"] <= 4 for r in got)
+    # offsets are within the payload and strictly increasing per media
+    import pyspark.sql.functions as F
+    bad = (frames.groupBy("media_id")
+                 .agg(F.min("frame_offset_bytes").alias("mn"),
+                      F.count_distinct("frame_offset_bytes").alias("nd"),
+                      F.count("*").alias("n"))
+                 .where((F.col("mn") != 0) | (F.col("nd") != F.col("n")))
+                 .count())
+    assert bad == 0
+
+
+def test_feature_neardup_finds_cloned_payloads(spark, sf_dir):
+    from distributed_deduplicator_spark import queries as Q
+    pairs = Q.QUERIES["multimodal_feature_neardup"](spark, sf_dir).collect()
+    # every clone pairs with its original at cosine ~1.0
+    clone_pairs = {(r.id_a, r.id_b) for r in pairs if r.id_b >= 100000}
+    assert {(i, i + 100000) for i in range(10)} <= clone_pairs
+    assert all(r.cosine >= 0.999 for r in pairs)
