@@ -36,6 +36,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -41,3 +41,29 @@ def topk_global(df: DataFrame, order_by: Sequence[Column | str], k: int) -> Data
     per-partition heap + driver merge of k rows, never a full sort."""
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     return df.orderBy(*ocols).limit(k)
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str,
+                how: str = "inner", n_salt: int = 16,
+                big_row_salt: Column | None = None) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side into ``n_salt``
+    sub-keys and replicate the small side once per salt, so one hot key
+    spreads over ``n_salt`` reducers instead of melting one.
+
+    Use when a key's row count exceeds what one task should hold and
+    the small side is too big to broadcast outright (else just
+    broadcast). AQE's skew-join split handles sort-merge skew
+    post-hoc; explicit salting is the declarative form that also works
+    for aggregations layered on the join output.
+
+    ``big_row_salt`` defaults to a deterministic per-row hash over all
+    of the big side's columns (uniform, reproducible — never rand()).
+    """
+    salt = (big_row_salt if big_row_salt is not None
+            else F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                        F.lit(n_salt)))
+    b = big.withColumn("_salt", salt.cast("int"))
+    s = (small.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))))
+    out = b.join(s, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

@@ -247,15 +247,19 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
         nlist = max(4, int(math.sqrt(max(n, 4))))
     u = unit_vectors(emb, id_col, vec_col)
     cents = ivf_centroids(u, nlist, dim)
-    lists = ivf_assign(u, cents, dim, nprobe=1) \
-        .select("id", F.col("centroid_id").alias("list_id"))
-    probes = ivf_assign(u, cents, dim, nprobe=nprobe) \
-        .select(F.col("id").alias("query_id"),
-                F.col("centroid_id").alias("list_id"))
+    # one assignment pass serves both roles: rank 1 = the vector's own
+    # list, ranks 1..nprobe = the lists its queries probe
+    assigns = ivf_assign(u, cents, dim, nprobe=nprobe)
+    lists = (assigns.where(F.col("crank") == 1)
+                    .select("id", F.col("centroid_id").alias("list_id")))
+    probes = assigns.select(F.col("id").alias("query_id"),
+                            F.col("centroid_id").alias("list_id"))
+    # no distinct needed: a neighbor lives in exactly one list and a
+    # query's probed lists are distinct, so (query, neighbor) pairs are
+    # unique by construction — unlike multi-table LSH.
     cand = (probes.join(lists, "list_id")
                   .where(F.col("query_id") != F.col("id"))
-                  .select("query_id", F.col("id").alias("neighbor_id"))
-                  .distinct())
+                  .select("query_id", F.col("id").alias("neighbor_id")))
     pairs = (cand
              .join(u.select(F.col("id").alias("query_id"),
                             F.col("unit").alias("qu")), "query_id")

@@ -100,3 +100,24 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ST.stream_session_windows(spark, sf_dir,
                                   gap=f"{_SESSION_GAP_S} seconds")
     return ST.run_stream_to_df(s, spark, output_mode="complete")
+
+
+@query("stream_sliding_counts", oracle="""
+WITH w AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes']) AS window_start
+  FROM events)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type, count(*) AS n_events
+FROM w GROUP BY window_start, event_type
+""")
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m per-type counts through the streaming engine
+    (complete mode, availableNow drain): every event belongs to exactly
+    two epoch-aligned windows, so the batch SQL twin is an unnest over
+    the two containing window starts — fully oracle-checked."""
+    s = ST.stream_sliding_counts(spark, sf_dir)
+    return ST.run_stream_to_df(s, spark, output_mode="complete")

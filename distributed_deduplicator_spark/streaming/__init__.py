@@ -3,6 +3,7 @@ from distributed_deduplicator_spark.streaming.dedup_stream import (
     stream_dedup_within_watermark,
     stream_windowed_counts,
     stream_session_windows,
+    stream_sliding_counts,
     run_stream_to_df,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "stream_dedup_within_watermark",
     "stream_windowed_counts",
     "stream_session_windows",
+    "stream_sliding_counts",
     "run_stream_to_df",
 ]

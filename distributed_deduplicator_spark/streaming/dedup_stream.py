@@ -109,3 +109,19 @@ def stream_session_windows(spark: SparkSession, sf_dir: str,
                       F.col("w.start").alias("session_start"),
                       F.col("w.end").alias("session_end"),
                       "n_events"))
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str,
+                          window: str = "1 hour", slide: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide
+    overlapping windows — Spark expands to the window list before the
+    keyed aggregation; state per (window, type), evicted by the
+    watermark)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return (ev.groupBy(F.window("ts", window, slide).alias("w"),
+                       F.col("event_type"))
+              .agg(F.count("*").alias("n_events"))
+              .select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      "event_type", "n_events"))

@@ -9,3 +9,27 @@ def test_approx_distinct_relative_error(spark, sf_dir):
     for r in rows:
         err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
         assert err <= 0.1, f"{r.l_returnflag}: {err:.3f}"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from distributed_deduplicator_spark.operators.relational import salted_join
+    import pyspark.sql.functions as F
+    # skewed big side: one hot key with 5k rows, long tail of 50
+    big = spark.range(5000).select(F.lit("hot").alias("k"),
+                                   F.col("id").alias("v")).unionByName(
+        spark.range(50).select(F.concat(F.lit("t"), "id").alias("k"),
+                               F.col("id").alias("v")))
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"t{i}", float(i)) for i in range(0, 50, 2)],
+        ["k", "w"])
+    plain = {(r.k, r.v, r.w) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.w)
+              for r in salted_join(big, small, "k", n_salt=8).collect()}
+    assert salted == plain
+    # left join keeps unmatched big rows exactly once
+    plain_l = sorted((r.k, r.v, r.w)
+                     for r in big.join(small, "k", "left").collect())
+    salted_l = sorted((r.k, r.v, r.w)
+                      for r in salted_join(big, small, "k", how="left",
+                                           n_salt=8).collect())
+    assert salted_l == plain_l
