@@ -45,10 +45,16 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen paths so timings measure the queries, not
-    # session startup
-    Q.QUERIES["dedup_first_wins"](spark, sf_dir).write.format("noop") \
-        .mode("overwrite").save()
+    # Warm every headline pipeline once at the smallest SF so timings
+    # measure executor work, not whole-stage-codegen JIT compilation
+    # (~5s for the larger expression trees — a fixed driver-side cost
+    # that is irrelevant at scale).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        Q.QUERIES[name](spark, warm_dir).write.format("noop") \
+            .mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

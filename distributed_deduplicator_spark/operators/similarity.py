@@ -132,6 +132,11 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
         "id",
         F.transform("os", lambda s: s["shingle"]).alias("ordered_shingles"),
         F.size("os").alias("set_size"))
+    # three consumers (prefixes + both verification set-attaches) would
+    # otherwise recompute the shingle pipeline three times; the table is
+    # one row per doc — linear, spill-safe, the thing you'd persist at
+    # any scale
+    ordered = ordered.persist()
     prefix_len = (F.col("set_size")
                   - F.ceil(F.col("set_size") * F.lit(float(threshold))).cast("int")
                   + 1)
@@ -387,7 +392,9 @@ def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
     with exact Jaccard (so precision is 1.0; recall is the LSH S-curve
     at (bands, rows)). Deterministic end to end (seeded xxhash64).
     """
-    arr = shingle_array(df, id_col, text_col, n)
+    # signature branch + two verification set-attaches reuse the
+    # per-doc shingle arrays — persist (linear, one row per doc)
+    arr = shingle_array(df, id_col, text_col, n).persist()
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes)
     cand = minhash_lsh_pairs(sig, bands, rows)
