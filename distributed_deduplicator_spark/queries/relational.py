@@ -514,3 +514,28 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (l.groupBy("l_returnflag")
              .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
                   F.count_distinct("l_partkey").alias("exact_parts")))
+
+
+_SQL_SURFACE = """
+WITH big_spenders AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+  HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1500000)
+SELECT c.c_custkey, c.c_name, b.spend
+FROM customer c
+JOIN big_spenders b ON b.o_custkey = c.c_custkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+  AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_regionkey <= 2)
+"""
+
+@query("sql_cte_subqueries", oracle=_SQL_SURFACE)
+def q_sql_cte_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry surface: CTE + HAVING + correlated EXISTS (planned
+    as a left-semi join) + IN subquery, executed verbatim via
+    spark.sql over catalog-registered views — identical text runs on
+    DuckDB as the oracle (ANSI core)."""
+    from distributed_deduplicator_spark.sources import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)

@@ -1,3 +1,6 @@
+from distributed_deduplicator_spark.streaming.guarded_sink import (
+    run_guarded_stream_ledger,
+)
 from distributed_deduplicator_spark.streaming.dedup_stream import (
     events_stream,
     stream_dedup_within_watermark,
@@ -14,4 +17,5 @@ __all__ = [
     "stream_session_windows",
     "stream_sliding_counts",
     "run_stream_to_df",
+    "run_guarded_stream_ledger",
 ]

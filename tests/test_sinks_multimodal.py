@@ -101,3 +101,32 @@ def test_feature_neardup_finds_cloned_payloads(spark, sf_dir):
     clone_pairs = {(r.id_a, r.id_b) for r in pairs if r.id_b >= 100000}
     assert {(i, i + 100000) for i in range(10)} <= clone_pairs
     assert all(r.cosine >= 0.999 for r in pairs)
+
+
+def test_streaming_guarded_ledger(spark, sf_dir):
+    """R10/R11 streaming twin: winners flow through foreachBatch, block
+    failures become FAILED ledger rows, stream survives."""
+    from distributed_deduplicator_spark import streaming as ST
+
+    winners = ST.stream_dedup_within_watermark(spark, sf_dir, ttl="1 day")
+
+    def block(row):
+        if row["value"] is not None and row["value"] < 0:
+            raise ValueError("negative value")
+        return f"{row['user_id']}:{row['event_type']}"
+
+    ledger = ST.run_guarded_stream_ledger(winners, spark, block)
+    rows = ledger.collect()
+    assert rows
+    # one ledger row per winner; key set matches the streaming dedup
+    n_winners = ST.run_stream_to_df(
+        ST.stream_dedup_within_watermark(spark, sf_dir, ttl="1 day"),
+        spark).count()
+    assert len(rows) == n_winners
+    by_verdict = {r.verdict for r in rows}
+    assert by_verdict <= {"SUCCESS", "FAILED"}
+    for r in rows:
+        if r.verdict == "FAILED":
+            assert r.error and r.result is None and r.value < 0
+        else:
+            assert r.result == f"{r.user_id}:{r.event_type}"
