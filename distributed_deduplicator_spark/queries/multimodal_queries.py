@@ -24,7 +24,7 @@ _MEDIA_TYPE_SQL = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
 @query("multimodal_stats", oracle=f"""
 SELECT {_MEDIA_TYPE_SQL} AS media_type,
        count(*) AS n_items,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        min(octet_length(encode(text))) AS min_bytes,
        max(octet_length(encode(text))) AS max_bytes
 FROM documents

@@ -6,6 +6,15 @@ pushdown/pruning/join selection; AQE handles runtime re-planning.
 Float discipline per queries/__init__ docstring: sums go through
 DECIMAL casts so both engines aggregate exactly; averages divide an
 exact decimal sum (as double) by a count.
+
+Terminal-type discipline (driver hash gate): every numeric output
+column is DOUBLE or BIGINT on BOTH engines. DuckDB's pandas conversion
+turns DECIMAL sums into float64 and integer sums (HUGEINT) into
+float64, while Spark keeps Decimal objects / int64 — value-equal
+results then hash-mismatch. So: aggregate exactly over DECIMAL (or
+native ints), then CAST the *result* to DOUBLE (decimal sums) or
+BIGINT (integer sums) on both sides. One rounding at the boundary,
+exact arithmetic inside.
 """
 
 from __future__ import annotations
@@ -71,9 +80,9 @@ def q_predicate_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("pricing_summary", oracle="""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -83,15 +92,18 @@ GROUP BY l_returnflag, l_linestatus
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped grouped aggregate: the canonical partial-agg →
     shuffle → final-agg plan (map-side combine = the reference's burst
-    absorber analog, SURVEY.md R13)."""
+    absorber analog, SURVEY.md R13). Sums are exact over decimal, then
+    cast DOUBLE at the boundary (terminal-type discipline)."""
     l = _t(spark, sf_dir, "lineitem")
     dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
     return (l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
              .groupBy("l_returnflag", "l_linestatus")
-             .agg(F.sum(dec("l_quantity", 2)).alias("sum_qty"),
-                  F.sum(dec("l_extendedprice", 2)).alias("sum_base_price"),
+             .agg(F.sum(dec("l_quantity", 2)).cast("double").alias("sum_qty"),
+                  F.sum(dec("l_extendedprice", 2)).cast("double")
+                  .alias("sum_base_price"),
                   F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                        .cast("decimal(18,4)")).alias("sum_disc_price"),
+                        .cast("decimal(18,4)")).cast("double")
+                  .alias("sum_disc_price"),
                   (F.sum(dec("l_quantity", 2)).cast("double") / F.count("*"))
                   .alias("avg_qty"),
                   F.count("*").alias("count_order")))
@@ -117,7 +129,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_global", oracle="""
 SELECT count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
        min(o_orderdate) AS first_order,
        max(o_orderdate) AS last_order
 FROM orders
@@ -128,7 +140,8 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.agg(F.count("*").alias("n_orders"),
                  F.count_distinct("o_custkey").alias("n_customers"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_revenue"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_revenue"),
                  F.min("o_orderdate").alias("first_order"),
                  F.max("o_orderdate").alias("last_order"))
 
@@ -139,7 +152,8 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("join_star_revenue", oracle="""
 SELECT n_name, r_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -164,13 +178,14 @@ def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
     return (joined.groupBy("n_name", "r_name")
             .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                       .cast("decimal(18,4)")).alias("revenue"),
+                       .cast("decimal(18,4)")).cast("double").alias("revenue"),
                  F.count("*").alias("n_items")))
 
 
 @query("join_left_order_counts", oracle="""
 SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-       coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS spend
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                0.0) AS spend
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """)
@@ -181,8 +196,8 @@ def q_join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.join(o, c.c_custkey == o.o_custkey, "left")
              .groupBy("c_custkey", "c_name")
              .agg(F.count("o_orderkey").alias("n_orders"),
-                  F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
-                             F.lit(0).cast("decimal(28,2)")).alias("spend")))
+                  F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                             .cast("double"), F.lit(0.0)).alias("spend")))
 
 
 @query("join_semi", oracle="""
@@ -216,7 +231,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("join_dim_broadcast", oracle="""
 SELECT n_name, count(*) AS n_customers,
-       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_balance
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """)
@@ -227,7 +242,8 @@ def q_join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (join_dim(c, n, on=c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
             .agg(F.count("*").alias("n_customers"),
-                 F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_balance")))
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("total_balance")))
 
 
 # ---------------------------------------------------------------------------
@@ -273,9 +289,9 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("window_running_sum", oracle="""
 SELECT user_id, ts, event_id,
-       sum(CAST(value AS DECIMAL(18,2)))
+       CAST(sum(CAST(value AS DECIMAL(18,2)))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS running_value
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
 FROM events
 """)
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,7 +301,8 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return ev.select(
         "user_id", "ts", "event_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"))
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("running_value"))
 
 
 @query("window_rank_dense", oracle="""
@@ -397,7 +414,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("rollup_orders", oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        GROUPING(o_orderstatus, o_orderpriority) AS gid
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -410,14 +427,14 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.rollup("o_orderstatus", "o_orderpriority")
              .agg(F.count("*").alias("n_orders"),
                   F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                   .alias("sum_price"),
+                   .cast("double").alias("sum_price"),
                   F.grouping_id().alias("gid")))
 
 
 @query("cube_orders", oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        GROUPING(o_orderstatus, o_orderpriority) AS gid
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -429,7 +446,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.cube("o_orderstatus", "o_orderpriority")
              .agg(F.count("*").alias("n_orders"),
                   F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                   .alias("sum_price"),
+                   .cast("double").alias("sum_price"),
                   F.grouping_id().alias("gid")))
 
 
@@ -483,7 +500,8 @@ SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
          AS n_distinct_k,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events GROUP BY event_type
@@ -521,7 +539,7 @@ WITH big_spenders AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
   FROM orders GROUP BY o_custkey
   HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1500000)
-SELECT c.c_custkey, c.c_name, b.spend
+SELECT c.c_custkey, c.c_name, CAST(b.spend AS DOUBLE) AS spend
 FROM customer c
 JOIN big_spenders b ON b.o_custkey = c.c_custkey
 WHERE EXISTS (SELECT 1 FROM orders o

@@ -28,8 +28,8 @@ WITH b AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT event_id, user_id, ts,
-       sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS session_seq
+       CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
 FROM b
 """)
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,8 +52,9 @@ WITH b AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, ts,
-         sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
   FROM b)
 SELECT user_id, session_seq, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,

@@ -43,14 +43,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_lang_profile", oracle=r"""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(length(text)) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
        CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars,
        min(doc_id) AS min_doc_id
 FROM documents
 GROUP BY lang, source
 """)
 def q_text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus profile by (lang, source) — integer sums, exact."""
+    """Corpus profile by (lang, source) — integer sums, exact. Oracle
+    casts the sum to BIGINT (DuckDB sums integers to HUGEINT, which its
+    pandas conversion floats — the driver-hash hazard)."""
     d = load_table(spark, sf_dir, "documents")
     return (d.groupBy("lang", "source")
             .agg(F.count("*").alias("n_docs"),

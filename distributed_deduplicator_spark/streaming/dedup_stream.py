@@ -87,7 +87,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str,
     ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
     return (ev.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
               .agg(F.count("*").alias("n_events"),
-                   F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"))
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                   .cast("double").alias("total_value"))
               .select(F.col("w.start").alias("window_start"),
                       "event_type", "n_events", "total_value"))
 
