@@ -16,6 +16,8 @@ import time
 
 from distributed_deduplicator_spark import get_session
 from distributed_deduplicator_spark import queries as Q
+from distributed_deduplicator_spark.operators.similarity import (
+    release_persisted)
 
 HEADLINE = [
     "dedup_first_wins",
@@ -55,6 +57,7 @@ def main() -> None:
     for name in HEADLINE:
         Q.QUERIES[name](spark, warm_dir).write.format("noop") \
             .mode("overwrite").save()
+    release_persisted()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -62,6 +65,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop operator-persisted subtrees so cached blocks never
+        # accumulate across queries (and never subsidize a later one)
+        release_persisted()
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

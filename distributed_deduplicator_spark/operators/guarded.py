@@ -50,6 +50,14 @@ def guarded_process(df: DataFrame,
     The reference throws DuplicateException at losers and rethrows
     user errors after compensating (DeduplicationProvider.kt:93-114);
     here both outcomes are verdict rows — same audit content.
+
+    Only winner rows enter the Python stage: at real dedup ratios
+    losers vastly outnumber winners and their outcome is already
+    decided by the arbitration, so shipping them through Arrow would be
+    pure serialization tax (the in-process analog of the reference's
+    burst absorber running the loader once per key while concurrent
+    callers wait, CachedDuplicateBurstAbsorberTest.kt:14-24). Losers
+    are unioned back JVM-side with null result/error.
     """
     arbitrated = dedup_first_wins(df, keys, order_by)
     out_schema = T.StructType(
@@ -59,13 +67,12 @@ def guarded_process(df: DataFrame,
     in_cols = [f.name for f in arbitrated.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # every row here is a winner (verdict == SUCCESS): run the
+        # block per row — per-row user logic is the operator's contract
+        # (reference R10)
         for pdf in batches:
             results, errors, verdicts = [], [], []
             for row in pdf.to_dict("records"):
-                if row["verdict"] != SUCCESS:
-                    results.append(None); errors.append(None)
-                    verdicts.append(row["verdict"])
-                    continue
                 try:
                     results.append(block(row))
                     errors.append(None)
@@ -80,4 +87,8 @@ def guarded_process(df: DataFrame,
             pdf["error"] = errors
             yield pdf[in_cols + ["result", "error"]]
 
-    return arbitrated.mapInPandas(run, schema=out_schema)
+    winners = arbitrated.where(F.col("verdict") == SUCCESS)
+    losers = (arbitrated.where(F.col("verdict") != SUCCESS)
+              .withColumn("result", F.lit(None).cast(result_type))
+              .withColumn("error", F.lit(None).cast(T.StringType())))
+    return winners.mapInPandas(run, schema=out_schema).unionByName(losers)

@@ -58,7 +58,20 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
 
     ``big_row_salt`` defaults to a deterministic per-row hash over all
     of the big side's columns (uniform, reproducible — never rand()).
+
+    Only join types that never emit unmatched SMALL-side rows are
+    supported: the small side is replicated once per salt, so a
+    right/full outer join would emit each unmatched small row
+    ``n_salt`` times.
     """
+    supported = {"inner", "left", "leftouter", "left_outer",
+                 "left_semi", "leftsemi", "left_anti", "leftanti",
+                 "semi", "anti", "cross"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side "
+            f"is replicated {n_salt}× so unmatched small rows would be "
+            f"duplicated; supported: inner/left/semi/anti")
     salt = (big_row_salt if big_row_salt is not None
             else F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                         F.lit(n_salt)))

@@ -30,6 +30,35 @@ from distributed_deduplicator_spark.sources.fixtures import fanout
 
 
 # ---------------------------------------------------------------------------
+# Persist tracking
+# ---------------------------------------------------------------------------
+# Some pipelines persist a linear per-doc subtree consumed by several
+# downstream branches of ONE final action. The operator cannot unpersist
+# before returning (the plan has not executed yet), so persisted handles
+# are tracked here and released by the caller after its action completes
+# (bench.py and the test suite do; a long-lived session embedding these
+# operators should call release_persisted() at checkpoint boundaries).
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every DataFrame persisted by operators in this module
+    since the last release; returns how many were released."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
+
+# ---------------------------------------------------------------------------
 # Shingling
 # ---------------------------------------------------------------------------
 
@@ -135,8 +164,8 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
     # three consumers (prefixes + both verification set-attaches) would
     # otherwise recompute the shingle pipeline three times; the table is
     # one row per doc — linear, spill-safe, the thing you'd persist at
-    # any scale
-    ordered = ordered.persist()
+    # any scale. Released by the caller via release_persisted().
+    ordered = _tracked_persist(ordered)
     prefix_len = (F.col("set_size")
                   - F.ceil(F.col("set_size") * F.lit(float(threshold))).cast("int")
                   + 1)
@@ -235,7 +264,8 @@ def ivf_centroids(unit: DataFrame, nlist: int, dim: int,
 
 def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
                  nprobe: int = 4, id_col: str = "vec_id",
-                 vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+                 vec_col: str = "embedding", dim: int = 64,
+                 n: int | None = None) -> DataFrame:
     """Approximate all-pairs cosine top-k via an IVF-flat index — the
     partition-pruning alternative to random-hyperplane LSH
     (:func:`ann_lsh_topk`): vectors live in one centroid list; each
@@ -244,11 +274,18 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
 
     ``nlist=None`` → ≈√n lists (the classic IVF sizing: both the
     assignment scan (n·nlist) and the probe work (n·nprobe·n/nlist)
-    grow as n^1.5, balanced). All deterministic — hash-seeded
-    centroids, one sample-based Lloyd step, fixed tie-breaks.
+    grow as n^1.5, balanced), with ``n`` the corpus row count from
+    catalog/file statistics. Sizing an index from a stat is planning
+    business, so callers pass ``n``; the ``emb.count()`` fallback is a
+    full scan + synchronous driver action BEFORE the query even builds
+    — never acceptable at scale (the fixture loaders read it from
+    parquet footers for free: sources.table_row_count). All
+    deterministic — hash-seeded centroids, one sample-based Lloyd
+    step, fixed tie-breaks.
     """
     if nlist is None:
-        n = emb.count()
+        if n is None:
+            n = emb.count()  # documented fallback; pass n at any scale
         nlist = max(4, int(math.sqrt(max(n, 4))))
     u = unit_vectors(emb, id_col, vec_col)
     cents = ivf_centroids(u, nlist, dim)
@@ -358,14 +395,25 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+def minhash_lsh_pairs(sig: DataFrame, bands: int = 16, rows: int = 4,
+                      num_hashes: int | None = None) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 band.
 
     Band b = hash of sig[b*rows .. (b+1)*rows); join key is
     (band_index, band_hash) so each bucket's pairs are generated by a
     per-bucket self-join — the LSH trick that keeps pair generation
     linear-ish in corpus size instead of O(n²).
+
+    Pass ``num_hashes`` (the signature length) when known: indexes past
+    the signature end evaluate to null, which makes those bands hash to
+    a constant and silently bucket EVERY document together — candidate
+    generation degrades toward O(n²) with only the verify step saving
+    precision.
     """
+    if num_hashes is not None and bands * rows > num_hashes:
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds signature length "
+            f"{num_hashes}")
     bands_col = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
@@ -392,12 +440,18 @@ def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
     with exact Jaccard (so precision is 1.0; recall is the LSH S-curve
     at (bands, rows)). Deterministic end to end (seeded xxhash64).
     """
+    if bands * rows > num_hashes:
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds num_hashes = "
+            f"{num_hashes}: out-of-range signature indexes would null "
+            "out and hash every document into one constant bucket")
     # signature branch + two verification set-attaches reuse the
-    # per-doc shingle arrays — persist (linear, one row per doc)
-    arr = shingle_array(df, id_col, text_col, n).persist()
+    # per-doc shingle arrays — persist (linear, one row per doc);
+    # released by the caller via release_persisted()
+    arr = _tracked_persist(shingle_array(df, id_col, text_col, n))
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes)
-    cand = minhash_lsh_pairs(sig, bands, rows)
+    cand = minhash_lsh_pairs(sig, bands, rows, num_hashes=num_hashes)
 
     # verify with exact intersection on the full sets (array_intersect
     # — no second explode-join)
@@ -416,6 +470,56 @@ def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
     return (verified.withColumn("jaccard", jac)
                     .where(F.col("jaccard") >= threshold)
                     .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (dedup clusters)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 12) -> DataFrame:
+    """Cluster ids connected through a pair list: (id, cluster_id) with
+    cluster_id = min id reachable from id.
+
+    Near-dup pair lists are the OUTPUT of MinHash/SimHash joins; what a
+    dedup pipeline acts on is the transitive closure — keep one doc per
+    *cluster*, not per pair. Iterative min-label propagation: each
+    round, every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds (near-dup clusters are
+    small and dense — a handful of rounds in practice; the alternating
+    star-contraction family from the MapReduce-connectivity literature
+    drops this to O(log n) if ever needed).
+
+    Driver-side loop with one action per round (the standard Spark
+    shape for iterative graph algorithms — bounded rounds, each round
+    one shuffle); terminates early when a round changes nothing.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+                  .where(F.col("src") != F.col("dst")))
+    # undirected: propagate both ways
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = _tracked_persist(sym)
+    labels = (sym.select(F.col("src").alias("id"))
+                 .distinct()
+                 .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        labels = _tracked_persist(labels)
+        neighbor_min = (sym.join(labels, sym["dst"] == labels["id"])
+                           .groupBy("src")
+                           .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["id"] == neighbor_min["src"], "left")
+                      .select(labels["id"],
+                              F.least("label", "nmin").alias("label")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -602,7 +706,7 @@ def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
 def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
                  num_planes: int | None = None, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64,
-                 target_bucket: int = 64) -> DataFrame:
+                 target_bucket: int = 64, n: int | None = None) -> DataFrame:
     """Approximate all-pairs top-k: cosine top-k over LSH-collided pairs.
 
     The scale path vs brute force: candidate generation is per-(table,
@@ -617,13 +721,16 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
     ceil(log2(n / target_bucket)), keeping expected bucket occupancy
     ≈ target_bucket so per-table join work stays ~n·target_bucket at
     any scale (the knob that keeps this sub-quadratic at 100 TB).
-    More tables buy recall linearly in compute; on corpora where
-    neighbors are genuinely close (real embeddings), smaller
+    ``n`` comes from catalog/file statistics (planning business — see
+    :func:`ann_ivf_topk` on why the count() fallback must not run at
+    scale). More tables buy recall linearly in compute; on corpora
+    where neighbors are genuinely close (real embeddings), smaller
     target_bucket is safe. The fixtures are near-uniform random
     (top-5 cosine ≈ 0.32) — the hardest case for LSH.
     """
     if num_planes is None:
-        n = emb.count()  # one cheap count to size the index
+        if n is None:
+            n = emb.count()  # documented fallback; pass n at any scale
         num_planes = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
     u = unit_vectors(emb, id_col, vec_col)
     b = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col, dim,

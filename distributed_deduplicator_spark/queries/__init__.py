@@ -14,7 +14,15 @@ Cross-engine float discipline (so the driver's value-hash matches):
   same IEEE division on identical inputs is bit-identical in both
   engines;
 - per-row double arithmetic (same inputs, same ops) is deterministic
-  and safe.
+  and safe; grouped stats over per-row doubles must be
+  order-independent (min/max/count/percentile — never a bare mean).
+
+Terminal-type discipline (round-2 lesson): every numeric OUTPUT column
+is DOUBLE or BIGINT on both engines. DuckDB's pandas conversion floats
+DECIMAL and HUGEINT aggregates while Spark keeps Decimal/int64 — a
+value-equal result can still hash-mismatch on type. Aggregate exactly
+over DECIMAL/ints inside, CAST the result at the boundary; the local
+gate (tests/oracle.py) bans Decimal terminals outright.
 """
 
 from distributed_deduplicator_spark.queries.registry import (  # noqa: F401

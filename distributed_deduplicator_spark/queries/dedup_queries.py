@@ -134,6 +134,45 @@ def q_dedup_arbitrate_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
                               keys=["key"], order_by=["ts", "attempt_id"])
 
 
+# Incremental arbitration: today's batch vs the all-time ledger. The
+# cutoff splits the events fixture (spans 2024-01) into "already
+# ingested" and "new".
+_INCR_CUTOFF = "2024-01-16 00:00:00"
+
+@query("dedup_incremental", oracle=f"""
+WITH batch AS (SELECT event_id, user_id, event_type, ts FROM events
+               WHERE ts >= TIMESTAMP '{_INCR_CUTOFF}'),
+ledger_keys AS (SELECT DISTINCT user_id, event_type FROM events
+                WHERE ts < TIMESTAMP '{_INCR_CUTOFF}'),
+arb AS (
+  SELECT b.event_id, b.user_id, b.event_type, b.ts,
+         (l.user_id IS NOT NULL) AS blocked,
+         row_number() OVER (PARTITION BY b.user_id, b.event_type
+                            ORDER BY b.ts, b.event_id) AS rn
+  FROM batch b LEFT JOIN ledger_keys l
+    ON b.user_id = l.user_id AND b.event_type = l.event_type)
+SELECT user_id, event_type, event_id, ts,
+       CASE WHEN blocked THEN 'DUPLICATE'
+            WHEN rn = 1 THEN 'SUCCESS'
+            ELSE 'DUPLICATE' END AS verdict
+FROM arb
+""")
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrate a new ingest batch against the existing ledger: keys
+    already claimed are DUPLICATE outright (the reference's read-back
+    short-circuit, DeduplicationProvider.kt:54-66); fresh keys
+    arbitrate first-wins within the batch. Ledger reduces to distinct
+    keys before the join — ids only through the shuffle."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts")
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+    batch = ev.where(F.col("ts") >= cutoff)
+    ledger = ev.where(F.col("ts") < cutoff)
+    out = D.dedup_incremental(batch, ledger, ["user_id", "event_type"],
+                              ["ts", "event_id"])
+    return out.select("user_id", "event_type", "event_id", "ts", "verdict")
+
+
 # TTL-horizon dedup (R12): accept a row only if >= ttl after the last
 # *accepted* row of its key — a data-dependent recurrence. The oracle
 # expresses it with a recursive CTE walking each key's rows in order.

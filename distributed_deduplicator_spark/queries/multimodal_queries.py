@@ -45,13 +45,16 @@ SELECT doc_id AS media_id,
 FROM documents
 """)
 def q_multimodal_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched extraction over binary payloads (mapInPandas),
-    checking the deterministic parts (byte count + sha256) against the
-    oracle — proves the batch plumbing end to end."""
+    """Content identity for binary payloads, pure-JVM: sha2 + length
+    run in whole-stage codegen — hashing never needs Python (the Arrow
+    plumbing is proven by multimodal_features, which carries the real
+    extractor)."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.media_from_documents(docs)
-    feats = MM.extract_features(media)
-    return feats.select("media_id", "media_type", "n_bytes", "content_sha")
+    return media.select(
+        "media_id", "media_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("content_sha"))
 
 
 @query("multimodal_features")  # rows-only: fake-extractor float arrays

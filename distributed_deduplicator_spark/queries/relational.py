@@ -534,6 +534,97 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count_distinct("l_partkey").alias("exact_parts")))
 
 
+@query("filtered_agg_orders", oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS finished_revenue,
+       count(CASE WHEN year(o_orderdate) >= 2000 THEN 1 END) AS n_recent
+FROM orders
+GROUP BY o_orderpriority
+""")
+def q_filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause semantics): several
+    differently-predicated aggregates in ONE scan + ONE shuffle —
+    the pattern that replaces N self-joined subqueries."""
+    o = _t(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    return (o.groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n_orders"),
+                  F.count(F.when(is_f, 1)).alias("n_finished"),
+                  F.sum(F.when(is_f, F.col("o_totalprice")
+                               .cast("decimal(18,2)")))
+                  .cast("double").alias("finished_revenue"),
+                  F.count(F.when(F.year("o_orderdate") >= 2000, 1))
+                  .alias("n_recent")))
+
+
+_GROUPING_SETS_SQL = """
+WITH o AS (SELECT o_orderstatus, year(o_orderdate) AS o_year,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders)
+SELECT o_orderstatus, o_year,
+       count(*) AS n_orders,
+       CAST(sum(price) AS DOUBLE) AS sum_price
+FROM o
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_year), ())
+"""
+
+@query("grouping_sets_orders", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube compile
+    to): three aggregation levels in one Expand pass, executed as the
+    SAME SQL text on both engines."""
+    from distributed_deduplicator_spark.sources import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query("window_first_last", oracle="""
+SELECT user_id, ts, event_id,
+       first_value(event_id) OVER w AS first_event,
+       last_value(event_id)  OVER w AS last_event,
+       nth_value(event_id, 2) OVER w AS second_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over a full-partition frame — the anchor
+    functions of per-entity timeline analysis."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return ev.select(
+        "user_id", "ts", "event_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"))
+
+
+@query("topk_frequent_event_types", oracle="""
+WITH c AS (SELECT user_id, event_type, count(*) AS n_events
+           FROM events GROUP BY 1, 2)
+SELECT user_id, event_type, n_events FROM (
+  SELECT user_id, event_type, n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n_events DESC, event_type) AS rn
+  FROM c) WHERE rn = 1
+""")
+def q_topk_frequent_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per entity (most frequent event_type per user):
+    count-then-rank — both shuffles land on user_id-prefixed keys, so
+    the window reuses the aggregation's partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+                .agg(F.count("*").alias("n_events")))
+    return topk_per_group(
+        counts, keys=["user_id"],
+        order_by=[F.col("n_events").desc(), F.col("event_type")], k=1)
+
+
 _SQL_SURFACE = """
 WITH big_spenders AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend

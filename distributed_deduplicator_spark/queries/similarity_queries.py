@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from distributed_deduplicator_spark.operators import similarity as S
 from distributed_deduplicator_spark.queries.registry import query
 from distributed_deduplicator_spark.sources import load_table
+from distributed_deduplicator_spark.sources.fixtures import table_row_count
 
 # DuckDB twin of functions.text.normalize + tokens
 _NORM_SQL = (r"string_split_regex(trim(regexp_replace(regexp_replace("
@@ -98,13 +99,62 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 6).alias("cosine_r"))
 
 
+@query("embedding_norm_stats", oracle="""
+WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+n AS (SELECT vec_id, label,
+             sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+               AS nrm
+      FROM d)
+SELECT label, count(*) AS n_vecs,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       round(quantile_cont(nrm, 0.5), 6) AS p50_norm
+FROM n GROUP BY label
+""")
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile (the sanity pass before any
+    similarity work — catches unnormalized or degenerate embeddings).
+    The norm is a per-row array fold (fixed evaluation order, so
+    bit-identical across engines); the grouped stats are min/max/
+    median — all order-independent, hence exactly oracle-checkable
+    unlike a floating-point mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(ed, F.lit(0.0), lambda a, v: a + v * v))
+    n = emb.select("vec_id", "label", nrm.alias("nrm"))
+    return (n.groupBy("label")
+             .agg(F.count("*").alias("n_vecs"),
+                  F.round(F.min("nrm"), 6).alias("min_norm"),
+                  F.round(F.max("nrm"), 6).alias("max_norm"),
+                  F.round(F.expr("percentile(nrm, 0.5)"), 6)
+                  .alias("p50_norm")))
+
+
+@query("near_dup_clusters")  # rows-only: iterative — not SQL-expressible
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of MinHash near-dup pairs → dedup clusters
+    (doc_id, cluster_id = min reachable id). What a pipeline keeps is
+    one doc per CLUSTER, not per pair: A~B and B~C must collapse to one
+    survivor even when A~C was never emitted. Iterative min-label
+    propagation, O(diameter) rounds; exact-match vs a union-find
+    reference in tests/test_similarity.py."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = S.minhash_near_dup(d, "doc_id", "text", n=_NGRAM,
+                               num_hashes=64, bands=16, rows=4,
+                               threshold=_JACCARD_THRESHOLD)
+    return S.connected_components(pairs)
+
+
 @query("ann_lsh_topk")  # rows-only: approximate by construction
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors approximate top-5 via multi-table random-hyperplane
     LSH — the 100 TB path (per-bucket joins, Σ|bucket|² ≪ n²). Recall
-    vs brute force asserted in tests/test_similarity.py."""
+    vs brute force asserted in tests/test_similarity.py. Plane count
+    auto-sized from parquet-footer row stats — no job at build time."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_lsh_topk(emb, k=_TOPK, num_tables=8)  # planes auto-sized
+    return S.ann_lsh_topk(emb, k=_TOPK, num_tables=8,
+                          n=table_row_count(sf_dir, "embeddings"))
 
 
 @query("ann_ivf_topk")  # rows-only: approximate by construction
@@ -112,6 +162,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors approximate top-5 via an IVF-flat index (√n lists,
     probe 4) — the partition-pruning ANN path, complementary to the
     hyperplane-LSH one. Recall vs brute force asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. nlist sized from parquet-footer row
+    stats — no job at build time."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_ivf_topk(emb, k=_TOPK, nprobe=4)
+    return S.ann_ivf_topk(emb, k=_TOPK, nprobe=4,
+                          n=table_row_count(sf_dir, "embeddings"))

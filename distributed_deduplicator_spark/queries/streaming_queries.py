@@ -66,8 +66,27 @@ def q_stream_ttl_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference usingTtl semantics). Drained through availableNow, the
     output equals the batch recurrence, so it is fully oracle-checked."""
     ev = ST.events_stream(spark, sf_dir)
-    return ST.run_stream_to_df(ttl_dedup_stateful(ev, _TTL_SECONDS),
-                               spark, output_mode="append")
+    # evict_state=False: a registered processing-time timeout would
+    # keep the availableNow drain scheduling batches until the TTL
+    # fires (hours) — state eviction is for continuous deployments
+    return ST.run_stream_to_df(
+        ttl_dedup_stateful(ev, _TTL_SECONDS, evict_state=False),
+        spark, output_mode="append")
+
+
+@query("stream_enrich_counts", oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       c_mktsegment,
+       count(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""")
+def q_stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (events stream × customer dimension) +
+    tumbling counts per market segment, drained via availableNow —
+    deterministic, so fully oracle-checked."""
+    s = ST.stream_enrich_counts(spark, sf_dir)
+    return ST.run_stream_to_df(s, spark, output_mode="complete")
 
 
 _SESSION_GAP_S = 1800

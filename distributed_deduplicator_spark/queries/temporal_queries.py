@@ -70,6 +70,52 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             order_by=["ts", "event_id"])
 
 
+_ATTR_WINDOW_S = 1800  # 30-minute attribution window
+
+
+@query("attribution_window_join", oracle=f"""
+WITH conv AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+base AS (SELECT user_id, ts FROM events WHERE event_type <> 'purchase')
+SELECT c.event_id, c.user_id, c.ts,
+       count(b.ts) AS n_preceding
+FROM conv c LEFT JOIN base b
+  ON b.user_id = c.user_id
+ AND b.ts >= c.ts - INTERVAL {_ATTR_WINDOW_S} SECOND
+ AND b.ts < c.ts
+GROUP BY c.event_id, c.user_id, c.ts
+""")
+def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window range join: per purchase, how many other
+    events the user produced in the preceding 30 minutes. Executed as
+    a bucketed interval join (operators/rangejoin.py) — time quantized
+    to window-sized buckets, equi-join on (user, bucket) + exact
+    residual — never a nested-loop range join."""
+    from distributed_deduplicator_spark.operators.rangejoin import (
+        interval_join_bucketed)
+    ev = load_table(spark, sf_dir, "events")
+    conv = (ev.where(F.col("event_type") == "purchase")
+              .select("event_id", F.col("user_id").alias("conv_user"),
+                      (F.col("ts") - F.expr(
+                          f"INTERVAL {_ATTR_WINDOW_S} SECONDS"))
+                      .alias("win_start"),
+                      F.col("ts").alias("win_end")))
+    base = (ev.where(F.col("event_type") != "purchase")
+              .select("user_id", F.col("ts").alias("base_ts")))
+    hits = interval_join_bucketed(
+        base, conv, point_key="user_id", interval_key="conv_user",
+        ts_col="base_ts", start_col="win_start", end_col="win_end",
+        bucket_seconds=_ATTR_WINDOW_S)
+    counts = (hits.groupBy("event_id")
+                  .agg(F.count("*").alias("n_preceding")))
+    # left join back so zero-attribution purchases keep a row
+    return (conv.join(counts, "event_id", "left")
+                .select("event_id", F.col("conv_user").alias("user_id"),
+                        F.col("win_end").alias("ts"),
+                        F.coalesce("n_preceding", F.lit(0).cast("bigint"))
+                        .alias("n_preceding")))
+
+
 @query("asof_join_orders", oracle="""
 WITH o1 AS (
   SELECT o_custkey, o_orderdate,

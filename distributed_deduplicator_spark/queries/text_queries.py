@@ -144,6 +144,42 @@ def q_text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_first_wins(fp, keys=["fp"], order_by=["doc_id"])
 
 
+_LEV_MAX = 4
+
+@query("fuzzy_name_pairs", oracle=f"""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= {_LEV_MAX}
+WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+""")
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching: part-name pairs within edit distance 4,
+    BLOCKED on (p_brand, ±4 length band) so the expensive levenshtein
+    runs on Σ|block|² candidates, never n² — the fuzzy-join discipline
+    at scale (block on cheap equality, verify with the costly metric;
+    same shape as every LSH pipeline here). levenshtein is JVM-side
+    codegen in Spark and identical to DuckDB's definition."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name")
+    a = p.select(F.col("p_partkey").alias("id_a"),
+                 F.col("p_brand").alias("brand"),
+                 F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"),
+                 F.col("p_brand").alias("brand"),
+                 F.col("p_name").alias("name_b"))
+    cand = a.join(b, on="brand").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= _LEV_MAX))
+    return (cand.withColumn("edit_dist",
+                            F.levenshtein("name_a", "name_b"))
+                .where(F.col("edit_dist") <= _LEV_MAX)
+                .select("id_a", "id_b", "name_a", "name_b", "edit_dist"))
+
+
 @query("text_winnow_fingerprints")  # rows-only: xxhash64 has no DuckDB twin
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram hash, sliding-window minima) document

@@ -27,15 +27,31 @@ TABLES = (
 # microsecond-aligned in the fixtures, so ns→µs conversion is lossless.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# Schema inference reads the parquet footer through a one-task Spark
+# job; with 57 registered queries each re-loading its tables that is
+# dozens of needless driver→executor round trips per session (and the
+# only "work" a query build performs). Cache the raw schema per
+# (sf_dir, table) so every load after the first is pure planning.
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Lazy — no job runs until an action."""
+    """Scan one fixture table. Lazy — no job runs until an action
+    (after the first load of a table, whose footer read caches the
+    schema)."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     # Defensive: the driver may hand us a session built without our
     # defaults; this SQL conf is runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     for c in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer `div`: float /1000 loses precision at epoch-ns scale
@@ -67,6 +83,19 @@ def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if current < target:
         return df.repartition(target)
     return df
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata — an O(footer) read, no
+    Spark job. The local stand-in for catalog statistics (what a real
+    deployment reads from the metastore/Delta log): operators that size
+    an index from the corpus cardinality (ANN nlist / LSH plane count)
+    take it as a parameter so query construction never scans data.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -53,6 +53,26 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
             else r.json(path))
 
 
+def write_bucketed_table(df: DataFrame, name: str,
+                         bucket_by: Sequence[str], n_buckets: int,
+                         sort_by: Sequence[str] | None = None,
+                         mode: str = "overwrite") -> None:
+    """Save as a catalog table hash-bucketed (and optionally sorted)
+    on the join/aggregation keys.
+
+    THE pre-shuffle for repeated big-big joins at scale: two tables
+    bucketed the same way join with zero Exchange — the shuffle was
+    paid once at write time and amortizes over every subsequent query
+    (the storage-layout analog of the reference's per-key Cassandra
+    partitions, which co-locate each key's rows ahead of reads).
+    Verified by plan assertion in tests/test_sinks_multimodal.py.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.format("parquet").saveAsTable(name)
+
+
 def create_table_if_not_exists(spark: SparkSession, name: str,
                                df: DataFrame, path: str) -> None:
     """Lazy table creation (R7, createTableIfNotExist,

@@ -5,6 +5,7 @@ from distributed_deduplicator_spark.streaming.dedup_stream import (
     events_stream,
     stream_dedup_within_watermark,
     stream_windowed_counts,
+    stream_enrich_counts,
     stream_session_windows,
     stream_sliding_counts,
     run_stream_to_df,
@@ -14,6 +15,7 @@ __all__ = [
     "events_stream",
     "stream_dedup_within_watermark",
     "stream_windowed_counts",
+    "stream_enrich_counts",
     "stream_session_windows",
     "stream_sliding_counts",
     "run_stream_to_df",

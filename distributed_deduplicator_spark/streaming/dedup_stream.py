@@ -93,6 +93,25 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str,
                       "event_type", "n_events", "total_value"))
 
 
+def stream_enrich_counts(spark: SparkSession, sf_dir: str,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrichment join + windowed aggregation: the
+    events stream joins the static customer dimension (broadcast — a
+    static side never holds streaming state), then counts per
+    (window, market segment). The canonical streaming-ETL topology:
+    enrich-then-aggregate with bounded state."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    cust = load_table(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    enriched = ev.join(F.broadcast(cust), "user_id")
+    return (enriched.groupBy(F.window("ts", window).alias("w"),
+                             F.col("c_mktsegment"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    "c_mktsegment", "n_events"))
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str,
                            gap: str = "30 minutes",
                            watermark: str = "2 hours") -> DataFrame:

@@ -34,18 +34,34 @@ STATE_SCHEMA = T.StructType([
 ])
 
 
-def ttl_dedup_stateful(events: DataFrame, ttl_seconds: int) -> DataFrame:
+def ttl_dedup_stateful(events: DataFrame, ttl_seconds: int,
+                       evict_state: bool = True) -> DataFrame:
     """Streaming exact TTL dedup on (user_id, event_type).
 
     State = last accepted timestamp (µs) per key. Within a micro-batch
     rows are processed in (ts, event_id) order, so replaying the whole
     fixture through one availableNow batch produces exactly the batch
     operator's output (oracle-checkable).
+
+    ``evict_state=True`` (production default) bounds state to live keys
+    via a processing-time timeout of one TTL: a key idle for a full
+    horizon is re-claimable anyway, so its state row is dropped — the
+    reference's Cassandra row expiry. Pass ``evict_state=False`` for
+    bounded drains (availableNow harness runs): a registered
+    processing-time timeout keeps the query scheduling batches until it
+    fires, defeating run-to-completion termination, and a drained
+    query's state dies with it regardless.
     """
     ttl_us = ttl_seconds * 1_000_000
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # no attempt for this key within the TTL → the horizon has
+            # passed and the key is re-claimable; drop its state (the
+            # reference's Cassandra row expiry)
+            state.remove()
+            return
         (last_us,) = state.get if state.exists else (None,)
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
@@ -62,10 +78,16 @@ def ttl_dedup_stateful(events: DataFrame, ttl_seconds: int) -> DataFrame:
             yield out
         if last_us is not None:
             state.update((last_us,))
+            if evict_state:
+                # bounds state to live keys in a continuous stream
+                state.setTimeoutDuration(ttl_seconds * 1000)
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if evict_state
+               else GroupStateTimeout.NoTimeout)
     return (events.groupBy("user_id", "event_type")
-            .applyInPandasWithState(fn,
-                                    outputStructType=OUT_SCHEMA,
-                                    stateStructType=STATE_SCHEMA,
-                                    outputMode="append",
-                                    timeoutConf=GroupStateTimeout.NoTimeout))
+            .applyInPandasWithState(
+                fn,
+                outputStructType=OUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=timeout))
