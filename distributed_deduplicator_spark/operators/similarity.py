@@ -288,10 +288,15 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
             n = emb.count()  # documented fallback; pass n at any scale
         nlist = max(4, int(math.sqrt(max(n, 4))))
     u = unit_vectors(emb, id_col, vec_col)
-    cents = ivf_centroids(u, nlist, dim)
+    # the centroid table (nlist×dim doubles) and the assignment table
+    # (n×nprobe ids) each feed TWO consumers; without pinning them the
+    # deep centroid DAG (seed sample → Lloyd step → renormalize)
+    # re-evaluates once per consumer. Both are tiny — persist and let
+    # the caller release via release_persisted().
+    cents = _tracked_persist(ivf_centroids(u, nlist, dim))
     # one assignment pass serves both roles: rank 1 = the vector's own
     # list, ranks 1..nprobe = the lists its queries probe
-    assigns = ivf_assign(u, cents, dim, nprobe=nprobe)
+    assigns = _tracked_persist(ivf_assign(u, cents, dim, nprobe=nprobe))
     lists = (assigns.where(F.col("crank") == 1)
                     .select("id", F.col("centroid_id").alias("list_id")))
     probes = assigns.select(F.col("id").alias("query_id"),

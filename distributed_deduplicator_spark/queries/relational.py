@@ -625,6 +625,123 @@ def q_topk_frequent_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("n_events").desc(), F.col("event_type")], k=1)
 
 
+@query("shipping_priority", oracle="""
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""")
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → grouped
+    revenue → global top-10. The segment filter prunes customer BEFORE
+    it broadcasts; the only big shuffle is lineitem⋈orders on
+    orderkey; the final top-10 is TakeOrderedAndProject (per-partition
+    heaps), never a full sort."""
+    c = (_t(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING"))
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") <
+                F.lit("1998-03-15 00:00:00").cast("timestamp")))
+    l = (_t(spark, sf_dir, "lineitem")
+         .where(F.col("l_shipdate") >
+                F.lit("1995-03-15 00:00:00").cast("timestamp")))
+    rev = (F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .cast("decimal(18,4)")).cast("double"))
+    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    agg = (joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+                 .agg(rev.alias("revenue"))
+                 .select("l_orderkey", "revenue", "o_orderdate",
+                         "o_orderpriority"))
+    return topk_global(agg, [F.col("revenue").desc(), F.col("o_orderdate"),
+                             F.col("l_orderkey")], 10)
+
+
+@query("returned_items_by_nation", oracle="""
+SELECT n_name,
+       count(*) AS n_returned_items,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY n_name
+""")
+def q_returned_items_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-lineitem revenue by customer nation —
+    the returnflag filter pushes into the lineitem scan, one fact
+    shuffle, dims broadcast."""
+    l = (_t(spark, sf_dir, "lineitem")
+         .where(F.col("l_returnflag") == "R"))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (joined.groupBy("n_name")
+            .agg(F.count("*").alias("n_returned_items"),
+                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).cast("double")
+                 .alias("lost_revenue")))
+
+
+@query("correlated_above_avg", oracle="""
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+""")
+def q_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above 2× their customer's
+    mean), decorrelated to a window aggregate over the correlation key
+    — one shuffle, zero extra scans (vs the naive plan's subquery per
+    row). The mean appears only inside an inequality predicate, never
+    in the output, so engine-level float-summation-order differences
+    cannot surface in the comparison; emitted columns are exact."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cnt = F.count("*").over(w)
+    tot = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    cust_avg = tot.cast("double") / cnt
+    return (o.withColumn("_avg", cust_avg)
+             .where(F.col("o_totalprice") > 2 * F.col("_avg"))
+             .select("o_orderkey", "o_custkey",
+                     F.col("o_totalprice").cast("double")
+                     .alias("o_totalprice")))
+
+
+@query("price_histogram", oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+         * CAST(50000.0 AS DOUBLE) AS bucket_low,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+""")
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: bucket = floor(x/w) —
+    a single map-side-combinable aggregation (the distribution sketch
+    every profiling pass starts with)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    return (o.select(bucket.alias("bucket"),
+                     (bucket * 50000.0).alias("bucket_low"))
+             .groupBy("bucket", "bucket_low")
+             .agg(F.count("*").alias("n_orders")))
+
+
 _SQL_SURFACE = """
 WITH big_spenders AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend

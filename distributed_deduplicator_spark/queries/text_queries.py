@@ -144,6 +144,56 @@ def q_text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_first_wins(fp, keys=["fp"], order_by=["doc_id"])
 
 
+@query("text_top_bigrams", oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')
+           AS t
+  FROM documents),
+grams AS (
+  SELECT t[i+1] || ' ' || t[i+2] AS bigram
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - 1, 0))) AS i
+        FROM toks)),
+counted AS (SELECT bigram, count(*) AS n FROM grams GROUP BY bigram)
+SELECT bigram, n FROM counted
+ORDER BY n DESC, bigram LIMIT 20
+""")
+def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigram frequencies — the n-gram language-model
+    statistics pass. Bigrams stay as one JVM array transform per doc
+    (no per-gram rows until the explode feeding the count), the count
+    is map-side combinable, and the top-20 is TakeOrderedAndProject."""
+    from distributed_deduplicator_spark.operators.relational import (
+        topk_global)
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(TXT.tokens("text").alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    grams = F.when(F.size(toks) >= 2, grams) \
+             .otherwise(F.array().cast("array<string>"))
+    counted = (base.select(F.explode(grams).alias("bigram"))
+                   .groupBy("bigram").agg(F.count("*").alias("n")))
+    return topk_global(counted, [F.col("n").desc(), F.col("bigram")], 20)
+
+
+@query("text_length_quantiles")  # rows-only: t-digest sketch estimates
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest) of document lengths per language —
+    THE quantile path at 100 TB (fixed-size mergeable sketch vs exact
+    percentile's per-group value materialization). Relative-error gate
+    vs the exact quantile asserted in tests/test_relational_extra.py."""
+    d = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return (d.groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.approx_percentile(ln, F.lit(0.5), F.lit(1000))
+                  .alias("approx_p50"),
+                  F.expr("percentile(length(text), 0.5)").alias("exact_p50")))
+
+
 _LEV_MAX = 4
 
 @query("fuzzy_name_pairs", oracle=f"""

@@ -33,3 +33,11 @@ def test_salted_join_equals_plain_join(spark):
                       for r in salted_join(big, small, "k", how="left",
                                            n_salt=8).collect())
     assert salted_l == plain_l
+
+
+def test_approx_percentile_relative_error(spark, sf_dir):
+    rows = Q.QUERIES["text_length_quantiles"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r.approx_p50 - r.exact_p50) / max(abs(r.exact_p50), 1)
+        assert err <= 0.05, f"{r.lang}: {err:.3f}"
