@@ -58,6 +58,16 @@ def guarded_process(df: DataFrame,
     burst absorber running the loader once per key while concurrent
     callers wait, CachedDuplicateBurstAbsorberTest.kt:14-24). Losers
     are unioned back JVM-side with null result/error.
+
+    Plan-shape note: the two branches evaluate the arbitration window
+    separately (Catalyst inserts a partial WindowGroupLimit below the
+    winners branch's exchange — rank-1 pushdown — which makes the two
+    exchanges non-identical, so ReuseExchange cannot merge them). The
+    asymmetry is the win: the winners branch pre-prunes to ~1 row per
+    key per map partition BEFORE its shuffle, so its exchange ships
+    ~|keys| rows; total cost ≈ one full arbitration pass (the losers
+    branch — what ANY plan pays) + a key-cardinality-bounded side
+    shuffle, not 2×.
     """
     arbitrated = dedup_first_wins(df, keys, order_by)
     out_schema = T.StructType(

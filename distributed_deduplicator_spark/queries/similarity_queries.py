@@ -68,6 +68,29 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.simhash64(d, "doc_id", "text")
 
 
+@query("simhash_near_dup_pairs")  # rows-only: xxhash64 has no DuckDB twin
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs within hamming distance 3 of each other's
+    SimHash: pigeonhole chunk equi-join (any pair within radius r
+    collides on ≥1 of r+1 chunks) + exact bit_count verify — the
+    hamming analog of MinHash banding. Exactness of the pigeonhole
+    candidate generation is property-tested in
+    tests/test_similarity.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.simhash_near_dup(d, "doc_id", "text", max_hamming=3)
+
+
+@query("winnow_near_dup_pairs")  # rows-only: xxhash64 has no DuckDB twin
+def q_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥2 winnowing fingerprints — near-dup by
+    shared-substring evidence (robust to reordering/insertion, unlike
+    whole-document hashes): explode fingerprints → equi-join → count,
+    the same sub-quadratic shape as every bucketed join here."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.winnow_near_dup(d, "doc_id", "text", k=5, window=4,
+                             min_shared=2)
+
+
 _TOPK = 5
 _NQUERIES = 8
 

@@ -89,6 +89,31 @@ def q_stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_to_df(s, spark, output_mode="complete")
 
 
+_ATTR_S = 1800
+
+@query("stream_stream_attribution", oracle=f"""
+SELECT c.event_id AS conv_event_id,
+       c.user_id AS conv_user,
+       c.ts AS conv_ts,
+       b.event_id AS base_event_id,
+       b.ts AS base_ts
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') c
+JOIN (SELECT event_id, user_id, ts FROM events
+      WHERE event_type <> 'purchase') b
+  ON b.user_id = c.user_id
+ AND b.ts >= c.ts - INTERVAL {_ATTR_S} SECOND
+ AND b.ts < c.ts
+""")
+def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases × preceding events of the
+    same user, both sides streaming with watermark-bounded buffer
+    state), drained via availableNow — equals the batch interval join,
+    so fully oracle-checked."""
+    s = ST.stream_stream_attribution(spark, sf_dir, window_s=_ATTR_S)
+    return ST.run_stream_to_df(s, spark, output_mode="append")
+
+
 _SESSION_GAP_S = 1800
 
 @query("stream_session_windows", oracle=f"""

@@ -70,6 +70,46 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             order_by=["ts", "event_id"])
 
 
+@query("timeseries_gapfill", oracle="""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+  FROM b GROUP BY event_type),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS bucket
+  FROM bounds)
+SELECT g.event_type, g.bucket, coalesce(b.n, 0) AS n_events
+FROM grid g LEFT JOIN b
+  ON b.event_type = g.event_type AND b.bucket = g.bucket
+""")
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 15-minute time series per event_type: empty buckets
+    between each type's first and last bucket appear with count 0 —
+    the resample step every monitoring/feature pipeline needs (a bare
+    groupBy silently drops empty intervals). The dense grid GENERATES
+    from per-type bounds (explode of a timestamp sequence) instead of
+    cross-joining a calendar table — no cartesian anywhere, and the
+    grid's row count is bounded by the time span, not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "15 minutes")["start"]
+    b = (ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
+           .agg(F.count("*").alias("n")))
+    bounds = (b.groupBy("event_type")
+                .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi")))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi",
+                             F.expr("INTERVAL 15 MINUTES"))).alias("bucket"))
+    return (grid.join(b, ["event_type", "bucket"], "left")
+                .select("event_type", "bucket",
+                        F.coalesce("n", F.lit(0).cast("bigint"))
+                        .alias("n_events")))
+
+
 _ATTR_WINDOW_S = 1800  # 30-minute attribution window
 
 

@@ -6,6 +6,7 @@ from distributed_deduplicator_spark.streaming.dedup_stream import (
     stream_dedup_within_watermark,
     stream_windowed_counts,
     stream_enrich_counts,
+    stream_stream_attribution,
     stream_session_windows,
     stream_sliding_counts,
     run_stream_to_df,
@@ -16,6 +17,7 @@ __all__ = [
     "stream_dedup_within_watermark",
     "stream_windowed_counts",
     "stream_enrich_counts",
+    "stream_stream_attribution",
     "stream_session_windows",
     "stream_sliding_counts",
     "run_stream_to_df",

@@ -112,6 +112,40 @@ def stream_enrich_counts(spark: SparkSession, sf_dir: str,
                     "c_mktsegment", "n_events"))
 
 
+def stream_stream_attribution(spark: SparkSession, sf_dir: str,
+                              window_s: int = 1800,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same
+    user's preceding non-purchase events within ``window_s`` — the
+    streaming twin of the batch attribution range join.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so each side's buffered state is evicted once
+    the other side's watermark passes the range — bounded state, the
+    textbook stream-stream inner join. Drained with availableNow the
+    result equals the batch interval join (oracle-checkable).
+    """
+    ev = events_stream(spark, sf_dir)
+    conv = (ev.where(F.col("event_type") == "purchase")
+              .select(F.col("event_id").alias("conv_event_id"),
+                      F.col("user_id").alias("conv_user"),
+                      F.col("ts").alias("conv_ts"))
+              .withWatermark("conv_ts", watermark))
+    base = (ev.where(F.col("event_type") != "purchase")
+              .select(F.col("event_id").alias("base_event_id"),
+                      F.col("user_id").alias("base_user"),
+                      F.col("ts").alias("base_ts"))
+              .withWatermark("base_ts", watermark))
+    joined = conv.join(
+        base,
+        (F.col("conv_user") == F.col("base_user"))
+        & (F.col("base_ts") >= F.col("conv_ts")
+           - F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (F.col("base_ts") < F.col("conv_ts")))
+    return joined.select("conv_event_id", "conv_user", "conv_ts",
+                         "base_event_id", "base_ts")
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str,
                            gap: str = "30 minutes",
                            watermark: str = "2 hours") -> DataFrame:

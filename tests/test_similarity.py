@@ -86,3 +86,33 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in ex:
             assert abs(r.cosine - ex[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_simhash_pigeonhole_pairs_exact(spark, docs):
+    """The chunk-collision join must find EXACTLY the pairs within the
+    hamming radius (pigeonhole candidate generation is exhaustive:
+    r+1 chunks, ≤r differing bits → ≥1 untouched chunk)."""
+    sig = {r.id: r.simhash for r in S.simhash64(docs, "doc_id", "text").collect()}
+    ids = sorted(sig)
+    expected = {(a, b, bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1"))
+                for i, a in enumerate(ids) for b in ids[i + 1:]
+                if bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1") <= 3}
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in S.simhash_near_dup(docs, "doc_id", "text",
+                                       max_hamming=3).collect()}
+    assert got == expected
+
+
+def test_winnow_near_dup_matches_fingerprint_sets(spark, docs):
+    fps = {r.id: set(r.fingerprints)
+           for r in S.winnow_fingerprints(docs, "doc_id", "text",
+                                          k=5, window=4).collect()}
+    ids = sorted(fps)
+    expected = {(a, b, len(fps[a] & fps[b]))
+                for i, a in enumerate(ids) for b in ids[i + 1:]
+                if len(fps[a] & fps[b]) >= 2}
+    got = {(r.id_a, r.id_b, r.n_shared)
+           for r in S.winnow_near_dup(docs, "doc_id", "text",
+                                      k=5, window=4,
+                                      min_shared=2).collect()}
+    assert got == expected
