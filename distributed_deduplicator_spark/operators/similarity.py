@@ -13,8 +13,13 @@ Scale design (100 TB):
 - LSH banding turns O(n²) pair generation into per-bucket joins, the
   standard Broder MinHash + banding construction (public literature);
 - frequent-shingle skew (the 'the quick' problem) is the join's skew
-  axis: AQE skew handling plus an optional max-document-frequency
-  shingle cut handle it.
+  axis. The exact-Jaccard path neutralizes it structurally: PPJoin's
+  rarest-first prefix ordering pushes hot shingles to the END of every
+  document's ordering, so they almost never enter a prefix and the hot
+  keys never reach the join. The banded/bucketed paths rely on AQE
+  skew-splitting, plus an explicit ``max_bucket_size`` valve
+  (:func:`minhash_lsh_pairs`) for degenerate buckets — boilerplate
+  clusters whose |bucket|² pair blowup no skew-split can absorb.
 """
 
 from __future__ import annotations
@@ -401,7 +406,8 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
 
 
 def minhash_lsh_pairs(sig: DataFrame, bands: int = 16, rows: int = 4,
-                      num_hashes: int | None = None) -> DataFrame:
+                      num_hashes: int | None = None,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 band.
 
     Band b = hash of sig[b*rows .. (b+1)*rows); join key is
@@ -414,6 +420,15 @@ def minhash_lsh_pairs(sig: DataFrame, bands: int = 16, rows: int = 4,
     a constant and silently bucket EVERY document together — candidate
     generation degrades toward O(n²) with only the verify step saving
     precision.
+
+    ``max_bucket_size`` drops band buckets larger than the cap before
+    the self-join — the safety valve for degenerate buckets (massive
+    boilerplate clusters) whose |bucket|² blowup AQE's skew-split can
+    spread but not shrink. Docs in a dropped bucket usually still pair
+    through their OTHER bands; a cluster identical across all bands is
+    deliberately skipped — at that size it is a boilerplate class to
+    handle by exact fingerprint grouping, not pairwise comparison.
+    Off by default (exact-scope candidate generation).
     """
     if num_hashes is not None and bands * rows > num_hashes:
         raise ValueError(
@@ -427,6 +442,12 @@ def minhash_lsh_pairs(sig: DataFrame, bands: int = 16, rows: int = 4,
     exploded = (sig.select("id", F.explode(bands_col).alias("bb"))
                    .select("id", F.col("bb.band").alias("band"),
                            F.col("bb.bucket").alias("bucket")))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        exploded = (exploded
+                    .withColumn("_bsz", F.count("*").over(w))
+                    .where(F.col("_bsz") <= max_bucket_size)
+                    .drop("_bsz"))
     a, b2 = exploded.alias("a"), exploded.alias("b")
     return (a.join(b2, (F.col("a.band") == F.col("b.band"))
                      & (F.col("a.bucket") == F.col("b.bucket"))
@@ -438,7 +459,8 @@ def minhash_lsh_pairs(sig: DataFrame, bands: int = 16, rows: int = 4,
 def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
                      n: int = 3, num_hashes: int = 64,
                      bands: int = 16, rows: int = 4,
-                     threshold: float = 0.5) -> DataFrame:
+                     threshold: float = 0.5,
+                     max_bucket_size: int | None = None) -> DataFrame:
     """MinHash-LSH near-dup pipeline with exact-Jaccard verification.
 
     shingle → signature → banded candidate pairs → verify candidates
@@ -456,7 +478,8 @@ def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
     arr = _tracked_persist(shingle_array(df, id_col, text_col, n))
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(sh, num_hashes)
-    cand = minhash_lsh_pairs(sig, bands, rows, num_hashes=num_hashes)
+    cand = minhash_lsh_pairs(sig, bands, rows, num_hashes=num_hashes,
+                             max_bucket_size=max_bucket_size)
 
     # verify with exact intersection on the full sets (array_intersect
     # — no second explode-join)

@@ -88,3 +88,71 @@ def test_ttl_jvm_and_arrow_match_model(spark, log, ttl):
                                         order_by=["ts", "attempt_id"],
                                         impl="arrow"))
     assert arrow == model
+
+
+def _model_incremental(batch, ledger_keys):
+    out = {}
+    seen = set()
+    for k, s, a in sorted(batch, key=lambda r: (r[0], r[1], f"a{r[2]:07d}")):
+        if k in ledger_keys:
+            out[(k, s, a)] = "DUPLICATE"
+        elif k in seen:
+            out[(k, s, a)] = "DUPLICATE"
+        else:
+            seen.add(k)
+            out[(k, s, a)] = "SUCCESS"
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(batch=attempts, ledger=attempts)
+def test_incremental_matches_model(spark, batch, ledger):
+    got = _collect(D.dedup_incremental(
+        _df(spark, batch), _df(spark, ledger), ["key"],
+        ["ts", "attempt_id"]))
+    assert got == _model_incremental(batch, {k for k, _, _ in ledger})
+
+
+# interval join: points and intervals over a small key space; compare
+# the bucketed plan against a brute-force python model for several
+# bucket widths around the interval lengths.
+points = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2"]),
+              st.integers(min_value=0, max_value=5000),
+              st.integers(min_value=0, max_value=10**6)),
+    min_size=1, max_size=40, unique=True)
+intervals = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2"]),
+              st.integers(min_value=0, max_value=5000),
+              st.integers(min_value=0, max_value=1200),
+              st.integers(min_value=0, max_value=10**6)),
+    min_size=1, max_size=25, unique=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ps=points, ivs=intervals,
+       bucket=st.sampled_from([7, 60, 600, 3600]))
+def test_interval_join_matches_model(spark, ps, ivs, bucket):
+    from distributed_deduplicator_spark.operators.rangejoin import (
+        interval_join_bucketed)
+    pdf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), i) for k, s, i in ps],
+        ["pk", "pts", "pid"])
+    # end = start + dur (end-exclusive); zero-length intervals match
+    # nothing by construction
+    idf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s),
+          BASE + dt.timedelta(seconds=s + d), i)
+         for k, s, d, i in ivs],
+        ["ik", "istart", "iend", "iid"])
+    got = {(r.pid, r.iid)
+           for r in interval_join_bucketed(
+               pdf, idf, "pk", "ik", "pts", "istart", "iend",
+               bucket_seconds=bucket).collect()}
+    expect = {(pi, ii)
+              for (pk, s, pi) in ps
+              for (ik, istart, d, ii) in ivs
+              if pk == ik and istart <= s < istart + d}
+    assert got == expect

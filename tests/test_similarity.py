@@ -116,3 +116,30 @@ def test_winnow_near_dup_matches_fingerprint_sets(spark, docs):
                                       k=5, window=4,
                                       min_shared=2).collect()}
     assert got == expected
+
+
+def test_minhash_bucket_cap_drops_degenerate_cluster(spark, docs):
+    """A boilerplate cluster (many identical docs → identical
+    signatures → one giant bucket in EVERY band) must vanish under
+    max_bucket_size, while ordinary near-dup pairs survive."""
+    boiler = spark.createDataFrame(
+        [(100000 + i, "common header boilerplate terms repeated "
+                      "across every page of the same template")
+         for i in range(40)],
+        "doc_id long, text string")
+    corpus = docs.select("doc_id", "text").unionByName(boiler)
+    uncapped = S.minhash_near_dup(corpus, "doc_id", "text",
+                                  threshold=THRESH)
+    capped = S.minhash_near_dup(corpus, "doc_id", "text",
+                                threshold=THRESH, max_bucket_size=20)
+    unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    S.release_persisted()
+    boiler_ids = set(range(100000, 100040))
+    boiler_pairs = {(a, b) for a, b in unc
+                    if a in boiler_ids and b in boiler_ids}
+    assert len(boiler_pairs) == 40 * 39 // 2   # uncapped finds all
+    assert not any(a in boiler_ids and b in boiler_ids for a, b in cap)
+    # pairs not involving the degenerate cluster are untouched
+    assert {p for p in unc if p not in boiler_pairs} \
+        == {p for p in cap if not (p[0] in boiler_ids and p[1] in boiler_ids)}
