@@ -1,0 +1,171 @@
+"""Training-data pipeline operators: deterministic splits, benchmark
+decontamination, repetition filtering, per-group caps, stratified
+sampling.
+
+These are the corpus-curation passes a large-scale LLM data pipeline
+runs between raw ingest and training shards (public recipe lineage:
+C4's heuristic filters, Gopher's repetition rules, the standard
+hash-based held-out split, benchmark n-gram decontamination as
+described in open model reports). The reference precedent is its
+content-identity discipline — deterministic ids over content
+(DeduplicationProvider.kt:43-44) — generalized from attempt keys to
+corpus membership decisions.
+
+Scale design (100 TB):
+- every split/sample/cap decision derives from an md5 of the row's own
+  id — deterministic, reproducible across runs and engines, and
+  uniformly distributed, so no repartition or global sort is needed;
+- decontamination joins train docs against the (small) benchmark
+  shingle set with a broadcast — the 100 TB side streams map-side,
+  nothing shuffles but the hits;
+- repetition stats use explode + two-level groupBy (map-side
+  combinable counts keyed by (doc, token)) rather than per-row
+  quadratic array scans — the same rows-not-arrays discipline as the
+  similarity suite;
+- caps and stratified samples are one window over the grouping key:
+  a single hash-partitioned sort per stratum, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_deduplicator_spark.functions import text as TXT
+
+
+def id_hash(id_col: Column | str) -> Column:
+    """Deterministic uniform hash of a row id: md5 of its decimal
+    string form. The basis for every split/sample/cap decision here —
+    reproducible across engines (DuckDB md5 agrees byte-for-byte),
+    runs, and cluster sizes, unlike rand() or monotonically_increasing_id.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(c.cast("string").cast("binary"))
+
+
+def hash_split(df: DataFrame, id_col: str, train_frac: float = 0.9,
+               split_col: str = "split") -> DataFrame:
+    """Deterministic train/test assignment by md5-prefix range.
+
+    The first two hex chars of md5(id) form a uniform bucket in
+    0..255; rows below ``train_frac`` of the range are 'train'. A doc's
+    split never changes when the corpus grows — the property that makes
+    hash splits the standard over random ones (no test-set churn, no
+    contamination when shards are re-run).
+    """
+    cut = int(round(train_frac * 256))
+    cut_hex = format(cut, "02x")
+    split = (F.when(F.substring(id_hash(id_col), 1, 2) < F.lit(cut_hex),
+                    F.lit("train"))
+              .otherwise(F.lit("test")))
+    return df.withColumn(split_col, split)
+
+
+def ngram_decontaminate(docs: DataFrame, bench_ids: DataFrame,
+                        id_col: str, text_col: str,
+                        n: int = 5) -> DataFrame:
+    """Benchmark decontamination: for every non-benchmark doc, count
+    the distinct word n-grams it shares with ANY benchmark doc and how
+    many benchmark docs it hits.
+
+    ``bench_ids`` is a one-column (id) DataFrame naming the held-out /
+    benchmark docs. Returns one row per CONTAMINATED train doc:
+    (id, n_shared_shingles, n_bench_docs) — the pipeline drops or
+    flags these before training.
+
+    Scale: the benchmark set is small by construction (eval suites are
+    thousands of docs, the corpus is billions), so its exploded shingle
+    set broadcasts; the corpus side streams through one map-side hash
+    join and only hits reach the aggregation. Shingle sets are distinct
+    per doc (array_distinct inside shingle_array), making the counts
+    multiplicity-free on both engines.
+    """
+    from distributed_deduplicator_spark.operators.similarity import (
+        shingle_array)
+    bench = bench_ids.select(F.col(bench_ids.columns[0]).alias("bid"))
+    # membership split BEFORE shingling: the benchmark side shingles
+    # only |bench| docs, not the corpus (the join must sit below the
+    # Generate, or a 100 TB corpus gets shingled twice)
+    bench_docs = docs.join(F.broadcast(bench),
+                           docs[id_col] == bench["bid"], "inner") \
+                     .drop("bid")
+    train_docs = docs.join(F.broadcast(bench),
+                           docs[id_col] == bench["bid"], "left_anti")
+    bench_grams = (shingle_array(bench_docs, id_col, text_col, n=n)
+                   .select(F.col("id").alias("bench_id"),
+                           F.explode("shingles").alias("shingle")))
+    train_grams = (shingle_array(train_docs, id_col, text_col, n=n)
+                   .select("id", F.explode("shingles").alias("shingle")))
+    hits = train_grams.join(F.broadcast(bench_grams), "shingle", "inner")
+    return (hits.groupBy("id")
+                .agg(F.countDistinct("shingle").alias("n_shared_shingles"),
+                     F.countDistinct("bench_id").alias("n_bench_docs")))
+
+
+def repetition_stats(docs: DataFrame, id_col: str, text_col: str,
+                     min_distinct_ratio: float = 0.5,
+                     max_top_token_ratio: float = 0.15) -> DataFrame:
+    """Gopher-style repetition profile per document: token count,
+    distinct-token ratio, top-token mass — with a keep flag.
+
+    Repetitive text (boilerplate, keyword stuffing, degenerate
+    generations) shows a low distinct ratio or one token dominating;
+    published pipelines drop such docs before dedup even runs.
+
+    Scale: explode → count by (doc, token) → re-aggregate. Both
+    aggregations are map-side combinable and key on the doc id, so the
+    second groupBy reuses the first shuffle's partitioning (one
+    exchange total). Never a per-row O(tokens²) array scan.
+    """
+    base = docs.select(F.col(id_col).alias("id"),
+                       TXT.tokens(text_col).alias("_toks"))
+    tok = (base.where(F.size("_toks") > 0)
+               .select("id", F.explode("_toks").alias("w")))
+    counts = tok.groupBy("id", "w").agg(F.count("*").alias("n"))
+    agg = (counts.groupBy("id")
+                 .agg(F.sum("n").alias("n_tokens"),
+                      F.count("*").alias("n_distinct"),
+                      F.max("n").alias("top_n")))
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_ratio = F.col("top_n").cast("double") / F.col("n_tokens")
+    return agg.select(
+        "id", "n_tokens", "n_distinct",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+        ((distinct_ratio >= min_distinct_ratio)
+         & (top_ratio <= max_top_token_ratio)).alias("keep"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, id_col: str,
+                  cap: int) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic
+    hash order of the id — the per-domain/per-source cap that stops one
+    crawl host from dominating a training mix.
+
+    One window (hash partition + per-group sort) — the md5 order makes
+    the kept subset a uniform sample of the group, not its head.
+    """
+    w = (Window.partitionBy(group_col)
+               .orderBy(id_hash(id_col), F.col(id_col)))
+    return (df.withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") <= cap))
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
+                      frac: float) -> DataFrame:
+    """EXACT per-stratum fraction: rank rows inside each stratum by
+    id-hash and keep the first ceil(frac·|stratum|).
+
+    Unlike df.sampleBy (Bernoulli — only approximate counts), the kept
+    count per stratum is exact and the selection is deterministic, so
+    a re-run or a different cluster keeps the same rows. One window
+    per stratum; count and rank share the same partitioning.
+    """
+    w_order = (Window.partitionBy(stratum_col)
+                     .orderBy(id_hash(id_col), F.col(id_col)))
+    w_all = Window.partitionBy(stratum_col)
+    return (df.withColumn("rk", F.row_number().over(w_order))
+              .withColumn("n_stratum", F.count("*").over(w_all))
+              .where(F.col("rk")
+                     <= F.ceil(F.lit(frac) * F.col("n_stratum"))))

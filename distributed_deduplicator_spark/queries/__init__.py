@@ -39,3 +39,4 @@ from distributed_deduplicator_spark.queries import similarity_queries  # noqa: F
 from distributed_deduplicator_spark.queries import streaming_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import temporal_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import multimodal_queries  # noqa: F401,E402
+from distributed_deduplicator_spark.queries import pipeline_queries  # noqa: F401,E402

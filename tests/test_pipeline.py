@@ -1,0 +1,81 @@
+"""Semantic tests for the corpus-curation operators
+(operators/pipeline.py): determinism, exactness, and the boundary
+behavior the oracle-parity test can't isolate."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from distributed_deduplicator_spark.operators import pipeline as P
+from distributed_deduplicator_spark.sources import load_table
+
+
+def test_hash_split_stable_under_growth(spark):
+    """A doc's split must not change when the corpus grows — THE
+    property hash splits exist for."""
+    full = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    subset = full.where(F.col("doc_id") < 100)
+    sp_full = {r.doc_id: r.split
+               for r in P.hash_split(full, "doc_id").collect()}
+    sp_sub = {r.doc_id: r.split
+              for r in P.hash_split(subset, "doc_id").collect()}
+    assert all(sp_full[k] == v for k, v in sp_sub.items())
+    # md5 prefix is uniform: 1000 docs at 0.9 should land near 900
+    n_train = sum(1 for v in sp_full.values() if v == "train")
+    assert 850 <= n_train <= 950
+
+
+def test_ngram_decontaminate_detects_shared_gram(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),       # benchmark
+         (2, "zzz alpha beta gamma delta yyy"),       # shares a 4-gram
+         (3, "one two three four five six")],         # clean
+        "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") == 1).select("doc_id")
+    out = {r.id: (r.n_shared_shingles, r.n_bench_docs)
+           for r in P.ngram_decontaminate(docs, bench, "doc_id", "text",
+                                          n=4).collect()}
+    # doc 2 shares exactly one 4-gram ('alpha beta gamma delta') with
+    # exactly one benchmark doc; doc 3 shares none and must be absent
+    assert out == {2: (1, 1)}
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"),
+         (2, "the quick brown fox jumps over lazy dogs now")],
+        "doc_id long, text string")
+    rows = {r.id: r for r in
+            P.repetition_stats(docs, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_distinct) == (5, 2)
+    assert r1.top_token_ratio == 0.8 and not r1.keep
+    r2 = rows[2]
+    assert r2.n_distinct == r2.n_tokens and r2.keep
+
+
+def test_cap_per_group_exact_and_deterministic(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    capped = P.cap_per_group(d, "source", "doc_id", cap=10)
+    per_group = {r.source: r.n for r in
+                 capped.groupBy("source").agg(F.count("*").alias("n"))
+                       .collect()}
+    totals = {r.source: r.n for r in
+              d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in per_group.items():
+        assert n == min(10, totals[src])
+    # deterministic: a second run keeps the same rows
+    again = {(r.doc_id, r.source) for r in
+             P.cap_per_group(d, "source", "doc_id", cap=10).collect()}
+    assert {(r.doc_id, r.source) for r in capped.collect()} == again
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = P.stratified_sample(d, "lang", "doc_id", frac=0.2)
+    totals = {r.lang: r.n for r in
+              d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_total in totals.items():
+        assert got.get(lang, 0) == math.ceil(0.2 * n_total)
