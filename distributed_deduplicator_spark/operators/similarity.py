@@ -646,6 +646,35 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def cosine_neardup_blocked(emb: DataFrame, block_col: str,
+                           threshold: float,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """EXACT cosine near-dup pairs inside equality blocks: all pairs
+    sharing ``block_col`` with round(cosine, 6) ≥ threshold.
+
+    The blocked-exact member of the embedding-dedup family (the same
+    discipline as :func:`fuzzy_name_pairs`' brand blocks): the
+    quadratic verify runs on Σ|block|² candidates via a hash equi-join
+    on the block key, never n². Use the LSH/IVF paths when no natural
+    block key exists. The threshold compares the 6-dp ROUNDED cosine
+    so the keep/drop decision is reproducible across engines (raw
+    fold order is engine-specific only below ~1e-12; 6 dp is the
+    proven cross-engine agreement level).
+    """
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(block_col).alias("block"),
+                   F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(block_col).alias("block"),
+                   F.col(vec_col).alias("vec_b"))
+    pairs = a.join(b, on="block").where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (pairs.withColumn("cosine_r", cos)
+                 .where(F.col("cosine_r") >= threshold)
+                 .select("id_a", "id_b", "block", "cosine_r"))
+
+
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:

@@ -154,6 +154,27 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("p50_norm")))
 
 
+_COS_THRESHOLD = 0.35
+
+@query("embedding_cosine_neardup", oracle=f"""
+WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine_r
+FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {_COS_THRESHOLD}
+""")
+def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on label — the exact
+    member of the embedding-dedup family (LSH/IVF are its approximate
+    scale paths). Hash equi-join on the block key bounds the verify at
+    Σ|block|², never n²; cosine is a JVM fold, no UDF. Threshold
+    compares the 6-dp rounded cosine on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_blocked(emb, "label",
+                                    threshold=_COS_THRESHOLD)
+
+
 @query("near_dup_clusters")  # rows-only: iterative — not SQL-expressible
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs → dedup clusters
