@@ -126,6 +126,54 @@ def media_stats(media: DataFrame) -> DataFrame:
                  F.max(F.col("meta.n_bytes")).alias("max_bytes")))
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("target_w", T.IntegerType(), False),
+    T.StructField("target_h", T.IntegerType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+])
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64,
+                 resizer: Callable[[bytes, int, int], bytes] | None = None
+                 ) -> DataFrame:
+    """Batch resize of image payloads — the normalize-before-train pass
+    (every vision pipeline resizes to a fixed input shape first).
+
+    Real resizing needs PIL (absent here — see :func:`decode_image`);
+    the default resizer deterministically re-derives exactly
+    ``target_w·target_h`` bytes from the payload's sha256 (stable
+    across runs/engines), which keeps the Spark side — Arrow batch
+    transfer in AND out of Python with binary columns both ways, the
+    1:1 row contract, output sizing — fully real and testable. Swap
+    ``resizer`` for a codec-backed one in production.
+    """
+    def default_resizer(payload: bytes, w: int, h: int) -> bytes:
+        n = w * h
+        seed = hashlib.sha256(payload).digest()
+        reps = (n + len(seed) - 1) // len(seed)
+        return (seed * reps)[:n]
+
+    fn = resizer or default_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [fn(p, target_w, target_h) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "target_w": [target_w] * len(pdf),
+                "target_h": [target_h] * len(pdf),
+                "payload": resized,
+                "n_bytes": [len(p) for p in resized],
+            })
+
+    images = media.where(F.col("media_type") == "image")
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("frame_index", T.IntegerType(), False),

@@ -156,6 +156,28 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.octet_length("frame_payload") >= 1).alias("has_bytes"))
 
 
+_RESIZE_W, _RESIZE_H = 64, 64
+
+@query("multimodal_resize", oracle=f"""
+SELECT doc_id AS media_id, 'image' AS media_type,
+       {_RESIZE_W} AS target_w, {_RESIZE_H} AS target_h,
+       CAST({_RESIZE_W * _RESIZE_H} AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id % 3 = 0
+""")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: Arrow-batched binary-in/binary-out
+    mapInPandas normalizing every image payload to a fixed
+    target shape (codec stubbed with a deterministic sha-derived
+    resizer — operators/multimodal.py resize_media). Row identity,
+    target dims and output sizing are oracle-checked; resized bytes
+    (opaque) are determinism-tested in tests/test_sinks_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = MM.resize_media(MM.media_from_documents(docs),
+                              target_w=_RESIZE_W, target_h=_RESIZE_H)
+    return resized.select("media_id", "media_type", "target_w",
+                          "target_h", "n_bytes")
+
+
 @query("multimodal_feature_neardup")  # rows-only: fake-extractor floats
 def q_multimodal_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over extracted media features:

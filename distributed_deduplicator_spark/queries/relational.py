@@ -696,6 +696,59 @@ def q_returned_items_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("lost_revenue")))
 
 
+@query("volume_shipping", oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation-pair predicate filters BOTH dimension paths
+    before they broadcast (supplier and customer shrink to two nations'
+    worth before touching the fact), so the only big work is one
+    lineitem⋈orders shuffle — the two-sided-dim-pruning pattern Q5/Q10
+    don't exercise."""
+    na, nb = "NATION_1", "NATION_2"
+    n = (_t(spark, sf_dir, "nation")
+         .where(F.col("n_name").isin(na, nb))
+         .select("n_nationkey", "n_name"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+               .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+               .where(((F.col("supp_nation") == na)
+                       & (F.col("cust_nation") == nb))
+                      | ((F.col("supp_nation") == nb)
+                         & (F.col("cust_nation") == na))))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (joined
+            .select("supp_nation", "cust_nation",
+                    F.year("l_shipdate").alias("l_year"),
+                    vol.alias("volume"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.sum(F.col("volume").cast("decimal(18,4)"))
+                  .cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
 @query("correlated_above_avg", oracle="""
 SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
 FROM orders o

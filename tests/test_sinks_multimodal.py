@@ -23,6 +23,15 @@ def test_parquet_roundtrip_partitioned(spark, docs, tmp_path):
     # partition pruning: one lang directory read only
     one = back.where(F.col("lang") == "en")
     assert one.count() == docs.where(F.col("lang") == "en").count()
+    # ...and PROVEN at the plan level: the predicate must land in
+    # PartitionFilters (directory pruning — no data files of other
+    # langs are even opened), not merely PushedFilters. At 100 TB the
+    # difference is reading one partition vs listing-and-filtering all.
+    plan = one.sparkSession._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted")
+    scan = [ln for ln in plan.splitlines()
+            if "PartitionFilters" in ln]
+    assert scan and "lang" in scan[0], plan
 
 
 def test_parquet_append_mode(spark, docs, tmp_path):
@@ -66,6 +75,20 @@ def test_feature_extraction_batch_shape(spark, docs):
     again = MM.extract_features(MM.media_from_documents(docs)) \
               .orderBy("media_id").limit(3).collect()
     assert [r.feature for r in sample] == [r.feature for r in again]
+
+
+def test_resize_media_deterministic_and_sized(spark, docs):
+    media = MM.media_from_documents(docs.limit(30))
+    r1 = MM.resize_media(media, target_w=8, target_h=4).collect()
+    r2 = {r.media_id: bytes(r.payload)
+          for r in MM.resize_media(media, target_w=8, target_h=4).collect()}
+    assert r1 and all(r.media_type == "image" for r in r1)
+    for r in r1:
+        payload = bytes(r.payload)
+        assert len(payload) == 8 * 4 == r.n_bytes
+        assert r2[r.media_id] == payload     # deterministic across runs
+    # distinct inputs produce distinct resized payloads (sha-derived)
+    assert len({p for p in r2.values()}) == len(r2)
 
 
 def test_real_decoder_is_stubbed():
