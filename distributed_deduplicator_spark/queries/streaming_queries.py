@@ -165,3 +165,32 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two containing window starts — fully oracle-checked."""
     s = ST.stream_sliding_counts(spark, sf_dir)
     return ST.run_stream_to_df(s, spark, output_mode="complete")
+
+
+@query("stream_upsert_ledger", oracle="""
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""")
+def q_stream_upsert_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming upsert: the events stream drains through a
+    foreachBatch idempotent-merge sink (versioned parquet ledger keyed
+    on batch id — streaming/sinks.py) and the query returns the
+    ledger's final state: the LATEST event per user. This is the
+    reference's exactly-once upsert write (R5/R6, wasApplied
+    discipline) as a streaming topology, and the result is fully
+    oracle-checked against the batch latest-row-per-key SQL."""
+    import os
+    import tempfile
+
+    from distributed_deduplicator_spark.streaming.sinks import (
+        read_ledger, run_upsert_ledger)
+    base = tempfile.mkdtemp(prefix="upsert_ledger_")
+    ev = ST.events_stream(spark, sf_dir)
+    state = os.path.join(base, "state")
+    run_upsert_ledger(ev, ["user_id"], ["ts", "event_id"],
+                      base_dir=state,
+                      checkpoint_dir=os.path.join(base, "ckpt"))
+    return read_ledger(spark, state)

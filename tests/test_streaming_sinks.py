@@ -1,0 +1,56 @@
+"""foreachBatch upsert-ledger sink: incremental multi-batch merge,
+idempotent batch replay, and batch-equivalence of the final state."""
+
+from pyspark.sql import functions as F
+
+from distributed_deduplicator_spark.operators.dedup import latest_state
+from distributed_deduplicator_spark.sources import load_table
+from distributed_deduplicator_spark.streaming.sinks import (
+    _versions, read_ledger, run_upsert_ledger, upsert_merge_fn)
+
+
+def _same(a, b):
+    return (a.exceptAll(b).count() == 0
+            and b.exceptAll(a).count() == 0)
+
+
+def test_upsert_ledger_multibatch_matches_batch(spark, sf_dir, tmp_path):
+    """Stream the events fixture in 4 single-file micro-batches; the
+    ledger's final version must equal the batch latest-state result —
+    the merge actually accumulates across batches."""
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "files")
+    ev.repartition(4).write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    state = str(tmp_path / "state")
+    run_upsert_ledger(stream, ["user_id"], ["ts", "event_id"],
+                      base_dir=state,
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    assert len(_versions(state)) >= 2, "merge never saw a second batch"
+    final = read_ledger(spark, state)
+    expect = latest_state(ev, ["user_id"], ["ts", "event_id"])
+    assert _same(final, expect)
+    # one row per user, and each row is that user's max (ts, event_id)
+    assert final.count() == ev.select("user_id").distinct().count()
+
+
+def test_upsert_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A replayed batch id (failure recovery) must rewrite the same
+    version, leaving the ledger state unchanged — the exactly-once
+    contract of the foreachBatch recipe."""
+    ev = load_table(spark, sf_dir, "events")
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    merge = upsert_merge_fn(["user_id"], ["ts", "event_id"], state)
+    merge(b0, 0)
+    merge(b1, 1)
+    after = read_ledger(spark, state).collect()
+    merge(b1, 1)                      # replay of the last batch
+    assert sorted(map(tuple, read_ledger(spark, state).collect())) \
+        == sorted(map(tuple, after))
+    assert _same(read_ledger(spark, state),
+                 latest_state(ev, ["user_id"], ["ts", "event_id"]))
