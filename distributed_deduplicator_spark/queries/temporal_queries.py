@@ -181,3 +181,57 @@ def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.asof_join(e, o1, "user_id", "o_custkey", "ts", "o_orderdate",
                         payload=["o_orderkey", "o_totalprice"],
                         right_order=["o_orderkey"])
+
+
+_PROFILE_HOURS = 24
+_PROFILE_QUERY_MOD = 19   # user_id % 19 == 0 plays the query set
+_PROFILE_TOPK = 3
+
+# 24 conditional counts, generated once and shared verbatim in spirit
+# by both engines: Spark builds F.array of 24 sum(when(hour==h)),
+# DuckDB builds list_value of 24 sum(case when ...).
+_PROFILE_TERMS_SQL = ", ".join(
+    f"CAST(sum(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS DOUBLE)"
+    for h in range(_PROFILE_HOURS))
+
+
+@query("activity_profile_topk", oracle=f"""
+WITH prof AS (
+  SELECT user_id, list_value({_PROFILE_TERMS_SQL}) AS profile
+  FROM events GROUP BY user_id),
+q AS (SELECT user_id AS query_user, profile AS qp FROM prof
+      WHERE query_user % {_PROFILE_QUERY_MOD} = 0),
+scored AS (
+  SELECT query_user, c.user_id AS neighbor_user,
+         list_cosine_similarity(qp, c.profile) AS cosine
+  FROM q JOIN prof c ON c.user_id <> query_user),
+ranked AS (
+  SELECT query_user, neighbor_user, cosine,
+         row_number() OVER (PARTITION BY query_user
+                            ORDER BY cosine DESC, neighbor_user) AS rank
+  FROM scored)
+SELECT query_user, neighbor_user, rank, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= {_PROFILE_TOPK}
+""")
+def q_activity_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the REPOSE/Odyssey problem shape
+    at its simplest): each user's event stream becomes a 24-dim
+    hourly-activity profile (24 conditional counts — ONE pass, no
+    explode, map-side combinable), then behavioral top-k by cosine
+    against a bounded broadcast query set. The temporal →
+    embedding-space bridge: downstream the profiles feed the same
+    ANN/near-dup operators as document embeddings."""
+    from distributed_deduplicator_spark.operators import similarity as S
+    e = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts")
+    profile = F.array(*[
+        F.sum(F.when(hr == h, 1).otherwise(0)).cast("double")
+        for h in range(_PROFILE_HOURS)])
+    prof = (e.groupBy("user_id")
+             .agg(profile.alias("profile")))
+    q = prof.where(F.col("user_id") % _PROFILE_QUERY_MOD == 0)
+    out = S.cosine_topk_bruteforce(prof, q, k=_PROFILE_TOPK,
+                                   id_col="user_id", vec_col="profile")
+    return out.select(F.col("query_id").alias("query_user"),
+                      F.col("neighbor_id").alias("neighbor_user"),
+                      "rank", F.round("cosine", 6).alias("cosine_r"))

@@ -239,3 +239,23 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return S.winnow_fingerprints(d, "doc_id", "text", k=5, window=4) \
             .select("id", "n_fingerprints")
+
+
+@query("frequent_tokens_approx")  # rows-only: sketch output is a
+                                  # superset guarantee, not an exact set
+def q_frequent_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over the token stream via Spark's
+    freqItems (Karp/Misra-Gries family): single pass, fixed memory,
+    mergeable across partitions — the 100 TB path when token
+    cardinality is too large for an exact count shuffle. Contract:
+    every token with true frequency ≥ support MUST appear (false
+    positives allowed, false negatives never) — asserted against the
+    exact count in tests/test_relational_extra.py. Completes the
+    sketch family next to HLL (agg_approx_distinct) and t-digest
+    (text_length_quantiles)."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TXT.tokens("text")).alias("w"))
+    freq = toks.freqItems(["w"], support=0.01)
+    return (freq.select(F.explode("w_freqItems").alias("token"))
+                .orderBy("token"))

@@ -41,3 +41,21 @@ def test_approx_percentile_relative_error(spark, sf_dir):
     for r in rows:
         err = abs(r.approx_p50 - r.exact_p50) / max(abs(r.exact_p50), 1)
         assert err <= 0.05, f"{r.lang}: {err:.3f}"
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
+    """freqItems' contract: no false negatives — every token whose true
+    frequency is ≥ the support threshold must be in the sketch output
+    (false positives are allowed and expected)."""
+    import pyspark.sql.functions as F
+    from distributed_deduplicator_spark.functions import text as TXT
+    from distributed_deduplicator_spark.sources import load_table
+    got = {r.token for r in
+           Q.QUERIES["frequent_tokens_approx"](spark, sf_dir).collect()}
+    toks = (load_table(spark, sf_dir, "documents")
+            .select(F.explode(TXT.tokens("text")).alias("w")))
+    total = toks.count()
+    exact = {r.w for r in
+             toks.groupBy("w").count()
+                 .where(F.col("count") >= 0.01 * total).collect()}
+    assert exact <= got, f"missing heavy hitters: {exact - got}"
