@@ -604,6 +604,33 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_id", 2).over(w).alias("second_event"))
 
 
+@query("window_distribution_funcs", oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey)
+""")
+def q_window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile deciles, percent_rank,
+    cume_dist per order status: the quantile-bucketing pass behind
+    quality-score binning (e.g. keep the top decile of documents per
+    language). Ratios rounded to 9 dp; ties impossible (orderkey
+    breaks them)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy("o_totalprice", "o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"))
+
+
 @query("topk_frequent_event_types", oracle="""
 WITH c AS (SELECT user_id, event_type, count(*) AS n_events
            FROM events GROUP BY 1, 2)
