@@ -845,3 +845,37 @@ def q_sql_cte_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_deduplicator_spark.sources import register_views
     register_views(spark, sf_dir)
     return spark.sql(_SQL_SURFACE)
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+@query("table_profile", oracle=" UNION ALL ".join(
+    f"""SELECT '{c}' AS col,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_v,
+       CAST(max({c}) AS VARCHAR) AS max_v
+FROM documents""" for c in _PROFILE_COLS))
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column null count, distinct count,
+    min/max — the ingest health check every pipeline runs first. ONE
+    scan computes every column's aggregates simultaneously (a single
+    groupBy-less agg), then a stack() unpivot reshapes to one row per
+    column — never k scans for k columns. The oracle spells the same
+    result as k unions, which is exactly the shape NOT to run at
+    100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max")]
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col, n_nulls, n_distinct, min_v, max_v)")

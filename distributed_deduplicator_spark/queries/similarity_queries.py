@@ -190,6 +190,45 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.connected_components(pairs)
 
 
+@query("jaccard_dedup_clusters", oracle=rf"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+""")
+def q_jaccard_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the EXACT Jaccard near-dup pairs — the
+    deterministic twin of near_dup_clusters, and the one place an
+    iterative Spark algorithm gets a full value-level oracle: the
+    driver-loop min-label propagation must equal DuckDB's recursive-CTE
+    reachability closure, node for node. Executes O(diameter) rounds,
+    one shuffle each."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = S.jaccard_similarity_join(d, "doc_id", "text", n=_NGRAM,
+                                      threshold=_JACCARD_THRESHOLD)
+    return S.connected_components(pairs)
+
+
 @query("ann_lsh_topk")  # rows-only: approximate by construction
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors approximate top-5 via multi-table random-hyperplane
