@@ -113,10 +113,11 @@ def repetition_stats(docs: DataFrame, id_col: str, text_col: str,
     generations) shows a low distinct ratio or one token dominating;
     published pipelines drop such docs before dedup even runs.
 
-    Scale: explode → count by (doc, token) → re-aggregate. Both
-    aggregations are map-side combinable and key on the doc id, so the
-    second groupBy reuses the first shuffle's partitioning (one
-    exchange total). Never a per-row O(tokens²) array scan.
+    Scale: explode → count by (doc, token) → re-aggregate. Two
+    exchanges — (doc, token) then (doc) — but BOTH are map-side
+    combinable, so what shuffles is one row per distinct (doc, token)
+    and then one per doc, never the raw token stream. Never a per-row
+    O(tokens²) array scan.
     """
     base = docs.select(F.col(id_col).alias("id"),
                        TXT.tokens(text_col).alias("_toks"))

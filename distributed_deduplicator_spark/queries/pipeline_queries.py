@@ -99,7 +99,8 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition profile: distinct-token ratio and
     top-token mass per doc with a keep flag — drops keyword-stuffed /
     degenerate text before dedup ever runs. Two map-side-combinable
-    aggregations sharing the doc-id shuffle key."""
+    aggregations — only distinct (doc, token) rows, then one row per
+    doc, ever cross the wire."""
     d = load_table(spark, sf_dir, "documents")
     return (P.repetition_stats(d, "doc_id", "text",
                                min_distinct_ratio=0.5,

@@ -642,8 +642,9 @@ SELECT user_id, event_type, n_events FROM (
 """)
 def q_topk_frequent_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modal value per entity (most frequent event_type per user):
-    count-then-rank — both shuffles land on user_id-prefixed keys, so
-    the window reuses the aggregation's partitioning."""
+    count-then-rank. Two exchanges — (user, type) for the combinable
+    count, then (user) for the window — but only one row per distinct
+    (user, type) survives the first, so the second is tiny."""
     ev = _t(spark, sf_dir, "events")
     counts = (ev.groupBy("user_id", "event_type")
                 .agg(F.count("*").alias("n_events")))
