@@ -6,8 +6,8 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Engine implementation lives in ``distributed_deduplicator_spark/``;
-query definitions live in ``distributed_deduplicator_spark/queries.py``
-so they are importable/testable without the driver.
+query definitions live in the ``distributed_deduplicator_spark.queries``
+package so they are importable/testable without the driver.
 """
 
 from __future__ import annotations
