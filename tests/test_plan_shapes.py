@@ -27,9 +27,10 @@ def _plan(df, mode: str = "formatted") -> str:
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
 # the labeled brute-force cosine baseline (bounded broadcast query set
-# × corpus scan) and the IVF centroid scorer (n × nlist dot products
-# against a broadcast centroid table).
-_BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk"}
+# × corpus scan — also reused by the activity-profile behavioral top-k)
+# and the IVF centroid scorer (n × nlist dot products against a
+# broadcast centroid table).
+_BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "activity_profile_topk"}
 
 # Streaming queries EXECUTE on call (availableNow drain) — exclude them
 # from build-time-laziness and plan-string checks. Iterative queries
