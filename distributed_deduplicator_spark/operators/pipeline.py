@@ -153,6 +153,108 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str,
               .where(F.col("rk") <= cap))
 
 
+def token_budget_pack(docs: DataFrame, id_col: str, text_col: str,
+                      budget: int = 2048,
+                      n_shards: int = 16) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed token-budget
+    bins in deterministic hash order — the pass that turns a curated
+    corpus into training-shard manifests (each bin ≈ one packed
+    training sequence / file of ``budget`` tokens).
+
+    A single global cumulative sum would serialize on one task, so the
+    corpus is first split into ``n_shards`` deterministic md5 shards;
+    packing runs independently per shard (one window partition each).
+    Bins are keyed (shard, bin_id) — stable across runs, engines, and
+    cluster sizes. A document longer than the budget still lands in
+    exactly one bin (bin boundaries advance by its full length).
+
+    Returns (id, shard, bin_id, n_tokens, cum_tokens) where
+    ``cum_tokens`` is the running total inside the shard AFTER this doc
+    and ``bin_id = floor((cum_tokens - n_tokens) / budget)`` — the
+    standard greedy fill rule.
+    """
+    from distributed_deduplicator_spark.functions import text as TXT
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        TXT.token_count(text_col).cast("bigint").alias("n_tokens"),
+        id_hash(id_col).alias("_h"))
+    shard = (F.conv(F.substring("_h", 1, 4), 16, 10).cast("bigint")
+             % n_shards).cast("int")
+    w = (Window.partitionBy("shard").orderBy("_h", "id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.withColumn("shard", shard)
+                .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+                .select("id", "shard", "n_tokens", "cum_tokens",
+                        F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                                / budget).alias("bin_id")))
+
+
+def mix_weights(docs: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Corpus-mixture rebalancing weights: per group (language, source,
+    …) compute its token mass and the per-doc sampling weight that
+    would flatten the mixture to equal token share per group —
+    ``weight = min(1, target_share / actual_share)``.
+
+    The heavy part is ONE map-side-combinable aggregation over the
+    corpus (exact BIGINT token sums); the share/weight arithmetic runs
+    on the tiny grouped result (|groups| rows), where an unpartitioned
+    window is safe at any corpus scale.
+    """
+    from distributed_deduplicator_spark.functions import text as TXT
+    per = (docs.groupBy(F.col(group_col).alias("grp"))
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(TXT.token_count(text_col).cast("bigint"))
+                     .alias("n_tokens")))
+    w_all = Window.partitionBy()
+    total = F.sum("n_tokens").over(w_all)
+    n_groups = F.count("*").over(w_all)
+    share = F.col("n_tokens").cast("double") / total.cast("double")
+    target = F.lit(1.0) / n_groups.cast("double")
+    return per.select(
+        "grp", "n_docs", "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(F.least(F.lit(1.0), target / share), 6).alias("weight"))
+
+
+def chunk_exact_dedup(docs: DataFrame, id_col: str, text_col: str,
+                      chunk_tokens: int = 20) -> DataFrame:
+    """Sub-document exact dedup (the line/paragraph-level pass of
+    CCNet/RefinedWeb-style pipelines, expressed over fixed token
+    chunks because the fixture corpus has no line structure): split
+    each document into ``chunk_tokens``-token chunks, fingerprint each
+    chunk (md5), keep the FIRST occurrence corpus-wide — first-wins at
+    chunk granularity, ordered by (doc_id, chunk_idx) exactly like the
+    reference's per-key earliest-claim arbitration
+    (DeduplicationProvider.kt:67-94) with the chunk hash as the key.
+
+    Returns one row per doc: (id, n_chunks, n_dup_chunks, dup_ratio).
+    Scale: explode → one window keyed by chunk hash (hash-partitioned,
+    tiny per-group sorts) → re-aggregate per doc; only (doc, hash)
+    pairs cross the wire, never chunk text (the md5 travels, not the
+    tokens).
+    """
+    from distributed_deduplicator_spark.functions import text as TXT
+    base = docs.select(F.col(id_col).alias("id"),
+                      TXT.tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))))
+    ex = (base.where(F.size(toks) > 0)
+              .select("id", F.posexplode(chunks).alias("chunk_idx", "h")))
+    w = Window.partitionBy("h").orderBy("id", "chunk_idx")
+    flagged = ex.withColumn(
+        "dup", F.row_number().over(w) > 1)
+    return (flagged.groupBy("id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.col("dup").cast("bigint")).alias("n_dup_chunks"))
+            .select("id", "n_chunks", "n_dup_chunks",
+                    F.round(F.col("n_dup_chunks").cast("double")
+                            / F.col("n_chunks"), 6).alias("dup_ratio")))
+
+
 def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
                       frac: float) -> DataFrame:
     """EXACT per-stratum fraction: rank rows inside each stratum by

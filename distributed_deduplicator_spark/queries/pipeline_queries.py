@@ -29,6 +29,12 @@ _DECON_NGRAM = 4
 _BENCH_MOD = 97            # doc_id % 97 == 0 plays the benchmark set
 _CAP = 50
 _SAMPLE_FRAC = 0.1
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 16
+_CHUNK_TOKENS = 20
+
+# DuckDB twin of functions.text.token_count (len of the token array)
+_NTOK_SQL = f"len({_NORM_SQL})"
 
 
 @query("train_test_split_hash", oracle="""
@@ -124,6 +130,95 @@ def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return P.cap_per_group(d.select("doc_id", "source"),
                            "source", "doc_id", cap=_CAP)
+
+
+@query("token_budget_pack", oracle=f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST({_NTOK_SQL} AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+sharded AS (
+  SELECT id, n_tokens, h,
+         CAST(CAST(('0x' || substr(h, 1, 4)) AS BIGINT)
+              % {_PACK_SHARDS} AS INTEGER) AS shard
+  FROM base),
+packed AS (
+  SELECT id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+  FROM sharded)
+SELECT id, shard, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE)
+                  / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+FROM packed
+""")
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing into training-shard bins: docs in
+    deterministic md5 order, 16 independent hash shards (no global
+    serial cumsum), bin advances every 2048 tokens. The manifest pass
+    between a curated corpus and packed training sequences."""
+    d = load_table(spark, sf_dir, "documents")
+    return P.token_budget_pack(d, "doc_id", "text",
+                               budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+@query("corpus_mix_weights", oracle=f"""
+WITH per AS (
+  SELECT lang AS grp, count(*) AS n_docs,
+         CAST(sum({_NTOK_SQL}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang)
+SELECT grp, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) /
+             CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+       round(least(1.0,
+             (1.0 / CAST(count(*) OVER () AS DOUBLE)) /
+             (CAST(n_tokens AS DOUBLE) /
+              CAST(sum(n_tokens) OVER () AS DOUBLE))), 6) AS weight
+FROM per
+""")
+def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rebalancing weights per language: token mass, share of
+    corpus, and the per-doc sampling weight that flattens the mix to
+    equal token share. One combinable corpus aggregation; the window
+    math runs on |langs| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return P.mix_weights(d, "lang", "text")
+
+
+@query("chunk_dedup_stats", oracle=f"""
+WITH toks AS (SELECT doc_id AS id, {_NORM_SQL} AS t FROM documents),
+tok AS (
+  SELECT id, i, t[i+1] AS w,
+         CAST(i // {_CHUNK_TOKENS} AS INTEGER) AS chunk_idx
+  FROM (SELECT id, t, unnest(range(len(t))) AS i FROM toks
+        WHERE len(t) > 0)),
+chunks AS (
+  SELECT id, chunk_idx,
+         md5(string_agg(w, ' ' ORDER BY i)) AS h
+  FROM tok GROUP BY id, chunk_idx),
+flagged AS (
+  SELECT id, chunk_idx,
+         row_number() OVER (PARTITION BY h ORDER BY id, chunk_idx) > 1
+           AS dup
+  FROM chunks)
+SELECT id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_ratio
+FROM flagged GROUP BY id
+""")
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (the line/paragraph-level CCNet pass
+    over fixed 20-token chunks): chunk fingerprints, corpus-wide
+    first-wins per fingerprint, per-doc duplicate-chunk profile. Only
+    (doc, md5) pairs shuffle — never chunk text."""
+    d = load_table(spark, sf_dir, "documents")
+    return P.chunk_exact_dedup(d, "doc_id", "text",
+                               chunk_tokens=_CHUNK_TOKENS)
 
 
 @query("stratified_sample_lang", oracle=f"""

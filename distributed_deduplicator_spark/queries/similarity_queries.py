@@ -229,6 +229,56 @@ def q_jaccard_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.connected_components(pairs)
 
 
+@query("jaccard_keep_one", oracle=rf"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+""")
+def q_jaccard_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup verdict: exact-Jaccard pairs →
+    connected components → FIRST doc per cluster keeps, the rest drop
+    — the reference's first-wins arbitration
+    (DeduplicationProvider.kt:67-94) applied per near-dup CLUSTER, with
+    every doc (singletons included) getting a row. This is the full
+    'dedup the corpus' pipeline a training run consumes, value-checked
+    against DuckDB's recursive-CTE closure."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = S.jaccard_similarity_join(d, "doc_id", "text", n=_NGRAM,
+                                      threshold=_JACCARD_THRESHOLD)
+    cc = S.connected_components(pairs)
+    return (d.select("doc_id")
+             .join(cc, d["doc_id"] == cc["id"], "left")
+             .select(d["doc_id"],
+                     F.coalesce(cc["cluster_id"], d["doc_id"])
+                      .alias("cluster_id"))
+             .withColumn("keep", F.col("doc_id") == F.col("cluster_id")))
+
+
 @query("ann_lsh_topk")  # rows-only: approximate by construction
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors approximate top-5 via multi-table random-hyperplane

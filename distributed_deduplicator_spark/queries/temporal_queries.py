@@ -183,6 +183,40 @@ def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                         right_order=["o_orderkey"])
 
 
+_ROLL_US = 3600 * 1_000_000  # 1-hour rolling horizon, µs precision
+
+
+@query("rolling_hour_stats", oracle=f"""
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS sum_value_1h,
+       CAST(max(value) OVER w AS DOUBLE) AS max_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_ROLL_US} PRECEDING AND CURRENT ROW)
+""")
+def q_rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour rolling window over event time — a RANGE frame
+    (value-based, µs precision), not a ROWS frame: every event sees
+    exactly the events within the trailing hour, however many there
+    are. The reference's TTL horizon (DeduplicationProvider.kt:203)
+    expressed as a sliding aggregate instead of an eviction rule.
+    One shuffle on user_id; the sum runs over DECIMAL(18,2) so it is
+    order-independent (exact), cast to DOUBLE only at the boundary."""
+    from pyspark.sql import Window
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+               .orderBy(F.unix_micros("ts"))
+               .rangeBetween(-_ROLL_US, 0))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("sum_value_1h"),
+        F.max("value").over(w).cast("double").alias("max_value_1h"))
+
+
 _PROFILE_HOURS = 24
 _PROFILE_QUERY_MOD = 19   # user_id % 19 == 0 plays the query set
 _PROFILE_TOPK = 3

@@ -36,7 +36,8 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "activity_profile_topk"}
 # from build-time-laziness and plan-string checks. Iterative queries
 # (driver loop, one action per round) execute by nature too.
 _STREAMING = {n for n in Q.QUERIES if n.startswith("stream_")}
-_ITERATIVE = {"near_dup_clusters", "jaccard_dedup_clusters"}
+_ITERATIVE = {"near_dup_clusters", "jaccard_dedup_clusters",
+              "jaccard_keep_one"}
 _EXECUTES_ON_CALL = _STREAMING | _ITERATIVE
 
 
