@@ -880,3 +880,73 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col, n_nulls, n_distinct, min_v, max_v)")
+
+
+@query("order_priority_check", oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= DATE '2000-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""")
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late lineitem (shipped
+    more than 90 days after the order date — the fixture carries
+    l_shipdate only), counted by priority. The correlated EXISTS
+    decorrelates to a LEFT SEMI join — the probe side never expands
+    (no duplicate-orderkey blowup before the aggregate), so only
+    qualifying order rows reach the single count shuffle."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+    l = _t(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == l["l_orderkey"]) & \
+           (l["l_shipdate"] > F.date_add(o["o_orderdate"], 90))
+    return (o.join(l, cond, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n_orders")))
+
+
+@query("custdist_order_counts", oracle="""
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderstatus <> 'P'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+""")
+def q_custdist_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    (customers with 0 orders included via the outer join). Two
+    aggregations, but the second runs over one-row-per-customer input
+    and the final histogram is tiny — the wire cost is one fact
+    shuffle plus a combinable re-count."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    per = (c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+            .groupBy(c["c_custkey"])
+            .agg(F.count(o["o_orderkey"]).alias("c_count")))
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query("sketch_distinct_users")  # rows-only: DataSketches HLL binary
+def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality: per-event-type distinct users via
+    DataSketches HLL (hll_sketch_agg), plus an ALL row produced by
+    UNIONING the per-type sketches (hll_union_agg) — never re-scanning
+    the data. Mergeability is the whole point at 100 TB: shard-level
+    sketches combine associatively across files/days/regions, the
+    pattern exact distinct cannot follow. Error gate vs exact counts in
+    tests/test_relational_extra.py."""
+    e = _t(spark, sf_dir, "events")
+    sk = (e.groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    per = sk.select("event_type",
+                    F.hll_sketch_estimate("sk").alias("est_users"))
+    merged = (sk.agg(F.hll_union_agg("sk").alias("sk"))
+                .select(F.lit("ALL").alias("event_type"),
+                        F.hll_sketch_estimate("sk").alias("est_users")))
+    return per.unionByName(merged)

@@ -59,3 +59,29 @@ def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
              toks.groupBy("w").count()
                  .where(F.col("count") >= 0.01 * total).collect()}
     assert exact <= got, f"missing heavy hitters: {exact - got}"
+
+
+def test_hll_sketch_error_and_merge(spark, sf_dir):
+    """DataSketches HLL per-type estimates within 5% of exact; the ALL
+    row (built by MERGING the per-type sketches, never re-scanning)
+    must estimate the direct whole-table sketch to the same value —
+    the associativity that makes sketches the 100 TB cardinality
+    path."""
+    import pyspark.sql.functions as F
+    from distributed_deduplicator_spark.sources import load_table
+    rows = {r.event_type: r.est_users
+            for r in Q.QUERIES["sketch_distinct_users"](spark, sf_dir)
+                       .collect()}
+    e = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r.n for r in
+             e.groupBy("event_type")
+              .agg(F.count_distinct("user_id").alias("n")).collect()}
+    exact["ALL"] = e.select("user_id").distinct().count()
+    assert set(rows) == set(exact) and "ALL" in rows
+    for k, est in rows.items():
+        err = abs(est - exact[k]) / max(exact[k], 1)
+        assert err <= 0.05, f"{k}: est={est} exact={exact[k]}"
+    direct = (e.agg(F.hll_sketch_agg("user_id").alias("sk"))
+               .select(F.hll_sketch_estimate("sk").alias("n"))
+               .collect()[0].n)
+    assert rows["ALL"] == direct, "merged sketch != direct sketch"
