@@ -608,6 +608,152 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: product-quantization scoring on IVF candidates
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(unit: DataFrame, m: int, ksub: int, dim: int) -> DataFrame:
+    """Deterministic product-quantization codebooks (Jégou et al.,
+    TPAMI 2011): the embedding space splits into ``m`` subspaces of
+    ``dim/m`` dims; each subspace gets ``ksub`` centroids taken from
+    the subvectors of a hash-ordered corpus sample.
+
+    ONE TakeOrdered pass samples the m·ksub seed vectors (not one scan
+    per subspace); sample row i becomes centroid ``code = i % ksub`` of
+    subspace ``sub_id = i // ksub``. Returns
+    (sub_id, code, ccent array<double>[dim/m]) — m·ksub rows, always
+    broadcastable.
+    """
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    take = m * ksub
+    seeds = (unit.withColumn("_h", F.xxhash64(F.col("id")))
+                 .orderBy("_h", "id").limit(take)
+                 .select((F.row_number().over(Window.orderBy("_h", "id")) - 1)
+                         .alias("i"), "unit"))
+    sub_id = F.floor(F.col("i") / ksub).cast("int")
+    return seeds.select(
+        sub_id.alias("sub_id"),
+        (F.col("i") % ksub).cast("int").alias("code"),
+        F.slice("unit", sub_id * dsub + 1, dsub).alias("ccent"))
+
+
+def pq_encode(unit: DataFrame, codebooks: DataFrame, m: int, ksub: int,
+              dim: int) -> DataFrame:
+    """PQ codes for every vector: per subspace, the L2-nearest centroid
+    of the vector's subvector. Returns (id, codes array<int>[m]).
+
+    The scoring join is corpus × broadcast(m·ksub codebook) with a
+    dsub-dim distance fold in codegen; the argmin is a struct-MIN
+    aggregate ((d2, code) lexicographic — map-side combinable, no
+    window), then one collect_list pack per id. Work is n·dim·ksub
+    multiply-adds — ksub× the IVF assignment scan, still linear in n.
+    """
+    dsub = dim // m
+    sub = F.slice("unit", F.col("sub_id") * dsub + 1, dsub)
+    d2 = F.aggregate(F.zip_with(sub, "ccent", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    scored = (unit.crossJoin(F.broadcast(codebooks))
+                  .select("id", "sub_id",
+                          F.struct(d2.alias("d2"),
+                                   F.col("code").alias("code")).alias("sc")))
+    best = (scored.groupBy("id", "sub_id")
+                  .agg(F.min("sc").alias("b"))
+                  .select("id", "sub_id", F.col("b.code").alias("code")))
+    return (best.groupBy("id")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("sub_id", "code"))).alias("p"))
+                .select("id", F.transform("p", lambda s: s["code"])
+                        .alias("codes")))
+
+
+def pq_query_tables(unit: DataFrame, codebooks: DataFrame, m: int,
+                    ksub: int, dim: int) -> DataFrame:
+    """Per-query ADC lookup table: dot(query subvector, centroid) for
+    every (sub_id, code), packed as one array<double>[m·ksub] indexed
+    ``sub_id·ksub + code``. Returns (id, qtab)."""
+    dsub = dim // m
+    sub = F.slice("unit", F.col("sub_id") * dsub + 1, dsub)
+    dot = F.aggregate(F.zip_with(sub, "ccent", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    slot = (F.col("sub_id") * ksub + F.col("code")).alias("slot")
+    return (unit.crossJoin(F.broadcast(codebooks))
+                .select("id", slot, dot.alias("dot"))
+                .groupBy("id")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("slot", "dot"))).alias("p"))
+                .select("id", F.transform("p", lambda s: s["dot"])
+                        .alias("qtab")))
+
+
+def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
+                   nprobe: int = 4, m: int = 8, ksub: int = 16,
+                   rerank: int | None = None, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64,
+                   n: int | None = None) -> DataFrame:
+    """IVF-PQ two-stage retrieval — the memory-bound 100 TB ANN shape:
+    IVF lists prune candidates (~nprobe/nlist of the corpus per query),
+    asymmetric-distance PQ scores them from ``m`` byte codes instead of
+    ``dim`` floats (an 8×-32× traffic cut on the candidate join — at
+    scale the codes table fits where the vectors never would), and the
+    ADC top-``rerank`` get ONE exact re-scoring pass (the standard
+    refinement step; Jégou et al. 2011).
+
+    ADC approximates dot(q, x) ≈ Σ_s dot(q_s, centroid[code_s(x)]) via
+    a per-query lookup table, so the candidate join ships (query_id,
+    neighbor_id, m codes) — never the vectors. Returns the same schema
+    as the other ANN paths: (query_id, neighbor_id, rank, cosine) with
+    ``cosine`` EXACT (from the re-rank pass). Deterministic end to end.
+    """
+    if nlist is None:
+        if n is None:
+            n = emb.count()  # documented fallback; pass n at any scale
+        nlist = max(4, int(math.sqrt(max(n, 4))))
+    rerank = rerank if rerank is not None else 4 * k
+    u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
+    cents = _tracked_persist(ivf_centroids(u, nlist, dim))
+    assigns = _tracked_persist(ivf_assign(u, cents, dim, nprobe=nprobe))
+    lists = (assigns.where(F.col("crank") == 1)
+                    .select("id", F.col("centroid_id").alias("list_id")))
+    probes = assigns.select(F.col("id").alias("query_id"),
+                            F.col("centroid_id").alias("list_id"))
+    cand = (probes.join(lists, "list_id")
+                  .where(F.col("query_id") != F.col("id"))
+                  .select("query_id", F.col("id").alias("neighbor_id")))
+    cb = pq_codebooks(u, m, ksub, dim)
+    codes = pq_encode(u, cb, m, ksub, dim)
+    qtabs = pq_query_tables(u, cb, m, ksub, dim)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            "qtab", (s * ksub + F.element_at("codes", s + 1) + 1)
+            .cast("int")))
+    scored = (cand
+              .join(qtabs.withColumnRenamed("id", "query_id"), "query_id")
+              .join(codes.withColumnRenamed("id", "neighbor_id"),
+                    "neighbor_id")
+              .select("query_id", "neighbor_id", adc.alias("adc")))
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(),
+                                                   F.col("neighbor_id"))
+    short = (scored.withColumn("ar", F.row_number().over(w_adc))
+                   .where(F.col("ar") <= rerank)
+                   .select("query_id", "neighbor_id"))
+    exact = (short
+             .join(u.select(F.col("id").alias("query_id"),
+                            F.col("unit").alias("qu")), "query_id")
+             .join(u.select(F.col("id").alias("neighbor_id"),
+                            F.col("unit").alias("nu")), "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     _dot_indexed("qu", "nu", dim).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (exact.withColumn("rk", F.row_number().over(w))
+                 .where(F.col("rk") <= k)
+                 .select("query_id", "neighbor_id",
+                         F.col("rk").alias("rank"), "cosine"))
+
+
+# ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
 

@@ -290,6 +290,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n=table_row_count(sf_dir, "embeddings"))
 
 
+@query("ann_ivfpq_topk")  # rows-only: approximate by construction
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors approximate top-5 via IVF-PQ two-stage retrieval:
+    IVF lists prune candidates, 8×16 product-quantization codes score
+    them by ADC lookup (codes travel through the candidate join, never
+    vectors), exact re-rank of the ADC top-10. The memory-bound ANN
+    shape for corpora whose vectors don't fit executor memory. Recall
+    vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivfpq_topk(emb, k=_TOPK, nprobe=4, m=8, ksub=16,
+                            n=table_row_count(sf_dir, "embeddings"))
+
+
 @query("ann_ivf_topk")  # rows-only: approximate by construction
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors approximate top-5 via an IVF-flat index (√n lists,

@@ -30,7 +30,9 @@ def _plan(df, mode: str = "formatted") -> str:
 # × corpus scan — also reused by the activity-profile behavioral top-k)
 # and the IVF centroid scorer (n × nlist dot products against a
 # broadcast centroid table).
-_BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "activity_profile_topk"}
+# ann_ivfpq additionally scores corpus × broadcast(m·ksub codebook).
+_BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+                 "activity_profile_topk"}
 
 # Streaming queries EXECUTE on call (availableNow drain) — exclude them
 # from build-time-laziness and plan-string checks. Iterative queries

@@ -143,3 +143,25 @@ def test_minhash_bucket_cap_drops_degenerate_cluster(spark, docs):
     # pairs not involving the degenerate cluster are untouched
     assert {p for p in unc if p not in boiler_pairs} \
         == {p for p in cap if not (p[0] in boiler_ids and p[1] in boiler_ids)}
+
+
+def test_ivfpq_recall_and_exact_rerank(spark, emb):
+    """IVF-PQ shares IVF's candidate lists, so its ceiling is IVF's
+    candidate recall; the ADC shortlist (rerank=2k over ~4√n
+    candidates) keeps most of it. Reported cosines must be EXACT
+    (re-rank pass), bit-equal to brute force."""
+    k = 5
+    exact = S.cosine_topk_bruteforce(emb, emb, k=k)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = S.ann_ivfpq_topk(emb, k=k, nprobe=4, m=8, ksub=16)
+    rows = approx.collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # default rerank=4k recovers most of the IVF candidate recall
+    # (measured 0.34 here vs 0.42 at rerank=8k and ~0.44 IVF ceiling)
+    assert recall >= 0.3, f"IVF-PQ recall {recall}"
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in rows:
+        if (r.query_id, r.neighbor_id) in ex:
+            assert abs(r.cosine - ex[(r.query_id, r.neighbor_id)]) < 1e-9
+    S.release_persisted()
