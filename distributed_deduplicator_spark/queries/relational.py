@@ -950,3 +950,35 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit("ALL").alias("event_type"),
                         F.hll_sketch_estimate("sk").alias("est_users")))
     return per.unionByName(merged)
+
+
+@query("kll_value_quantiles")  # rows-only: DataSketches KLL binary
+def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quantiles: per-event-type p25/p50/p75/p90 of
+    value via DataSketches KLL, plus an ALL row whose sketch is the
+    FOLD-MERGE of the per-type sketches (kll_sketch_merge_double over
+    the collected sketch array) — quantiles over the whole table
+    without re-scanning it. The mergeable complement of
+    text_length_quantiles' t-digest: shard-level KLL sketches combine
+    associatively across files/days, which is how quantiles are
+    actually computed at 100 TB. Accuracy + merge-equivalence gated in
+    tests/test_relational_extra.py."""
+    e = _t(spark, sf_dir, "events")
+    sk = (e.groupBy("event_type")
+           .agg(F.kll_sketch_agg_double("value").alias("sk")))
+
+    def quantiles(col):
+        return [F.kll_sketch_get_quantile_double(col, F.lit(q))
+                 .alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.5, 0.75, 0.9)]
+
+    per = sk.select("event_type", *quantiles(F.col("sk")))
+    arr = sk.agg(F.collect_list("sk").alias("sks"))
+    merged_sk = F.aggregate(
+        F.slice("sks", 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+        F.element_at("sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x))
+    merged = (arr.select(merged_sk.alias("sk"))
+                 .select(F.lit("ALL").alias("event_type"),
+                         *quantiles(F.col("sk"))))
+    return per.unionByName(merged)

@@ -85,3 +85,35 @@ def test_hll_sketch_error_and_merge(spark, sf_dir):
                .select(F.hll_sketch_estimate("sk").alias("n"))
                .collect()[0].n)
     assert rows["ALL"] == direct, "merged sketch != direct sketch"
+
+
+def test_kll_quantiles_error_and_merge(spark, sf_dir):
+    """KLL quantile estimates within rank-tolerance of exact
+    percentiles; the ALL row (fold-merged per-type sketches) must equal
+    the direct whole-table sketch exactly."""
+    import pyspark.sql.functions as F
+    from distributed_deduplicator_spark.sources import load_table
+    rows = {r.event_type: (r.p25, r.p50, r.p75, r.p90)
+            for r in Q.QUERIES["kll_value_quantiles"](spark, sf_dir)
+                       .collect()}
+    e = load_table(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    exact = {r.event_type: r.p for r in
+             e.groupBy("event_type")
+              .agg(F.percentile("value", F.array(*map(F.lit, qs)))
+                   .alias("p")).collect()}
+    exact["ALL"] = (e.agg(F.percentile("value",
+                                       F.array(*map(F.lit, qs)))
+                          .alias("p")).collect()[0].p)
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        lo, hi = min(exact[k]), max(exact[k])
+        spread = max(hi - lo, 1e-9)
+        for e_val, got in zip(exact[k], est):
+            assert abs(got - e_val) <= 0.15 * spread + 1e-9, \
+                f"{k}: est={got} exact={e_val}"
+    # NOTE: unlike HLL (register-max union ≡ one-pass sketch, asserted
+    # exactly in test_hll_sketch_error_and_merge), KLL compaction is
+    # merge-order dependent, so the merged ALL row is gated on accuracy
+    # vs exact percentiles (loop above), not on bit-equality with a
+    # one-pass sketch.
