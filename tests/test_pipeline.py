@@ -79,3 +79,63 @@ def test_stratified_sample_exact_counts(spark, sf_dir):
            kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     for lang, n_total in totals.items():
         assert got.get(lang, 0) == math.ceil(0.2 * n_total)
+
+
+def test_token_pack_greedy_invariants(spark, sf_dir):
+    """Greedy fill: bins within a shard are contiguous in hash order,
+    every bin except possibly the last STARTS below the budget
+    boundary (a doc goes to the bin its predecessor total falls in),
+    and membership is shard-stable: a doc's (shard, hash-rank
+    predecessors) never change when other shards grow."""
+    d = load_table(spark, sf_dir, "documents")
+    out = P.token_budget_pack(d, "doc_id", "text",
+                              budget=500, n_shards=8).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(len(v) for v in by_shard.values()) and len(out) == \
+        d.count()
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.cum_tokens)
+        prev_bin = 0
+        for r in rows:
+            assert r.bin_id == (r.cum_tokens - r.n_tokens) // 500
+            assert r.bin_id >= prev_bin, "bins must be monotone"
+            prev_bin = r.bin_id
+
+
+def test_chunk_dedup_conservation(spark, sf_dir):
+    """Conservation law: kept (non-dup) chunks across the corpus ==
+    number of DISTINCT chunk fingerprints — first-wins keeps exactly
+    one survivor per hash."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    out = P.chunk_exact_dedup(d, "doc_id", "text", chunk_tokens=20)
+    agg = out.agg(F.sum(F.col("n_chunks") - F.col("n_dup_chunks"))
+                   .alias("kept")).collect()[0]
+    toks = d.select(TXT.tokens("text").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(20)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"),
+                                                 i * 20 + 1, 20))))
+    distinct_hashes = (toks.where(F.size("t") > 0)
+                           .select(F.explode(chunks).alias("h"))
+                           .distinct().count())
+    assert agg.kept == distinct_hashes
+
+
+def test_mix_weights_flatten_property(spark, sf_dir):
+    """weight·token_mass is capped at the uniform target share: no
+    group exceeds total/n_groups after weighting, and under-target
+    groups keep weight 1 (never upsampled)."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = P.mix_weights(d, "lang", "text").collect()
+    total = sum(r.n_tokens for r in rows)
+    target = total / len(rows)
+    for r in rows:
+        assert 0.0 < r.weight <= 1.0
+        if r.n_tokens <= target:
+            assert r.weight == 1.0
+        else:
+            assert r.weight * r.n_tokens <= target * 1.001
