@@ -67,9 +67,19 @@ def guarded_process(df: DataFrame,
     key per map partition BEFORE its shuffle, so its exchange ships
     ~|keys| rows; total cost ≈ one full arbitration pass (the losers
     branch — what ANY plan pays) + a key-cardinality-bounded side
-    shuffle, not 2×.
+    shuffle, not 2×. BECAUSE the window runs twice, the ordering must
+    be total per key or the branches could crown different winners —
+    a deterministic full-row hash is appended as the final tie-break,
+    so any two DISTINGUISHABLE rows order consistently across both
+    evaluations even when the caller's order_by ties (byte-identical
+    rows remain interchangeable, which is observationally harmless).
+    The reference gets the same totality from its TIMEUUID clustering
+    key (DeduplicationProvider.kt:230-233).
     """
-    arbitrated = dedup_first_wins(df, keys, order_by)
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    arbitrated = dedup_first_wins(
+        df.withColumn("_tb", tiebreak),
+        keys, list(order_by) + ["_tb"]).drop("_tb")
     out_schema = T.StructType(
         arbitrated.schema.fields
         + [T.StructField("result", result_type, True),

@@ -55,10 +55,15 @@ def hash_split(df: DataFrame, id_col: str, train_frac: float = 0.9,
     contamination when shards are re-run).
     """
     cut = int(round(train_frac * 256))
-    cut_hex = format(cut, "02x")
-    split = (F.when(F.substring(id_hash(id_col), 1, 2) < F.lit(cut_hex),
-                    F.lit("train"))
-              .otherwise(F.lit("test")))
+    if cut >= 256:      # 'train' for every bucket: format(256) is the
+        split = F.lit("train")  # 3-char '100', which sorts BELOW most
+    elif cut <= 0:      # 2-char prefixes and would invert the compare
+        split = F.lit("test")
+    else:
+        cut_hex = format(cut, "02x")
+        split = (F.when(F.substring(id_hash(id_col), 1, 2)
+                        < F.lit(cut_hex), F.lit("train"))
+                  .otherwise(F.lit("test")))
     return df.withColumn(split_col, split)
 
 
@@ -173,7 +178,6 @@ def token_budget_pack(docs: DataFrame, id_col: str, text_col: str,
     and ``bin_id = floor((cum_tokens - n_tokens) / budget)`` — the
     standard greedy fill rule.
     """
-    from distributed_deduplicator_spark.functions import text as TXT
     base = docs.select(
         F.col(id_col).alias("id"),
         TXT.token_count(text_col).cast("bigint").alias("n_tokens"),
@@ -200,7 +204,6 @@ def mix_weights(docs: DataFrame, group_col: str, text_col: str) -> DataFrame:
     on the tiny grouped result (|groups| rows), where an unpartitioned
     window is safe at any corpus scale.
     """
-    from distributed_deduplicator_spark.functions import text as TXT
     per = (docs.groupBy(F.col(group_col).alias("grp"))
                .agg(F.count("*").alias("n_docs"),
                     F.sum(TXT.token_count(text_col).cast("bigint"))
@@ -233,9 +236,8 @@ def chunk_exact_dedup(docs: DataFrame, id_col: str, text_col: str,
     pairs cross the wire, never chunk text (the md5 travels, not the
     tokens).
     """
-    from distributed_deduplicator_spark.functions import text as TXT
     base = docs.select(F.col(id_col).alias("id"),
-                      TXT.tokens(text_col).alias("_toks"))
+                       TXT.tokens(text_col).alias("_toks"))
     toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(

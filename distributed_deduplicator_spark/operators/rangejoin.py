@@ -37,28 +37,34 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
     """Inner-join points to intervals with
     ``key match AND start <= ts < end``, via bucket equi-join.
 
-    ``points`` and ``intervals`` column sets must be disjoint apart
-    from the join keys. Returns all point columns + all interval
-    columns for each match, each match exactly once.
+    Non-key column sets must be disjoint; ``point_key`` and
+    ``interval_key`` MAY share a name (both tables keyed ``user_id`` is
+    the natural call) — every join-condition column is resolved against
+    its own side, never by bare name. Returns all point columns + all
+    interval columns for each match, each match exactly once.
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
     bucket_us = int(bucket_seconds) * 1_000_000
 
-    def _bkt(c):  # floor-divide µs into bucket index, stays integral
-        return F.floor(F.unix_micros(F.col(c)) / F.lit(bucket_us)) \
+    def _bkt(side, c):  # floor-divide µs into bucket index
+        return F.floor(F.unix_micros(side[c]) / F.lit(bucket_us)) \
                 .cast("long")
 
-    p = points.withColumn("_pb", _bkt(ts_col))
+    p = points.withColumn("_pb", _bkt(points, ts_col))
     # one row per bucket the interval [start, end) covers; covering the
     # end bucket even for boundary-aligned ends is harmless — the exact
     # residual filter discards the overcoverage
     iv = intervals.withColumn(
-        "_ib", F.explode(F.sequence(_bkt(start_col), _bkt(end_col))))
+        "_ib", F.explode(F.sequence(_bkt(intervals, start_col),
+                                    _bkt(intervals, end_col))))
     joined = p.join(
         iv,
-        (F.col(point_key) == F.col(interval_key))
-        & (F.col("_pb") == F.col("_ib"))
-        & (F.col(ts_col) >= F.col(start_col))
-        & (F.col(ts_col) < F.col(end_col)))
+        (p[point_key] == iv[interval_key])
+        & (p["_pb"] == iv["_ib"])
+        & (p[ts_col] >= iv[start_col])
+        & (p[ts_col] < iv[end_col]))
+    if point_key == interval_key:
+        # same-name keys: keep the point side's copy only
+        joined = joined.drop(iv[interval_key])
     return joined.drop("_pb", "_ib")

@@ -505,7 +505,7 @@ def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 12) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
     """Cluster ids connected through a pair list: (id, cluster_id) with
     cluster_id = min id reachable from id.
 
@@ -518,9 +518,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     star-contraction family from the MapReduce-connectivity literature
     drops this to O(log n) if ever needed).
 
-    Driver-side loop with one action per round (the standard Spark
-    shape for iterative graph algorithms — bounded rounds, each round
-    one shuffle); terminates early when a round changes nothing.
+    Driver-side loop, each round one shuffle. Each round's label table
+    is persisted, MATERIALIZED, and the superseded round unpersisted
+    immediately — at most two label tables hold storage at any time,
+    however many rounds run. The loop exits only on convergence; if
+    ``max_iter`` rounds pass while labels are still moving it RAISES
+    (a silently truncated closure would split clusters — and every
+    oracle-checked consumer compares against a true recursive
+    closure), so callers with pathological diameters must raise the
+    cap explicitly rather than get wrong clusters.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
                   .where(F.col("src") != F.col("dst")))
@@ -530,24 +536,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     sym = _tracked_persist(sym)
     labels = (sym.select(F.col("src").alias("id"))
                  .distinct()
-                 .withColumn("label", F.col("id")))
+                 .withColumn("label", F.col("id"))
+                 .persist())
+    labels.count()  # materialize so each round starts from storage
     for _ in range(max_iter):
-        labels = _tracked_persist(labels)
         neighbor_min = (sym.join(labels, sym["dst"] == labels["id"])
                            .groupBy("src")
                            .agg(F.min("label").alias("nmin")))
         new_labels = (labels.join(neighbor_min,
                                   labels["id"] == neighbor_min["src"], "left")
                       .select(labels["id"],
-                              F.least("label", "nmin").alias("label")))
+                              F.least("label", "nmin").alias("label"))
+                      .persist())
+        new_labels.count()  # cut lineage reliance on the old round
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("id", F.col("label").alias("cluster_id"))
+            # hand the converged table to the caller's release hook
+            _PERSISTED.append(labels)
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    labels.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the component diameter exceeds max_iter — raise it (clusters "
+        "would otherwise be silently split)")
 
 
 # ---------------------------------------------------------------------------
@@ -641,7 +657,7 @@ def pq_codebooks(unit: DataFrame, m: int, ksub: int, dim: int) -> DataFrame:
 def pq_encode(unit: DataFrame, codebooks: DataFrame, m: int, ksub: int,
               dim: int) -> DataFrame:
     """PQ codes for every vector: per subspace, the L2-nearest centroid
-    of the vector's subvector. Returns (id, codes array<int>[m]).
+    of the vector's subvector. Returns (id, codes map<sub_id, code>).
 
     The scoring join is corpus × broadcast(m·ksub codebook) with a
     dsub-dim distance fold in codegen; the argmin is a struct-MIN
@@ -660,30 +676,32 @@ def pq_encode(unit: DataFrame, codebooks: DataFrame, m: int, ksub: int,
     best = (scored.groupBy("id", "sub_id")
                   .agg(F.min("sc").alias("b"))
                   .select("id", "sub_id", F.col("b.code").alias("code")))
+    # a MAP keyed by sub_id, not a positional array: if the corpus has
+    # fewer than m·ksub rows the sampled codebook is sparse and a
+    # positional pack would silently shift every later subspace
     return (best.groupBy("id")
-                .agg(F.array_sort(F.collect_list(
-                    F.struct("sub_id", "code"))).alias("p"))
-                .select("id", F.transform("p", lambda s: s["code"])
-                        .alias("codes")))
+                .agg(F.map_from_entries(F.collect_list(
+                    F.struct("sub_id", "code"))).alias("codes")))
 
 
 def pq_query_tables(unit: DataFrame, codebooks: DataFrame, m: int,
                     ksub: int, dim: int) -> DataFrame:
     """Per-query ADC lookup table: dot(query subvector, centroid) for
-    every (sub_id, code), packed as one array<double>[m·ksub] indexed
-    ``sub_id·ksub + code``. Returns (id, qtab)."""
+    every (sub_id, code), as a map keyed ``sub_id·ksub + code``.
+    Returns (id, qtab map<int, double>)."""
     dsub = dim // m
     sub = F.slice("unit", F.col("sub_id") * dsub + 1, dsub)
     dot = F.aggregate(F.zip_with(sub, "ccent", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, v: acc + v)
     slot = (F.col("sub_id") * ksub + F.col("code")).alias("slot")
+    # MAP keyed by slot (see pq_encode) — alignment-free under sparse
+    # codebooks; every encoded (sub_id, code) is present by
+    # construction (both sides enumerate the same codebook rows)
     return (unit.crossJoin(F.broadcast(codebooks))
                 .select("id", slot, dot.alias("dot"))
                 .groupBy("id")
-                .agg(F.array_sort(F.collect_list(
-                    F.struct("slot", "dot"))).alias("p"))
-                .select("id", F.transform("p", lambda s: s["dot"])
-                        .alias("qtab")))
+                .agg(F.map_from_entries(F.collect_list(
+                    F.struct("slot", "dot"))).alias("qtab")))
 
 
 def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
@@ -723,11 +741,16 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     cb = pq_codebooks(u, m, ksub, dim)
     codes = pq_encode(u, cb, m, ksub, dim)
     qtabs = pq_query_tables(u, cb, m, ksub, dim)
+    # Σ over the neighbor's PRESENT subspace codes (map entries):
+    # dot(q, x) ≈ Σ_s qtab[s·ksub + code_s(x)] — missing subspaces
+    # (possible only with a sparse sampled codebook) contribute 0
+    # instead of poisoning the sum with nulls
     adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
-        lambda acc, s: acc + F.element_at(
-            "qtab", (s * ksub + F.element_at("codes", s + 1) + 1)
-            .cast("int")))
+        F.map_entries("codes"), F.lit(0.0),
+        lambda acc, e: acc + F.coalesce(
+            F.element_at(F.col("qtab"),
+                         (e["key"] * ksub + e["value"]).cast("int")),
+            F.lit(0.0)))
     scored = (cand
               .join(qtabs.withColumnRenamed("id", "query_id"), "query_id")
               .join(codes.withColumnRenamed("id", "neighbor_id"),

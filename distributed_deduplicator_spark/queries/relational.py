@@ -780,17 +780,21 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("correlated_above_avg", oracle="""
 SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
 FROM orders o
-WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
-                          FROM orders o2
-                          WHERE o2.o_custkey = o.o_custkey)
+WHERE o_totalprice > 2 * (
+    SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*)
+    FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey)
 """)
 def q_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (orders above 2× their customer's
     mean), decorrelated to a window aggregate over the correlation key
     — one shuffle, zero extra scans (vs the naive plan's subquery per
-    row). The mean appears only inside an inequality predicate, never
-    in the output, so engine-level float-summation-order differences
-    cannot surface in the comparison; emitted columns are exact."""
+    row). The mean is never emitted, but it decides row MEMBERSHIP, so
+    a bare float avg would still let summation-order differences flip
+    a boundary row between engines — both sides therefore compute the
+    exact decimal sum divided by the count (identical IEEE division on
+    identical inputs), the module's standard float discipline."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
     cnt = F.count("*").over(w)

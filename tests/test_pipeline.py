@@ -93,8 +93,11 @@ def test_token_pack_greedy_invariants(spark, sf_dir):
     by_shard = {}
     for r in out:
         by_shard.setdefault(r.shard, []).append(r)
-    assert set(len(v) for v in by_shard.values()) and len(out) == \
-        d.count()
+    assert len(out) == d.count()
+    # 500 uniform md5 shards over 8 buckets: every shard populated
+    # (P(an empty shard) ≈ 8·(7/8)^500 ≈ 0); a broken hex→shard
+    # conversion that funnels everything into one bucket must fail here
+    assert len(by_shard) == 8, f"shards populated: {sorted(by_shard)}"
     for shard, rows in by_shard.items():
         rows.sort(key=lambda r: r.cum_tokens)
         prev_bin = 0
