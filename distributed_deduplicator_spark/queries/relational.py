@@ -986,3 +986,31 @@ def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.lit("ALL").alias("event_type"),
                          *quantiles(F.col("sk"))))
     return per.unionByName(merged)
+
+
+@query("join_full_outer_counts", oracle="""
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust
+      FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey, count(*) AS n_supp
+      FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+""")
+def q_join_full_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (high-balance
+    customer vs supplier counts per nation): nations present on either
+    side survive with zero-filled counts. Aggregating BEFORE the outer
+    join keeps the shuffle at |nations| rows per side — the
+    reduce-then-join discipline that makes outer joins cheap at scale."""
+    c = (_t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+         .groupBy("c_nationkey").agg(F.count("*").alias("n_cust")))
+    s = (_t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 5000)
+         .groupBy("s_nationkey").agg(F.count("*").alias("n_supp")))
+    j = c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+    return j.select(
+        F.coalesce(c["c_nationkey"], s["s_nationkey"]).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"))

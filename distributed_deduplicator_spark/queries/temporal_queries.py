@@ -269,3 +269,60 @@ def q_activity_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("query_id").alias("query_user"),
                       F.col("neighbor_id").alias("neighbor_user"),
                       "rank", F.round("cosine", 6).alias("cosine_r"))
+
+
+@query("window_fill_forward", oracle="""
+SELECT event_id, user_id, ts,
+       CAST(last_value(CASE WHEN event_type <> 'error' THEN value END
+                       IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS value_ff
+FROM events
+""")
+def q_window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over event time: error rows carry no reading, so
+    each row takes the most recent non-error value for its user
+    (last_value IGNORE NULLS over a running frame) — the standard
+    sensor/gap repair pass. One shuffle on user_id; leading gaps stay
+    null."""
+    from pyspark.sql import Window
+    e = load_table(spark, sf_dir, "events")
+    reading = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.last(reading, ignorenulls=True).over(w)
+         .cast("double").alias("value_ff"))
+
+
+@query("user_event_journey", oracle="""
+WITH firstn AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rk
+  FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+FROM firstn WHERE rk <= 10
+GROUP BY user_id
+""")
+def q_user_event_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: each user's first-10-event journey
+    as a '>'-joined path (funnel/journey analysis input). Rank filter
+    and ordered re-assembly share one user_id partitioning; the
+    collect_list carries (ts, event_id, type) structs so the join
+    order is explicit, not an accident of row arrival."""
+    from pyspark.sql import Window
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstn = (e.withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") <= 10))
+    return (firstn.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.concat_ws(">", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("ts", "event_id", "event_type"))),
+                     lambda s: s["event_type"])).alias("journey")))
