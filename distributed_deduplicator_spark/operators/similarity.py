@@ -519,14 +519,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     drops this to O(log n) if ever needed).
 
     Driver-side loop, each round one shuffle. Each round's label table
-    is persisted, MATERIALIZED, and the superseded round unpersisted
-    immediately — at most two label tables hold storage at any time,
-    however many rounds run. The loop exits only on convergence; if
-    ``max_iter`` rounds pass while labels are still moving it RAISES
-    (a silently truncated closure would split clusters — and every
-    oracle-checked consumer compares against a true recursive
-    closure), so callers with pathological diameters must raise the
-    cap explicitly rather than get wrong clusters.
+    is cut loose with an EAGER localCheckpoint: persist alone caches
+    data but leaves the logical plan nested — the old labels appear
+    twice per round (propagation join + change test), so the plan
+    doubles every round and ~14 rounds OOM the ANALYZER on a 15-row
+    chain (measured). Checkpointing resets the plan to a scan of the
+    materialized partitions; superseded rounds are reclaimed by
+    Spark's ContextCleaner as their references drop. The loop exits
+    only on convergence; if ``max_iter`` rounds pass while labels are
+    still moving it RAISES (a silently truncated closure would split
+    clusters — every oracle-checked consumer compares against a true
+    recursive closure), so pathological diameters demand an explicit
+    higher cap rather than getting wrong clusters.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
                   .where(F.col("src") != F.col("dst")))
@@ -537,8 +541,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (sym.select(F.col("src").alias("id"))
                  .distinct()
                  .withColumn("label", F.col("id"))
-                 .persist())
-    labels.count()  # materialize so each round starts from storage
+                 .localCheckpoint(eager=True))
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym["dst"] == labels["id"])
                            .groupBy("src")
@@ -547,19 +550,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                   labels["id"] == neighbor_min["src"], "left")
                       .select(labels["id"],
                               F.least("label", "nmin").alias("label"))
-                      .persist())
-        new_labels.count()  # cut lineage reliance on the old round
+                      .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
-            # hand the converged table to the caller's release hook
-            _PERSISTED.append(labels)
             return labels.select("id", F.col("label").alias("cluster_id"))
-    labels.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the component diameter exceeds max_iter — raise it (clusters "

@@ -165,3 +165,18 @@ def test_ivfpq_recall_and_exact_rerank(spark, emb):
         if (r.query_id, r.neighbor_id) in ex:
             assert abs(r.cosine - ex[(r.query_id, r.neighbor_id)]) < 1e-9
     S.release_persisted()
+
+
+def test_connected_components_long_chain_and_cap(spark):
+    """A 15-node chain (diameter 14) must fully converge to one
+    cluster — the silent-truncation regression — and an insufficient
+    max_iter must RAISE, never return split clusters."""
+    import pytest
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(14)], ["id_a", "id_b"])
+    labels = {r.id: r.cluster_id
+              for r in S.connected_components(pairs).collect()}
+    assert set(labels.values()) == {0}, labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        S.connected_components(pairs, max_iter=3)
+    S.release_persisted()
