@@ -221,6 +221,59 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     return videos.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("window_index", T.IntegerType(), False),
+    T.StructField("start_byte", T.LongType(), False),
+    T.StructField("window_payload", T.BinaryType(), False),
+])
+
+
+def window_audio(media: DataFrame, window_bytes: int = 256,
+                 hop_bytes: int = 128) -> DataFrame:
+    """Overlapping-window framing of audio payloads — the 1-D analog
+    of :func:`sample_frames` and the batch shape feeding any
+    spectrogram/feature front end (window + hop, windows overlap when
+    hop < window).
+
+    Real PCM decode needs an audio codec (absent here); windows slice
+    the raw byte stream, which keeps the Spark side — the 1→N Arrow
+    fan-out, deterministic offsets, per-window downstream joins —
+    fully real and testable. A decoded pipeline swaps byte offsets for
+    sample offsets, nothing else changes.
+
+    Fan-out contract: a payload of L > 0 bytes yields
+    ``1 + max(ceil((L - window) / hop), 0)`` windows (every byte is
+    covered; the last window may be short); L == 0 yields none.
+    """
+    if window_bytes <= 0 or hop_bytes <= 0:
+        raise ValueError("window_bytes and hop_bytes must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "window_index": [],
+                   "start_byte": [], "window_payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                n = len(payload)
+                i = 0
+                while True:
+                    start = i * hop_bytes
+                    out["media_id"].append(mid)
+                    out["window_index"].append(i)
+                    out["start_byte"].append(start)
+                    out["window_payload"].append(
+                        payload[start:start + window_bytes])
+                    if start + window_bytes >= n:
+                        break
+                    i += 1
+            yield pd.DataFrame(out)
+
+    audio = media.where(F.col("media_type") == "audio")
+    return audio.mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def feature_near_dup(features: DataFrame, threshold: float = 0.999,
                      id_col: str = "media_id",
                      vec_col: str = "feature") -> DataFrame:

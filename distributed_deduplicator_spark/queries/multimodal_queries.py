@@ -192,3 +192,35 @@ def q_multimodal_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .withColumn("media_id", F.col("media_id") + 100000))
     feats = MM.extract_features(media.unionByName(clones))
     return MM.feature_near_dup(feats, threshold=0.999)
+
+
+_AW_WIN = 256
+_AW_HOP = 128
+
+
+@query("multimodal_audio_windows", oracle=f"""
+WITH a AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0),
+idx AS (
+  SELECT media_id, n,
+         unnest(range(greatest((n - {_AW_WIN} + {_AW_HOP} - 1)
+                               // {_AW_HOP}, 0) + 1)) AS i
+  FROM a)
+SELECT media_id, CAST(i AS INTEGER) AS window_index,
+       i * {_AW_HOP} AS start_byte,
+       least({_AW_WIN}, n - i * {_AW_HOP}) AS window_len
+FROM idx
+""")
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plumbing: each audio payload fans out to
+    overlapping 256-byte windows at 128-byte hop via mapInPandas
+    (operators/multimodal.py window_audio — codec stubbed, offsets
+    deterministic). Window offsets, indices, and lengths are
+    oracle-checked; window bytes themselves are opaque."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(d)
+    w = MM.window_audio(media, window_bytes=_AW_WIN, hop_bytes=_AW_HOP)
+    return w.select("media_id", "window_index", "start_byte",
+                    F.length("window_payload").cast("bigint")
+                     .alias("window_len"))
