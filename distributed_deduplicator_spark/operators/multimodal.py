@@ -51,17 +51,22 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     payload = utf-8 bytes of the text (a stand-in corpus of opaque
     blobs with realistic size skew), media_type assigned round-robin.
     """
+    from distributed_deduplicator_spark.sources.fixtures import fanout
     mt = F.element_at(F.lit(["image", "audio", "video"]),
                       (F.col("doc_id") % 3 + 1).cast("int"))
     payload = F.encode(F.col("text"), "utf-8")
-    return docs.select(
+    # fan the (single-split) fixture scan out so every downstream
+    # Arrow/mapInPandas stage runs at cluster parallelism — at real
+    # scale the scan already has >= cluster-width splits and this is
+    # a no-op (sources.fixtures.fanout)
+    return fanout(docs.select(
         F.col("doc_id").alias("media_id"),
         mt.alias("media_type"),
         payload.alias("payload"),
         F.struct(F.col("source").alias("source"),
                  F.col("lang").alias("lang"),
                  F.octet_length(payload).cast("long").alias("n_bytes"))
-         .alias("meta"))
+         .alias("meta")))
 
 
 def _fake_decode_features(payload: bytes) -> list[float]:

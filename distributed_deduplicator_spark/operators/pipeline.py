@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from distributed_deduplicator_spark.functions import text as TXT
+from distributed_deduplicator_spark.sources.fixtures import fanout
 
 
 def id_hash(id_col: Column | str) -> Column:
@@ -124,8 +125,9 @@ def repetition_stats(docs: DataFrame, id_col: str, text_col: str,
     and then one per doc, never the raw token stream. Never a per-row
     O(tokens²) array scan.
     """
-    base = docs.select(F.col(id_col).alias("id"),
-                       TXT.tokens(text_col).alias("_toks"))
+    base = fanout(docs.select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("_text"))) \
+        .select("id", TXT.tokens("_text").alias("_toks"))
     tok = (base.where(F.size("_toks") > 0)
                .select("id", F.explode("_toks").alias("w")))
     counts = tok.groupBy("id", "w").agg(F.count("*").alias("n"))
@@ -178,10 +180,11 @@ def token_budget_pack(docs: DataFrame, id_col: str, text_col: str,
     and ``bin_id = floor((cum_tokens - n_tokens) / budget)`` — the
     standard greedy fill rule.
     """
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        TXT.token_count(text_col).cast("bigint").alias("n_tokens"),
-        id_hash(id_col).alias("_h"))
+    base = fanout(docs.select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("_text"),
+                              id_hash(id_col).alias("_h"))) \
+        .select("id", TXT.token_count("_text").cast("bigint")
+                .alias("n_tokens"), "_h")
     shard = (F.conv(F.substring("_h", 1, 4), 16, 10).cast("bigint")
              % n_shards).cast("int")
     w = (Window.partitionBy("shard").orderBy("_h", "id")
@@ -204,10 +207,12 @@ def mix_weights(docs: DataFrame, group_col: str, text_col: str) -> DataFrame:
     on the tiny grouped result (|groups| rows), where an unpartitioned
     window is safe at any corpus scale.
     """
-    per = (docs.groupBy(F.col(group_col).alias("grp"))
-               .agg(F.count("*").alias("n_docs"),
-                    F.sum(TXT.token_count(text_col).cast("bigint"))
-                     .alias("n_tokens")))
+    per = (fanout(docs.select(F.col(group_col).alias("grp"),
+                              F.col(text_col).alias("_text")))
+           .groupBy("grp")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(TXT.token_count("_text").cast("bigint"))
+                 .alias("n_tokens")))
     w_all = Window.partitionBy()
     total = F.sum("n_tokens").over(w_all)
     n_groups = F.count("*").over(w_all)
@@ -236,8 +241,9 @@ def chunk_exact_dedup(docs: DataFrame, id_col: str, text_col: str,
     pairs cross the wire, never chunk text (the md5 travels, not the
     tokens).
     """
-    base = docs.select(F.col(id_col).alias("id"),
-                       TXT.tokens(text_col).alias("_toks"))
+    base = fanout(docs.select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("_text"))) \
+        .select("id", TXT.tokens("_text").alias("_toks"))
     toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
