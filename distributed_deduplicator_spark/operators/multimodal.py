@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from distributed_deduplicator_spark.sources.fixtures import fanout
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("media_type", T.StringType(), False),   # image|audio|video
@@ -51,7 +53,6 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     payload = utf-8 bytes of the text (a stand-in corpus of opaque
     blobs with realistic size skew), media_type assigned round-robin.
     """
-    from distributed_deduplicator_spark.sources.fixtures import fanout
     mt = F.element_at(F.lit(["image", "audio", "video"]),
                       (F.col("doc_id") % 3 + 1).cast("int"))
     payload = F.encode(F.col("text"), "utf-8")

@@ -121,9 +121,10 @@ def repetition_stats(docs: DataFrame, id_col: str, text_col: str,
 
     Scale: explode → count by (doc, token) → re-aggregate. Two
     exchanges — (doc, token) then (doc) — but BOTH are map-side
-    combinable, so what shuffles is one row per distinct (doc, token)
-    and then one per doc, never the raw token stream. Never a per-row
-    O(tokens²) array scan.
+    combinable, so the aggregation shuffles carry one row per distinct
+    (doc, token) and then one per doc, never the raw token stream.
+    Never a per-row O(tokens²) array scan. (Plus the fanout pre-pass —
+    fixture-scale only, no-op at real scale.)
     """
     base = fanout(docs.select(F.col(id_col).alias("id"),
                               F.col(text_col).alias("_text"))) \
@@ -203,9 +204,10 @@ def mix_weights(docs: DataFrame, group_col: str, text_col: str) -> DataFrame:
     ``weight = min(1, target_share / actual_share)``.
 
     The heavy part is ONE map-side-combinable aggregation over the
-    corpus (exact BIGINT token sums); the share/weight arithmetic runs
-    on the tiny grouped result (|groups| rows), where an unpartitioned
-    window is safe at any corpus scale.
+    corpus (exact BIGINT token sums; the fanout pre-pass is
+    fixture-scale only); the share/weight arithmetic runs on the tiny
+    grouped result (|groups| rows), where an unpartitioned window is
+    safe at any corpus scale.
     """
     per = (fanout(docs.select(F.col(group_col).alias("grp"),
                               F.col(text_col).alias("_text")))
@@ -237,9 +239,11 @@ def chunk_exact_dedup(docs: DataFrame, id_col: str, text_col: str,
 
     Returns one row per doc: (id, n_chunks, n_dup_chunks, dup_ratio).
     Scale: explode → one window keyed by chunk hash (hash-partitioned,
-    tiny per-group sorts) → re-aggregate per doc; only (doc, hash)
-    pairs cross the wire, never chunk text (the md5 travels, not the
-    tokens).
+    tiny per-group sorts) → re-aggregate per doc; the dedup shuffles
+    carry only (doc, hash) pairs — never chunk text. (The fanout
+    pre-pass round-robins raw docs once to beat the fixture's
+    single-split scan; it is a no-op at real scale, where the scan
+    already has cluster-width splits.)
     """
     base = fanout(docs.select(F.col(id_col).alias("id"),
                               F.col(text_col).alias("_text"))) \

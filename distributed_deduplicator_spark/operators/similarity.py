@@ -45,6 +45,7 @@ from distributed_deduplicator_spark.sources.fixtures import fanout
 # operators should call release_persisted() at checkpoint boundaries).
 
 _PERSISTED: list[DataFrame] = []
+_CHECKPOINTED_JRDDS: list = []   # java RDD handles from localCheckpoint
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
@@ -53,13 +54,36 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _persistent_jrdds(sc) -> dict:
+    """id → java RDD handle for every currently persisted RDD."""
+    jmap = sc._jsc.getPersistentRDDs()
+    return {int(k): jmap.get(k) for k in jmap.keySet().toArray()}
+
+
+def _checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, list]:
+    """Eager localCheckpoint that also captures the checkpoint's
+    backing RDD handles (DataFrame.unpersist does NOT release
+    checkpoint storage — it lives in RDD blocks the cache manager
+    never sees), so callers can free superseded rounds explicitly
+    instead of waiting on driver-GC-triggered ContextCleaner."""
+    sc = df.sparkSession.sparkContext
+    before = set(_persistent_jrdds(sc))
+    out = df.localCheckpoint(eager=True)
+    after = _persistent_jrdds(sc)
+    return out, [h for i, h in after.items() if i not in before]
+
+
 def release_persisted() -> int:
-    """Unpersist every DataFrame persisted by operators in this module
-    since the last release; returns how many were released."""
-    n = len(_PERSISTED)
+    """Unpersist every DataFrame persisted (and every checkpoint RDD
+    captured) by operators in this module since the last release;
+    returns how many handles were released."""
+    n = len(_PERSISTED) + len(_CHECKPOINTED_JRDDS)
     for df in _PERSISTED:
         df.unpersist()
     _PERSISTED.clear()
+    for h in _CHECKPOINTED_JRDDS:
+        h.unpersist(False)
+    _CHECKPOINTED_JRDDS.clear()
     return n
 
 
@@ -524,8 +548,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     twice per round (propagation join + change test), so the plan
     doubles every round and ~14 rounds OOM the ANALYZER on a 15-row
     chain (measured). Checkpointing resets the plan to a scan of the
-    materialized partitions; superseded rounds are reclaimed by
-    Spark's ContextCleaner as their references drop. The loop exits
+    materialized partitions. Checkpoint storage is NOT governed by
+    DataFrame.unpersist (it lives in RDD blocks the cache manager
+    never sees), so each superseded round's backing RDDs are captured
+    and unpersisted explicitly the moment the next round materializes
+    — at most two rounds hold blocks at any time — and the final
+    round's handles go to the module release hook. The loop exits
     only on convergence; if ``max_iter`` rounds pass while labels are
     still moving it RAISES (a silently truncated closure would split
     clusters — every oracle-checked consumer compares against a true
@@ -538,26 +566,31 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = _tracked_persist(sym)
-    labels = (sym.select(F.col("src").alias("id"))
-                 .distinct()
-                 .withColumn("label", F.col("id"))
-                 .localCheckpoint(eager=True))
+    labels, cur_handles = _checkpoint_tracked(
+        sym.select(F.col("src").alias("id"))
+           .distinct()
+           .withColumn("label", F.col("id")))
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym["dst"] == labels["id"])
                            .groupBy("src")
                            .agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels["id"] == neighbor_min["src"], "left")
-                      .select(labels["id"],
-                              F.least("label", "nmin").alias("label"))
-                      .localCheckpoint(eager=True))
+        new_labels, new_handles = _checkpoint_tracked(
+            labels.join(neighbor_min,
+                        labels["id"] == neighbor_min["src"], "left")
+                  .select(labels["id"],
+                          F.least("label", "nmin").alias("label")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
-        labels = new_labels
+        for h in cur_handles:       # free the superseded round NOW
+            h.unpersist(False)
+        labels, cur_handles = new_labels, new_handles
         if changed == 0:
+            _CHECKPOINTED_JRDDS.extend(cur_handles)
             return labels.select("id", F.col("label").alias("cluster_id"))
+    for h in cur_handles:
+        h.unpersist(False)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the component diameter exceeds max_iter — raise it (clusters "

@@ -179,4 +179,9 @@ def test_connected_components_long_chain_and_cap(spark):
     assert set(labels.values()) == {0}, labels
     with pytest.raises(RuntimeError, match="did not converge"):
         S.connected_components(pairs, max_iter=3)
-    S.release_persisted()
+    # checkpointed label tables must be released like persisted ones:
+    # no storage left behind after the module release hook
+    assert S.release_persisted() > 0
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() == 0, \
+        f"{jmap.size()} checkpoint RDDs leaked past release"
