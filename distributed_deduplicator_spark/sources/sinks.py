@@ -81,3 +81,24 @@ def create_table_if_not_exists(spark: SparkSession, name: str,
     if not spark.catalog.tableExists(name):
         df.write.mode("errorifexists").option("path", path) \
           .saveAsTable(name)
+
+
+def write_range_partitioned(df: DataFrame, path: str,
+                            range_cols: Sequence[str],
+                            n_partitions: int,
+                            sort_within: Sequence[str] | None = None,
+                            mode: str = "overwrite") -> None:
+    """Range-partitioned, sorted parquet layout: rows are globally
+    range-partitioned on ``range_cols`` (repartitionByRange — one
+    sampling pass + one shuffle) and sorted inside each file.
+
+    THE layout knob for time-series/ordered scans at 100 TB: each
+    output file covers a disjoint key range, so parquet footer
+    min/max statistics prune whole files for range predicates
+    (the storage-side analog of the reference's clustering order,
+    DeduplicationProvider.kt:233). Verified by footer-statistics
+    disjointness assertion in tests/test_sinks_multimodal.py.
+    """
+    out = df.repartitionByRange(n_partitions, *range_cols)
+    out = out.sortWithinPartitions(*(sort_within or range_cols))
+    out.write.mode(mode).parquet(path)

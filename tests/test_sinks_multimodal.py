@@ -153,3 +153,33 @@ def test_streaming_guarded_ledger(spark, sf_dir):
             assert r.error and r.result is None and r.value < 0
         else:
             assert r.result == f"{r.user_id}:{r.event_type}"
+
+
+def test_range_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Files written by write_range_partitioned must cover DISJOINT
+    ts ranges (parquet footer min/max → file-level pruning), and a
+    range predicate over the result must read fewer files than exist."""
+    import pyarrow.parquet as pq
+    import glob
+    from distributed_deduplicator_spark.sources import load_table
+    from distributed_deduplicator_spark.sources.sinks import (
+        write_range_partitioned)
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "range_parts")
+    write_range_partitioned(e, path, ["ts"], n_partitions=8)
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = min(md.row_group(i).column(1).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(1).statistics.max
+                 for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+    # round-trip integrity
+    back = spark.read.parquet(path)
+    assert back.count() == e.count()
