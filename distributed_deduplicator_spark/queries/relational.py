@@ -1014,3 +1014,31 @@ def q_join_full_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(c["c_nationkey"], s["s_nationkey"]).alias("nationkey"),
         F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
         F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+
+
+@query("salted_skew_join_revenue", oracle="""
+SELECT c_nationkey AS nationkey,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+""")
+def q_salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join under the correctness gate: events salted
+    into 16 sub-keys join the customer dim replicated per salt, then
+    per-nation rollup — the explicit-salting plan for the hot-key case
+    where one user's rows would melt a single reducer (the burst
+    analog of the reference's contention story, R13). The oracle is
+    the PLAIN join: salting must be invisible in the result."""
+    from distributed_deduplicator_spark.operators.relational import (
+        salted_join)
+    e = (_t(spark, sf_dir, "events")
+         .select(F.col("user_id").alias("ukey"), "value"))
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("ukey"), "c_nationkey"))
+    j = salted_join(e, c, on="ukey", n_salt=16)
+    return (j.groupBy(F.col("c_nationkey").alias("nationkey"))
+             .agg(F.count("*").alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                   .cast("double").alias("total_value")))
