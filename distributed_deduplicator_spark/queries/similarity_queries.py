@@ -313,3 +313,37 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_ivf_topk(emb, k=_TOPK, nprobe=4,
                           n=table_row_count(sf_dir, "embeddings"))
+
+
+@query("near_dup_ensemble")  # rows-only: two of three voters are
+def q_near_dup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup consensus: MinHash-LSH (token-set evidence),
+    SimHash (weighted-feature evidence), and winnowing (shared-substring
+    evidence) each nominate pairs; a pair survives with >= 2 of 3
+    independent votes. The production pattern for high-precision corpus
+    dedup — each detector has a different blind spot, and requiring
+    agreement suppresses each one's false positives. All three voters
+    share the shuffle discipline (banded/pigeonhole/fingerprint
+    equi-joins, never n^2); the consensus itself is one tiny groupBy
+    over nominated pairs. Exactness of the two deterministic voters is
+    property-tested in tests/test_similarity.py; MinHash recall is
+    gate-tested."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = (S.minhash_near_dup(d, "doc_id", "text", n=_NGRAM,
+                             num_hashes=64, bands=16, rows=4,
+                             threshold=_JACCARD_THRESHOLD)
+          .select("id_a", "id_b", F.lit("minhash").alias("method")))
+    sh = (S.simhash_near_dup(d, "doc_id", "text", max_hamming=12)
+          .select("id_a", "id_b", F.lit("simhash").alias("method")))
+    wn = (S.winnow_near_dup(d, "doc_id", "text", k=5, window=4,
+                            min_shared=2)
+          .select(F.col("id_a"), F.col("id_b"),
+                  F.lit("winnow").alias("method")))
+    votes = mh.unionByName(sh).unionByName(wn)
+    return (votes.groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("n_votes"),
+                      F.array_sort(F.collect_list("method"))
+                       .alias("methods"))
+                 .where(F.col("n_votes") >= 2)
+                 .select("id_a", "id_b", "n_votes",
+                         F.concat_ws(",", "methods").alias("methods")))

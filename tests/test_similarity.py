@@ -185,3 +185,25 @@ def test_connected_components_long_chain_and_cap(spark):
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     assert jmap.size() == 0, \
         f"{jmap.size()} checkpoint RDDs leaked past release"
+
+
+def test_near_dup_ensemble_consensus(spark, docs, sf_dir):
+    """Consensus survivors carry >= 2 distinct method votes, pairs are
+    canonically ordered, and the strong planted near-dups (the fixture
+    clones that the exact Jaccard join finds) get full 3/3 consensus."""
+    from distributed_deduplicator_spark.queries.registry import QUERIES
+    rows = QUERIES["near_dup_ensemble"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.id_a < r.id_b
+        methods = r.methods.split(",")
+        assert len(methods) == r.n_votes >= 2
+        assert len(set(methods)) == r.n_votes, "duplicate votes"
+    exact = {(r.id_a, r.id_b) for r in
+             S.jaccard_similarity_join(docs, "doc_id", "text",
+                                       n=3, threshold=0.5).collect()}
+    full = {(r.id_a, r.id_b) for r in rows if r.n_votes == 3}
+    missed = exact - full
+    assert len(missed) <= max(1, len(exact) // 5), \
+        f"strong pairs without full consensus: {missed}"
+    S.release_persisted()
