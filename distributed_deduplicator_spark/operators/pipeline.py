@@ -238,12 +238,14 @@ def chunk_exact_dedup(docs: DataFrame, id_col: str, text_col: str,
     (DeduplicationProvider.kt:67-94) with the chunk hash as the key.
 
     Returns one row per doc: (id, n_chunks, n_dup_chunks, dup_ratio).
-    Scale: explode → one window keyed by chunk hash (hash-partitioned,
-    tiny per-group sorts) → re-aggregate per doc; the dedup shuffles
-    carry only (doc, hash) pairs — never chunk text. (The fanout
-    pre-pass round-robins raw docs once to beat the fixture's
-    single-split scan; it is a no-op at real scale, where the scan
-    already has cluster-width splits.)
+    Scale: explode → per-hash winner via struct-MIN AGGREGATE + join —
+    deliberately NOT a row_number window: a ubiquitous boilerplate
+    chunk puts millions of rows under one hash, and a window sort on
+    that key is a single unsplittable reducer, while the MIN aggregate
+    combines map-side and the winner join is AQE-skew-splittable. The
+    dedup shuffles carry only (doc, hash) pairs — never chunk text.
+    (The fanout pre-pass round-robins raw docs once to beat the
+    fixture's single-split scan; no-op at real scale.)
     """
     base = fanout(docs.select(F.col(id_col).alias("id"),
                               F.col(text_col).alias("_text"))) \
@@ -256,9 +258,12 @@ def chunk_exact_dedup(docs: DataFrame, id_col: str, text_col: str,
             " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))))
     ex = (base.where(F.size(toks) > 0)
               .select("id", F.posexplode(chunks).alias("chunk_idx", "h")))
-    w = Window.partitionBy("h").orderBy("id", "chunk_idx")
-    flagged = ex.withColumn(
-        "dup", F.row_number().over(w) > 1)
+    winners = (ex.groupBy("h")
+                 .agg(F.min(F.struct("id", "chunk_idx")).alias("w")))
+    flagged = (ex.join(winners, "h")
+                 .select("id", ((F.col("id") != F.col("w.id"))
+                                | (F.col("chunk_idx")
+                                   != F.col("w.chunk_idx"))).alias("dup")))
     return (flagged.groupBy("id")
             .agg(F.count("*").alias("n_chunks"),
                  F.sum(F.col("dup").cast("bigint")).alias("n_dup_chunks"))
