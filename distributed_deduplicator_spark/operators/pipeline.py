@@ -181,6 +181,8 @@ def token_budget_pack(docs: DataFrame, id_col: str, text_col: str,
     and ``bin_id = floor((cum_tokens - n_tokens) / budget)`` — the
     standard greedy fill rule.
     """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
     base = fanout(docs.select(F.col(id_col).alias("id"),
                               F.col(text_col).alias("_text"),
                               id_hash(id_col).alias("_h"))) \
@@ -247,6 +249,8 @@ def chunk_exact_dedup(docs: DataFrame, id_col: str, text_col: str,
     (The fanout pre-pass round-robins raw docs once to beat the
     fixture's single-split scan; no-op at real scale.)
     """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
     base = fanout(docs.select(F.col(id_col).alias("id"),
                               F.col(text_col).alias("_text"))) \
         .select("id", TXT.tokens("_text").alias("_toks"))
