@@ -1042,3 +1042,41 @@ def q_salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n_events"),
                   F.sum(F.col("value").cast("decimal(18,2)"))
                    .cast("double").alias("total_value")))
+
+
+@query("disjunctive_predicate_revenue", oracle="""
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 50)
+""")
+def q_disjunctive_predicate_revenue(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunctive clauses spanning
+    both join sides. Catalyst distributes the common p_partkey
+    equi-key out of the disjunction (the join stays a hash join, never
+    a nested loop) and pushes each side's derivable residual
+    (p_brand IN..., l_quantity range hull) below the join — the
+    disjunction-handling edge a planner either gets right or pays a
+    full-table join for."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
+    clause = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand) & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi))
+    cond = (clause("Brand#12", 15, 1, 30)
+            | clause("Brand#23", 25, 10, 40)
+            | clause("Brand#34", 35, 20, 50))
+    return (j.where(cond)
+             .agg(F.sum((F.col("l_extendedprice")
+                         * (1 - F.col("l_discount")))
+                        .cast("decimal(18,4)")).cast("double")
+                  .alias("revenue"),
+                  F.count("*").alias("n_items")))
