@@ -670,8 +670,8 @@ def pq_codebooks(unit: DataFrame, m: int, ksub: int, dim: int) -> DataFrame:
     (sub_id, code, ccent array<double>[dim/m]) — m·ksub rows, always
     broadcastable.
     """
-    if m <= 0 or ksub <= 0:
-        raise ValueError("pq: m and ksub must be positive")
+    if m <= 0 or ksub <= 0 or dim <= 0:
+        raise ValueError("pq: m, ksub, and dim must be positive")
     if dim % m:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     dsub = dim // m

@@ -315,7 +315,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n=table_row_count(sf_dir, "embeddings"))
 
 
-@query("near_dup_ensemble")  # rows-only: two of three voters are
+@query("near_dup_ensemble")  # rows-only: consensus of approximate
+# voters has no SQL twin; the deterministic voters are
+# property-tested and MinHash recall is gate-tested
 def q_near_dup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble near-dup consensus: MinHash-LSH (token-set evidence),
     SimHash (weighted-feature evidence), and winnowing (shared-substring
@@ -333,7 +335,11 @@ def q_near_dup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                              num_hashes=64, bands=16, rows=4,
                              threshold=_JACCARD_THRESHOLD)
           .select("id_a", "id_b", F.lit("minhash").alias("method")))
-    sh = (S.simhash_near_dup(d, "doc_id", "text", max_hamming=12)
+    # radius 3 keeps the pigeonhole pieces 16 bits wide (65k-value
+    # buckets); a loose radius like 12 would shrink pieces to 4 bits
+    # and degrade the banding toward all-pairs — never n² (module
+    # docstring contract)
+    sh = (S.simhash_near_dup(d, "doc_id", "text", max_hamming=3)
           .select("id_a", "id_b", F.lit("simhash").alias("method")))
     wn = (S.winnow_near_dup(d, "doc_id", "text", k=5, window=4,
                             min_shared=2)

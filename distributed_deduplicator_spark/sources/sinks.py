@@ -93,10 +93,13 @@ def write_range_partitioned(df: DataFrame, path: str,
     sampling pass + one shuffle) and sorted inside each file.
 
     THE layout knob for time-series/ordered scans at 100 TB: each
-    output file covers a disjoint key range, so parquet footer
-    min/max statistics prune whole files for range predicates
-    (the storage-side analog of the reference's clustering order,
-    DeduplicationProvider.kt:233). Verified by footer-statistics
+    output file covers a disjoint key range, so every row group's
+    parquet min/max statistics are tight and range predicates skip
+    whole row groups in the vectorized reader (and whole FILES under
+    a table format that indexes file stats — Delta/Iceberg-style
+    catalogs; vanilla Spark parquet scans still list every file).
+    The storage-side analog of the reference's clustering order
+    (DeduplicationProvider.kt:233). Verified by footer-statistics
     disjointness assertion in tests/test_sinks_multimodal.py.
     """
     out = df.repartitionByRange(n_partitions, *range_cols)

@@ -157,8 +157,11 @@ def test_streaming_guarded_ledger(spark, sf_dir):
 
 def test_range_partitioned_write_prunes(spark, sf_dir, tmp_path):
     """Files written by write_range_partitioned must cover DISJOINT
-    ts ranges (parquet footer min/max → file-level pruning), and a
-    range predicate over the result must read fewer files than exist."""
+    ts ranges — the property that makes every row group's footer
+    min/max tight, so range predicates skip row groups (and whole
+    files under stats-indexing table formats; plain Spark parquet
+    still lists every file, verified: numFiles metric stays at the
+    file count while numOutputRows drops to the matching rows)."""
     import pyarrow.parquet as pq
     import glob
     from distributed_deduplicator_spark.sources import load_table
