@@ -1,8 +1,13 @@
 """Similarity / near-dup queries (SURVEY.md Phase 5; the north-star
 LLM-pipeline suite): exact n-gram Jaccard join (oracle-checked),
 MinHash-LSH near-dup (rows-only; verified against the exact join in
-tests), SimHash (rows-only), brute-force cosine top-k (oracle-checked)
-and LSH-bucketed ANN (rows-only; recall-tested)."""
+tests), SimHash and winnowing pairs (rows-only; exactness
+property-tested), an ensemble 2-of-3 consensus of the three,
+dedup clusters (recursive-CTE oracle) with cluster-level keep-one,
+brute-force cosine top-k (oracle-checked), blocked exact cosine
+near-dup (oracle-checked), and three ANN scale paths —
+random-hyperplane LSH, IVF-flat, IVF-PQ — all recall-gated against
+brute force."""
 
 from __future__ import annotations
 
