@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from distributed_deduplicator_spark.functions.timeutil import ts_micros
+
 # Reference state codes: provider/DeduplicationProvider.kt:250-257.
 STATE_SUCCESS = 1
 STATE_DUPLICATE = 2
@@ -287,7 +289,7 @@ def _ttl_jvm(df: DataFrame, keys: Sequence[str], ts_col: str,
         F.lit("verdicts"), F.array().cast("array<string>"))
 
     def step(acc, attempt):
-        t_us = F.unix_micros(attempt[ts_col])
+        t_us = ts_micros(attempt[ts_col])
         accepted = acc["last"].isNull() | (t_us - acc["last"] >= ttl_us)
         return F.named_struct(
             F.lit("last"), F.when(accepted, t_us).otherwise(acc["last"]),

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from distributed_deduplicator_spark.functions.timeutil import ts_micros
+
 
 def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
                            point_key: str, interval_key: str,
@@ -48,7 +50,7 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
     bucket_us = int(bucket_seconds) * 1_000_000
 
     def _bkt(side, c):  # floor-divide µs into bucket index
-        return F.floor(F.unix_micros(side[c]) / F.lit(bucket_us)) \
+        return F.floor(ts_micros(side[c]) / F.lit(bucket_us)) \
                 .cast("long")
 
     p = points.withColumn("_pb", _bkt(points, ts_col))

@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from distributed_deduplicator_spark.functions.timeutil import ts_micros
+
 
 def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
                gap_seconds: int, order_by: Sequence[str] | None = None,
@@ -43,10 +45,10 @@ def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
     order = list(order_by) if order_by else [ts_col]
     w = Window.partitionBy(*keys).orderBy(*order)
     gap_us = int(gap_seconds) * 1_000_000
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_us = F.lag(ts_micros(ts_col)).over(w)
     boundary = F.when(
         prev_us.isNull()
-        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us), 1).otherwise(0)
+        | (ts_micros(ts_col) - prev_us > gap_us), 1).otherwise(0)
     running = Window.partitionBy(*keys).orderBy(*order) \
                     .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("_b", boundary) \
@@ -63,8 +65,8 @@ def session_stats(df: DataFrame, keys: Sequence[str], ts_col: str,
              .agg(F.count("*").alias("n_events"),
                   F.min(ts_col).alias("session_start"),
                   F.max(ts_col).alias("session_end"),
-                  ((F.unix_micros(F.max(ts_col))
-                    - F.unix_micros(F.min(ts_col))) / F.lit(1_000_000.0))
+                  ((ts_micros(F.max(ts_col))
+                    - ts_micros(F.min(ts_col))) / F.lit(1_000_000.0))
                   .alias("duration_s")))
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from distributed_deduplicator_spark.functions.timeutil import ts_micros
 from distributed_deduplicator_spark.operators.relational import (
     join_dim, topk_per_group, topk_global)
 from distributed_deduplicator_spark.queries.registry import query
@@ -283,7 +284,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", "event_id",
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.lead("event_id").over(w).alias("next_event_id"),
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        (ts_micros("ts") - ts_micros(F.lag("ts").over(w)))
         .alias("usecs_since_prev"))
 
 

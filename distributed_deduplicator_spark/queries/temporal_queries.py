@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_deduplicator_spark.functions.timeutil import ts_micros
 from distributed_deduplicator_spark.operators import temporal as TP
 from distributed_deduplicator_spark.queries.registry import query
 from distributed_deduplicator_spark.sources import load_table
@@ -207,7 +208,7 @@ def q_rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     e = load_table(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id")
-               .orderBy(F.unix_micros("ts"))
+               .orderBy(ts_micros("ts"))
                .rangeBetween(-_ROLL_US, 0))
     return e.select(
         "event_id", "user_id", "ts",

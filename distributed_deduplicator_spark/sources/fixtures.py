@@ -42,8 +42,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     # Defensive: the driver may hand us a session built without our
-    # defaults; this SQL conf is runtime-settable.
+    # defaults; these SQL confs are runtime-settable. Fixture timestamps
+    # are tz-naive parquet timestamp[us]; with NTZ inference on, Spark
+    # reads them as TIMESTAMP_NTZ, which unix_micros() and Structured
+    # Streaming watermarks reject. The session tz is pinned UTC
+    # (session.py), so reading them as plain TIMESTAMP is value-preserving
+    # and matches the DuckDB oracle's naive-timestamp reading.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
     key = (sf_dir, name)
     cached = _SCHEMA_CACHE.get(key)
@@ -56,6 +62,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer `div`: float /1000 loses precision at epoch-ns scale
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Belt-and-braces: if NTZ columns slipped through anyway (e.g. a
+    # schema cached before the conf applied), cast them. UTC session tz
+    # makes the cast a relabel, not a value shift.
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

@@ -38,9 +38,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file source wants a directory or glob, not a bare file path
     stream = (spark.readStream.schema(raw_schema)
               .parquet(f"{sf_dir}/events.parque[t]"))
-    # apply the same nanos→micros conversion the batch loader does
+    # apply the same normalizations the batch loader does: nanos long →
+    # micros timestamp, and TIMESTAMP_NTZ → TIMESTAMP (watermarks reject
+    # NTZ event time: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE; session tz is
+    # UTC so the cast is value-preserving)
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     assert stream.schema == batch.schema
     return stream
 
