@@ -1081,3 +1081,383 @@ def q_disjunctive_predicate_revenue(spark: SparkSession,
                         .cast("decimal(18,4)")).cast("double")
                   .alias("revenue"),
                   F.count("*").alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analytic-join family, round 4 widening: Q5, Q6, Q8, Q9*, Q14,
+# Q15, Q17, Q18, Q22* (* = adapted — the fixtures lack partsupp,
+# commit/receipt dates, ship modes and phone numbers, so supply-cost
+# and lateness terms are dropped while the join/agg SHAPE each query
+# exists to exercise is kept). Together with Q1/Q3/Q4/Q7/Q10/Q13/Q19
+# (pricing_summary, shipping_priority, order_priority_check,
+# volume_shipping, returned_items_by_nation, custdist_order_counts,
+# disjunctive_predicate_revenue) this covers every TPC-H query shape
+# expressible over the fixture schema.
+# ---------------------------------------------------------------------------
+
+
+@query("local_supplier_volume", oracle="""
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the CUSTOMER and the
+    SUPPLIER of each lineitem sit in the same nation of one region —
+    the join cycle (customer→orders→lineitem→supplier→customer's
+    nation) that makes Q5 the classic join-order test. Spark plan: the
+    region filter prunes nation before either dim path broadcasts; the
+    c_nationkey = s_nationkey residual rides the supplier broadcast
+    join, so the only big shuffle is lineitem⋈orders."""
+    r = (_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    n = (_t(spark, sf_dir, "nation")
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey", "n_name"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_nationkey", "n_name"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate")
+                 >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate")
+                   < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .join(F.broadcast(s),
+                     (l.l_suppkey == s.s_suppkey)
+                     & (c.c_nationkey == s.s_nationkey)))
+    return (joined.groupBy("n_name")
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).cast("double")
+                 .alias("revenue")))
+
+
+@query("forecast_revenue", oracle="""
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate query — no join,
+    no groupBy key. Every predicate (date range, discount band,
+    quantity cap) pushes into the parquet scan; the global aggregate is
+    a partial-then-final pass with a single-row shuffle. The simplest
+    query in the family and the one that isolates scan + pushdown
+    throughput."""
+    l = _t(spark, sf_dir, "lineitem")
+    f = l.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return f.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+              .cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"))
+
+
+@query("market_share", oracle="""
+SELECT o_year,
+       CAST(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume ELSE 0 END AS DECIMAL(18,4)))
+                 AS DOUBLE)
+            / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+       AS DOUBLE) AS mkt_share
+FROM (SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD')
+GROUP BY o_year
+""")
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a regional market for one
+    part type, by order year — a conditional-sum / total-sum ratio over
+    an eight-table join. Both sums aggregate exactly over DECIMAL and
+    cast to DOUBLE before the one IEEE division, so the ratio is
+    bit-identical across engines. Plan: part-type and region filters
+    prune both dim paths pre-broadcast; one lineitem⋈orders shuffle."""
+    p = (_t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+         .select("p_partkey"))
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = (_t(spark, sf_dir, "nation")
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("cust_nk")))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"),
+        F.col("n_name").alias("supp_nation"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nk"))
+         .select("s_suppkey", "supp_nation"))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nk"))
+         .select("c_custkey"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    joined = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+               .join(o, l.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .join(F.broadcast(s), l.l_suppkey == s.s_suppkey))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = joined.select(F.year("o_orderdate").alias("o_year"),
+                         vol.alias("volume"), "supp_nation")
+    num = (F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                  .otherwise(F.lit(0.0)).cast("decimal(18,4)"))
+           .cast("double"))
+    den = F.sum(F.col("volume").cast("decimal(18,4)")).cast("double")
+    return (base.groupBy("o_year")
+            .agg((num / den).cast("double").alias("mkt_share")))
+
+
+@query("product_profit_by_nation", oracle="""
+SELECT n_name, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name, o_year DESC
+""")
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in the fixtures, so
+    profit omits the supply-cost term): per supplier-nation, per
+    order-year profit on parts whose name matches a substring. The
+    LIKE filter prunes part before broadcast; one lineitem⋈orders
+    shuffle; ORDER BY inside the query exercises a deterministic
+    sorted output contract."""
+    p = (_t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+         .select("p_partkey"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    joined = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+               .join(o, l.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+               .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey))
+    return (joined
+            .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).cast("double")
+                 .alias("profit"))
+            .orderBy("n_name", F.col("o_year").desc()))
+
+
+@query("promo_revenue", oracle="""
+SELECT CAST(CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) * 100.0
+            / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""")
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue from
+    promotional parts — conditional-sum / total-sum over a single
+    fact⋈dim join. The date filter pushes to the lineitem scan; part
+    broadcasts; exact decimal sums on both terms, one IEEE multiply +
+    divide at the boundary."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = (_t(spark, sf_dir, "lineitem")
+         .where((F.col("l_shipdate")
+                 >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate")
+                   < F.lit("1996-10-01 00:00:00").cast("timestamp"))))
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = (F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                    .otherwise(F.lit(0.0)).cast("decimal(18,4)"))
+             .cast("double"))
+    total = F.sum(vol.cast("decimal(18,4)")).cast("double")
+    return joined.agg(
+        (promo * F.lit(100.0) / total).cast("double")
+        .alias("promo_revenue_pct"))
+
+
+@query("top_supplier_revenue", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — an aggregate feeding a scalar-max comparison against
+    itself (the view + subquery construction). Spark plan: one grouped
+    DECIMAL aggregate on l_suppkey, an unpartitioned window max over
+    the |suppliers|-row result (tiny after the agg), filter equal, then
+    broadcast-join supplier names. The max comparison happens on exact
+    DECIMAL, so ties are exact, not float-fuzzy."""
+    l = (_t(spark, sf_dir, "lineitem")
+         .where((F.col("l_shipdate")
+                 >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate")
+                   < F.lit("1996-04-01 00:00:00").cast("timestamp"))))
+    rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).alias("_rev")))
+    w = Window.partitionBy()
+    top = (rev.withColumn("_max", F.max("_rev").over(w))
+              .where(F.col("_rev") == F.col("_max")))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (top.join(F.broadcast(s),
+                     F.col("supplier_no") == F.col("s_suppkey"))
+               .select("s_suppkey", "s_name",
+                       F.col("_rev").cast("double").alias("total_revenue")))
+
+
+@query("small_qty_order_revenue", oracle="""
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS agg_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) pq
+  ON agg_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < 0.2 * avg_qty
+""")
+def q_small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — each
+    lineitem compared against ITS part's average quantity (a correlated
+    scalar aggregate, decorrelated to a grouped aggregate + self-join).
+    The per-part average is an exact decimal sum / count division, so
+    the 0.2·avg threshold is bit-identical in both engines. Plan: the
+    per-part agg shuffles (partkey), broadcasts back onto lineitem;
+    the brand filter prunes part before broadcast."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    pq = (l.groupBy(F.col("l_partkey").alias("agg_partkey"))
+           .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double") / F.count("*")).alias("avg_qty")))
+    p = (_t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+         .select("p_partkey"))
+    joined = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+               .join(pq, F.col("agg_partkey") == l.l_partkey)
+               .where(F.col("l_quantity") < 0.2 * F.col("avg_qty")))
+    return joined.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double") / F.lit(7.0)).cast("double").alias("avg_yearly"),
+        F.count("*").alias("n_items"))
+
+
+@query("large_order_customers", oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+""")
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed very large orders —
+    group-then-HAVING on the quantity sum. The reference Q18 phrases
+    it as orderkey IN (grouped subquery); both decorrelate to the same
+    plan: ONE lineitem groupBy(orderkey) aggregate, filter on the
+    aggregate, then join the (few) surviving orders to their customer
+    — never a second pass over lineitem. HAVING compares exact
+    DECIMAL."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (l.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .alias("_qty"))
+            .where(F.col("_qty") > 150))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (big.join(o, F.col("l_orderkey") == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                       "o_totalprice",
+                       F.col("_qty").cast("double").alias("total_qty")))
+
+
+@query("sales_opportunity_by_nation", oracle="""
+SELECT c_nationkey,
+       count(*) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                               AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+""")
+def q_sales_opportunity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: the fixtures have no phone column, so
+    the country-code digits become c_nationkey, and "never ordered"
+    becomes "no order since 2000" — every fixture customer has SOME
+    order): well-funded customers gone quiet, per nation. Exercises a
+    scalar subquery (global avg as a literal-free cross filter) plus an
+    anti-join. Plan: the avg is one tiny global agg broadcast into the
+    filter; the anti-join shuffles only (custkey) pairs; acctbal sums
+    are exact DECIMAL cast at the boundary."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    avg_pos = (c.where(F.col("c_acctbal") > 0.0)
+                .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                      .cast("double") / F.count("*")).alias("_avg")))
+    recent = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate")
+                     >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+              .select("o_custkey"))
+    rich = (c.crossJoin(F.broadcast(avg_pos))
+             .where(F.col("c_acctbal") > F.col("_avg")))
+    quiet = rich.join(recent, rich.c_custkey == recent.o_custkey,
+                      "left_anti")
+    return (quiet.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_custs"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .cast("double").alias("total_acctbal")))

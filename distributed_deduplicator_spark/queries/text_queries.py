@@ -262,3 +262,143 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TXT.token_count("text").alias("n_words"),
         TXT.word_regex_count("text").alias("n_tokens"),
         TXT.punct_ratio("text").alias("punct_ratio"))
+
+
+@query("doc_dup_ngram_stats", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS grams
+  FROM toks)
+SELECT doc_id, lang,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE)
+            ELSE 0.0 END AS dup_frac,
+       len(grams) > 0
+         AND CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / CAST(len(grams) AS DOUBLE) < 0.1 AS keep
+FROM g
+""")
+def q_doc_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate n-gram fraction per document (n=2): the
+    share of a doc's bigram occurrences that are repeats of an earlier
+    bigram in the SAME doc — the classic intra-document repetition
+    quality gate (high fraction → boilerplate/spam), complementing the
+    corpus-level top-token profile in ``repetition_filter``.
+
+    Scale shape: ZERO shuffles — the n-gram build, distinct and ratio
+    are all array-local per row (JVM ``transform``/``array_distinct``
+    inside whole-stage codegen), so the query is a pure map over the
+    scan at any corpus size. The ratio is an exact-integer division
+    done identically in both engines (bit-identical doubles)."""
+    d = load_table(spark, sf_dir, "documents")
+    # Materialize tokens in their own projection so CollapseProject
+    # can't inline the regex chain into the per-element lambda.
+    t = d.select("doc_id", "lang", TXT.tokens("text").alias("_toks"))
+    grams = F.when(
+        F.size("_toks") >= 2,
+        F.expr("transform(sequence(1, size(_toks) - 1), "
+               "i -> concat(element_at(_toks, i), ' ', "
+               "element_at(_toks, i + 1)))")
+    ).otherwise(F.expr("array()"))
+    g = t.select("doc_id", "lang", grams.alias("_grams"))
+    n_grams = F.size("_grams")
+    n_distinct = F.size(F.array_distinct("_grams"))
+    dup_frac = F.when(
+        n_grams > 0,
+        (n_grams - n_distinct).cast("double") / n_grams.cast("double")
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id", "lang",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        dup_frac.alias("dup_frac"),
+        ((n_grams > 0) & (dup_frac < 0.1)).alias("keep"))
+
+
+@query("bigram_lift_topk", oracle=r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+uni AS (
+  SELECT u.w AS w, count(*) AS c
+  FROM toks, unnest(toks.t) AS u(w)
+  GROUP BY u.w),
+bg AS (
+  SELECT bigram, count(*) AS n_pair
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2)
+  GROUP BY bigram),
+tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS n_tok,
+         (SELECT sum(n_pair) FROM bg) AS n_big)
+SELECT bigram, n_pair, u1.c AS n_w1, u2.c AS n_w2,
+       CAST(((CAST(n_pair AS DOUBLE) * CAST(n_tok AS DOUBLE))
+              * CAST(n_tok AS DOUBLE))
+            / ((CAST(n_big AS DOUBLE) * CAST(u1.c AS DOUBLE))
+               * CAST(u2.c AS DOUBLE)) AS DOUBLE) AS lift
+FROM bg
+CROSS JOIN tot
+JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.w
+JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.w
+WHERE n_pair >= 3
+ORDER BY lift DESC, bigram
+LIMIT 25
+""")
+def q_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-25 corpus bigrams by LIFT — observed
+    pair frequency over the frequency expected if the two words were
+    independent. Lift is PMI's argument without the log, computed as
+    one fixed-order chain of IEEE multiplies/divides over EXACT integer
+    counts, so both engines produce bit-identical doubles (a log-based
+    PMI would hang the hash-match on libm ULP differences).
+
+    Scale shape: two combinable counts (bigram, unigram) shuffled on
+    their word keys; the two unigram lookups are broadcast-able until
+    vocab outgrows the threshold, then hash joins on the word key; the
+    1-row totals cross-join broadcasts; top-25 is TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    from distributed_deduplicator_spark.operators.relational import topk_global
+    d = load_table(spark, sf_dir, "documents")
+    t = (d.select(TXT.tokens("text").alias("_toks"))
+          .where(F.size("_toks") >= 2))
+    uni = (t.select(F.explode("_toks").alias("w"))
+            .groupBy("w").agg(F.count("*").alias("c")))
+    bg_all = (t.select(F.explode(
+                  F.expr("transform(sequence(1, size(_toks) - 1), "
+                         "i -> concat(element_at(_toks, i), ' ', "
+                         "element_at(_toks, i + 1)))")).alias("bigram"))
+               .groupBy("bigram").agg(F.count("*").alias("n_pair")))
+    # totals BEFORE the min-count filter (M counts every bigram
+    # occurrence, matching the oracle's denominator)
+    tot = (uni.agg(F.sum("c").alias("n_tok"))
+              .crossJoin(bg_all.agg(F.sum("n_pair").alias("n_big"))))
+    bg = bg_all.where(F.col("n_pair") >= 3)
+    u1 = uni.select(F.col("w").alias("_w1"), F.col("c").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("_w2"), F.col("c").alias("n_w2"))
+    joined = (bg.crossJoin(F.broadcast(tot))
+                .join(F.broadcast(u1),
+                      F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+                      == F.col("_w1"))
+                .join(F.broadcast(u2),
+                      F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))
+                      == F.col("_w2")))
+    lift = (((F.col("n_pair").cast("double") * F.col("n_tok").cast("double"))
+             * F.col("n_tok").cast("double"))
+            / ((F.col("n_big").cast("double") * F.col("n_w1").cast("double"))
+               * F.col("n_w2").cast("double"))).cast("double")
+    out = joined.select("bigram", "n_pair", "n_w1", "n_w2",
+                        lift.alias("lift"))
+    return topk_global(out, [F.col("lift").desc(), F.col("bigram")], 25)

@@ -32,7 +32,11 @@ def _plan(df, mode: str = "formatted") -> str:
 # broadcast centroid table).
 # ann_ivfpq additionally scores corpus × broadcast(m·ksub codebook).
 _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-                 "activity_profile_topk"}
+                 "activity_profile_topk",
+                 # 1-row scalar aggregate cross-joined into the plan
+                 # (global totals / global average) — the standard
+                 # scalar-subquery physical shape, O(n·1) work
+                 "bigram_lift_topk", "sales_opportunity_by_nation"}
 
 # Streaming queries EXECUTE on call (availableNow drain) — exclude them
 # from build-time-laziness and plan-string checks. Iterative queries
