@@ -194,3 +194,28 @@ def q_stream_upsert_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
                       base_dir=state,
                       checkpoint_dir=os.path.join(base, "ckpt"))
     return read_ledger(spark, state)
+
+
+@query("stream_minhash_neardup")  # rows-only: LSH banding + signature-
+                                  # agreement estimate have no SQL twin
+def q_stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate suppression with a persistent MinHash
+    ledger (streaming/neardup_stream.py): the documents corpus replayed
+    as a file stream, each microbatch shingled → signed → arbitrated
+    first-wins against both its own near-dups and every earlier batch's
+    survivors via the band-keyed signature ledger. The ledger carries
+    64 longs per accepted doc — never text — so cross-batch candidate
+    generation stays a fixed-width equi-join at any history size.
+    Within-batch + cross-batch suppression both covered in
+    tests/test_streaming_sinks.py (split-corpus replay, planted
+    clones)."""
+    import tempfile
+
+    from distributed_deduplicator_spark.streaming.neardup_stream import (
+        stream_minhash_neardup)
+    base = tempfile.mkdtemp(prefix="neardup_stream_")
+    out = stream_minhash_neardup(
+        spark, f"{sf_dir}/documents.parque[t]",
+        ledger_dir=f"{base}/ledger", out_dir=f"{base}/verdicts",
+        checkpoint_dir=f"{base}/ckpt")
+    return out.orderBy("doc_id")

@@ -327,3 +327,114 @@ def q_user_event_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.array_sort(F.collect_list(
                          F.struct("ts", "event_id", "event_type"))),
                      lambda s: s["event_type"])).alias("journey")))
+
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@query("funnel_conversion", oracle=f"""
+WITH s AS (SELECT user_id, ts, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+a AS (SELECT user_id, min(ts) AS ta FROM s
+      WHERE event_type = 'view' GROUP BY user_id),
+b AS (SELECT s.user_id, min(ts) AS tb FROM s JOIN a USING (user_id)
+      WHERE event_type = 'click' AND ts > ta GROUP BY s.user_id),
+c AS (SELECT s.user_id, min(ts) AS tc FROM s JOIN b USING (user_id)
+      WHERE event_type = 'purchase' AND ts > tb GROUP BY s.user_id)
+SELECT (SELECT count(DISTINCT user_id) FROM s) AS n_users,
+       (SELECT count(*) FROM a) AS n_view,
+       (SELECT count(*) FROM b) AS n_click,
+       (SELECT count(*) FROM c) AS n_purchase,
+       CASE WHEN (SELECT count(*) FROM a) = 0 THEN 0.0
+            ELSE CAST((SELECT count(*) FROM b) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM a) AS DOUBLE)
+       END AS view_to_click,
+       CASE WHEN (SELECT count(*) FROM b) = 0 THEN 0.0
+            ELSE CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM b) AS DOUBLE)
+       END AS click_to_purchase
+""")
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that click —
+    the sequential-pattern query behind every conversion dashboard.
+
+    Scale shape: ONE shuffle. Each user's stage events are gathered
+    once (sort_array(collect_list)) and the three stage timestamps
+    fall out of a single JVM ``aggregate()`` fold over the sorted
+    attempts — the same recurrence pattern as the TTL arbiter
+    (operators/dedup.py _ttl_jvm). The oracle computes the identical
+    semantics the relational way (three min-chained grouped subqueries)
+    — two independent constructions, one answer. Strict '>' between
+    stages in both. Counts are exact ints; the two conversion ratios
+    are single fixed-order IEEE divisions."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isin(*_FUNNEL))
+          .select("user_id", "ts", "event_id", "event_type"))
+    packed = F.struct("ts", "event_id", "event_type")
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(packed)).alias("_evs"))
+
+    init = F.named_struct(
+        F.lit("t1"), F.lit(None).cast("long"),
+        F.lit("t2"), F.lit(None).cast("long"),
+        F.lit("t3"), F.lit(None).cast("long"))
+
+    def step(acc, e):
+        t = ts_micros(e["ts"])
+        et = e["event_type"]
+        take1 = acc["t1"].isNull() & (et == _FUNNEL[0])
+        take2 = (acc["t2"].isNull() & acc["t1"].isNotNull()
+                 & (et == _FUNNEL[1]) & (t > acc["t1"]))
+        take3 = (acc["t3"].isNull() & acc["t2"].isNotNull()
+                 & (et == _FUNNEL[2]) & (t > acc["t2"]))
+        return F.named_struct(
+            F.lit("t1"), F.when(take1, t).otherwise(acc["t1"]),
+            F.lit("t2"), F.when(take2, t).otherwise(acc["t2"]),
+            F.lit("t3"), F.when(take3, t).otherwise(acc["t3"]))
+
+    per_user = g.select(
+        "user_id", F.aggregate(F.col("_evs"), init, step).alias("_st"))
+    agg = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.col("_st")["t1"]).alias("n_view"),
+        F.count(F.col("_st")["t2"]).alias("n_click"),
+        F.count(F.col("_st")["t3"]).alias("n_purchase"))
+    v2c = (F.when(F.col("n_view") == 0, F.lit(0.0))
+            .otherwise(F.col("n_click").cast("double")
+                       / F.col("n_view").cast("double")))
+    c2p = (F.when(F.col("n_click") == 0, F.lit(0.0))
+            .otherwise(F.col("n_purchase").cast("double")
+                       / F.col("n_click").cast("double")))
+    return agg.select("n_users", "n_view", "n_click", "n_purchase",
+                      v2c.alias("view_to_click"),
+                      c2p.alias("click_to_purchase"))
+
+
+@query("user_state_history", oracle="""
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: turn a state-transition event log into
+    versioned validity intervals — each event opens a version valid
+    [ts, next event's ts), the last version per user is open-ended and
+    flagged current. The warehouse dimension-history construction, and
+    the interval-table producer whose consumer is the bucketed range
+    join (attribution_window_join). The reference's latest-state read
+    (R6) is exactly the is_current slice of this table. One shuffle
+    (user_id); lead/row_number share the single window sort."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"))

@@ -105,3 +105,66 @@ def write_range_partitioned(df: DataFrame, path: str,
     out = df.repartitionByRange(n_partitions, *range_cols)
     out = out.sortWithinPartitions(*(sort_within or range_cols))
     out.write.mode(mode).parquet(path)
+
+
+def zorder_value(bounds: dict[str, tuple[float, float]],
+                 bits: int = 12):
+    """Z-order (Morton) interleave expression over 2+ numeric columns.
+
+    Each column is quantized to ``2**bits`` buckets between its
+    ``(min, max)`` bounds (pass catalog/footer statistics — query
+    construction must not scan data, same discipline as the ANN index
+    sizing), then the bucket ids' bits are interleaved so that rows
+    close in EVERY dimension get close z-values. Pure JVM expression
+    (width_bucket + shiftleft/bitwise-or chain) — whole-stage codegen,
+    no Python per row.
+    """
+    from pyspark.sql import functions as F
+    if len(bounds) < 2:
+        raise ValueError("z-order needs >= 2 columns")
+    if not (1 <= bits <= 20):
+        raise ValueError("bits must be in [1, 20]")
+    ndim = len(bounds)
+    terms = []
+    for d, (col, (lo, hi)) in enumerate(bounds.items()):
+        if not hi > lo:
+            raise ValueError(f"bounds for {col!r} must satisfy max > min")
+        # width_bucket: 1..n in range; clamp the right edge into bucket n
+        bucket = (F.least(F.width_bucket(F.col(col), F.lit(float(lo)),
+                                         F.lit(float(hi)), F.lit(2 ** bits)),
+                          F.lit(2 ** bits)) - F.lit(1)).cast("long")
+        for i in range(bits):
+            # bit i of this dim lands at interleaved position i*ndim + d
+            terms.append(
+                F.shiftleft(F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                            i * ndim + d))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def write_zorder(df: DataFrame, path: str,
+                 bounds: dict[str, tuple[float, float]],
+                 n_partitions: int, bits: int = 12,
+                 mode: str = "overwrite") -> None:
+    """Z-ordered parquet layout: rows range-partitioned and sorted by
+    their Morton z-value over ``bounds.keys()``.
+
+    THE multi-dimensional data-skipping layout (Delta/Iceberg
+    OPTIMIZE ZORDER): a single-column sort gives perfect footer
+    min/max pruning on that column and NONE on any other; z-ordering
+    gives every listed column ~sqrt-of-files pruning simultaneously,
+    because each output file covers a small hyper-rectangle of the key
+    space. Use for tables queried by several independent selective
+    predicates (user_id AND time; lang AND source). One sampling pass
+    + one shuffle at write time, like write_range_partitioned.
+    Verified by per-file footer-statistics pruning assertion on BOTH
+    dimensions in tests/test_sinks_multimodal.py.
+    """
+    z = zorder_value(bounds, bits=bits).alias("_zval")
+    out = (df.withColumn("_zval", z)
+             .repartitionByRange(n_partitions, "_zval")
+             .sortWithinPartitions("_zval")
+             .drop("_zval"))
+    out.write.mode(mode).parquet(path)

@@ -1,0 +1,150 @@
+"""Streaming near-duplicate suppression with a persistent MinHash
+ledger — continuous corpus ingestion with near-dup dedup, the streaming
+rendering of the reference's first-writer-wins arbitration
+(provider/DeduplicationProvider.kt:67-94) at CONTENT granularity
+instead of key granularity.
+
+Design (scale-first):
+
+- Per microbatch: shingle → MinHash signatures (one combinable
+  aggregate pass, operators/similarity.py) → LSH band keys.
+- Within-batch near-dups: banded candidate self-join + signature-
+  agreement verify, greedy first-wins by id (a doc loses if it
+  matches any smaller-id doc) — one pass, no iterative closure in
+  the hot path.
+- Cross-batch: candidates against the LEDGER by band equi-join.
+  The ledger stores (id, signature, band keys) — num_hashes longs
+  per accepted doc, NEVER text or shingles, so ledger size is
+  O(accepted docs), its join ships fixed-width rows, and the band
+  join stays an equi-join at any history size.
+- Verification is signature agreement (fraction of equal minhash
+  components — the unbiased Jaccard estimator). Exact-Jaccard
+  verification would require storing shingle sets in the ledger
+  (unbounded width); the estimator keeps the ledger fixed-width and
+  its error is the standard MinHash bound at num_hashes components.
+- Survivors' signatures append to the ledger parquet per batch
+  (foreachBatch = exactly-once per epoch with the checkpoint, the
+  same idempotent-sink discipline as streaming/sinks.py).
+
+Deterministic end to end: seeded xxhash64 signatures, greedy
+arbitration by id, no randomness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_deduplicator_spark.operators.similarity import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingles,
+)
+
+_NUM_HASHES = 64
+_BANDS = 16
+_ROWS = 4
+_AGREE = 0.5  # signature-agreement acceptance threshold (≈ Jaccard)
+
+
+def _sig_agreement(a, b):
+    """Fraction of equal minhash components — E[agreement] = Jaccard."""
+    return (
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y),
+                        lambda v: v))
+        / F.lit(float(_NUM_HASHES)))
+
+
+def _band_keys(sig_df: DataFrame) -> DataFrame:
+    """(id, band, band_hash) — one row per LSH band."""
+    bands_col = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[i]
+                         for i in range(b * _ROWS, (b + 1) * _ROWS)])
+            .alias("band_hash"))
+        for b in range(_BANDS)])
+    return (sig_df.select("id", F.explode(bands_col).alias("bk"))
+                  .select("id", "bk.band", "bk.band_hash"))
+
+
+def process_batch(batch: DataFrame, ledger_dir: str, out_dir: str,
+                  shingle_n: int = 3) -> None:
+    """Arbitrate one microbatch of (doc_id, text) against the ledger,
+    write verdicts to ``out_dir`` and append survivors' signatures to
+    ``ledger_dir``. Pure batch logic — callable from foreachBatch or
+    directly in incremental-batch pipelines."""
+    spark = batch.sparkSession
+    sh = shingles(batch, "doc_id", "text", n=shingle_n)
+    sig = minhash_signatures(sh, num_hashes=_NUM_HASHES)
+
+    # -- within-batch: candidate pairs, verify, greedy first-wins by id
+    pairs = minhash_lsh_pairs(sig, bands=_BANDS, rows=_ROWS,
+                              num_hashes=_NUM_HASHES)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb"))
+    intra_losers = (pairs.join(sa, "id_a").join(sb, "id_b")
+                    .where(_sig_agreement(F.col("_sa"), F.col("_sb"))
+                           >= _AGREE)
+                    .select(F.greatest("id_a", "id_b").alias("id"))
+                    .distinct())
+
+    # -- cross-batch: band collision against the ledger, verify
+    bk = _band_keys(sig)
+    cross_losers = None
+    if os.path.exists(ledger_dir):
+        ledger = spark.read.parquet(ledger_dir)
+        lbk = _band_keys(ledger.select("id", "sig")) \
+            .select(F.col("id").alias("_lid"), "band", "band_hash")
+        cand = (bk.join(lbk, ["band", "band_hash"])
+                  .select("id", "_lid").distinct())
+        lsig = ledger.select(F.col("id").alias("_lid"),
+                             F.col("sig").alias("_ls"))
+        cross_losers = (cand.join(sig, "id").join(lsig, "_lid")
+                        .where(_sig_agreement(F.col("sig"), F.col("_ls"))
+                               >= _AGREE)
+                        .select("id").distinct())
+
+    losers = (intra_losers.unionByName(cross_losers).distinct()
+              if cross_losers is not None else intra_losers)
+
+    verdicts = (sig.join(losers.withColumn("_dup", F.lit(True)),
+                         "id", "left")
+                .select(F.col("id").alias("doc_id"),
+                        F.when(F.col("_dup").isNotNull(),
+                               F.lit("DUPLICATE"))
+                         .otherwise(F.lit("SUCCESS")).alias("verdict")))
+    verdicts.write.mode("append").parquet(out_dir)
+
+    survivors = (sig.join(losers, "id", "left_anti")
+                   .select("id", "sig"))
+    survivors.write.mode("append").parquet(ledger_dir)
+
+
+def stream_minhash_neardup(spark: SparkSession, docs_glob: str,
+                           ledger_dir: str, out_dir: str,
+                           checkpoint_dir: str,
+                           max_files_per_trigger: int | None = None,
+                           shingle_n: int = 3) -> DataFrame:
+    """Run the streaming near-dup arbiter over a parquet file stream of
+    documents until drained (availableNow); returns the verdict table.
+
+    ``max_files_per_trigger=1`` replays a multi-file corpus as
+    successive microbatches — each file's docs arbitrate against every
+    earlier file's survivors through the ledger."""
+    schema = spark.read.parquet(docs_glob).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(docs_glob).select("doc_id", "text")
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid: process_batch(
+             b, ledger_dir, out_dir, shingle_n=shingle_n))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

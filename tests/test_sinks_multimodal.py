@@ -186,3 +186,71 @@ def test_range_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # round-trip integrity
     back = spark.read.parquet(path)
     assert back.count() == e.count()
+
+
+def test_zorder_write_prunes_both_dims(spark, sf_dir, tmp_path):
+    """Z-ordered files must allow footer min/max pruning on BOTH
+    z-order dimensions simultaneously — the property a single-column
+    sort cannot provide (it prunes its sort key perfectly and the
+    other dimension not at all). For a 1/8-width range predicate on
+    either dimension, the fraction of files whose [min,max] interval
+    intersects the predicate must be well below 1; a user_id-sorted
+    layout serves as the control: perfect on user_id, ~all files on
+    event_id."""
+    import glob
+    import pyarrow.parquet as pq
+    from distributed_deduplicator_spark.sources import load_table
+    from distributed_deduplicator_spark.sources.sinks import (
+        write_range_partitioned, write_zorder)
+
+    e = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts", "value")
+    lo_u, hi_u = 0.0, float(
+        e.agg({"user_id": "max"}).collect()[0][0]) + 1.0
+    lo_e, hi_e = 0.0, float(
+        e.agg({"event_id": "max"}).collect()[0][0]) + 1.0
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder(e, zpath,
+                 {"user_id": (lo_u, hi_u), "event_id": (lo_e, hi_e)},
+                 n_partitions=16, bits=10)
+
+    spath = str(tmp_path / "usersorted")
+    write_range_partitioned(e, spath, ["user_id"], n_partitions=16)
+
+    def file_stats(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}[col]
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    def hit_fraction(stats, q_lo, q_hi):
+        hits = sum(1 for lo, hi in stats if not (hi < q_lo or lo > q_hi))
+        return hits / len(stats)
+
+    # 1/8-width probe in the middle of each domain
+    qu = (hi_u * 0.5, hi_u * 0.5 + hi_u / 8)
+    qe = (hi_e * 0.5, hi_e * 0.5 + hi_e / 8)
+
+    z_u = hit_fraction(file_stats(zpath, "user_id"), *qu)
+    z_e = hit_fraction(file_stats(zpath, "event_id"), *qe)
+    s_u = hit_fraction(file_stats(spath, "user_id"), *qu)
+    s_e = hit_fraction(file_stats(spath, "event_id"), *qe)
+
+    # z-order: BOTH dimensions prune (each file covers a small
+    # hyper-rectangle); with 16 files and a 1/8 probe, well under 100%
+    assert z_u <= 0.625, f"z-order failed to prune user_id: {z_u}"
+    assert z_e <= 0.625, f"z-order failed to prune event_id: {z_e}"
+    # control: the single-key sort prunes its key but not the other
+    assert s_u <= 0.25, f"range layout should prune its own key: {s_u}"
+    assert s_e >= 0.9, \
+        f"control broken: single-key sort should NOT prune event_id: {s_e}"
+    # round-trip integrity
+    assert spark.read.parquet(zpath).count() == e.count()

@@ -54,3 +54,55 @@ def test_upsert_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
         == sorted(map(tuple, after))
     assert _same(read_ledger(spark, state),
                  latest_state(ev, ["user_id"], ["ts", "event_id"]))
+
+
+def test_stream_minhash_neardup_cross_batch_ledger(spark, sf_dir, tmp_path):
+    """Split the corpus into two files, replay one file per microbatch:
+    near-dup pairs that STRADDLE the files must be suppressed through
+    the persistent signature ledger (exactly one of the pair survives),
+    and same-file pairs through within-batch arbitration. Verdicts are
+    deterministic across a full re-run."""
+    from pyspark.sql import functions as F
+    from distributed_deduplicator_spark.operators.similarity import (
+        minhash_near_dup)
+    from distributed_deduplicator_spark.sources import load_table
+    from distributed_deduplicator_spark.streaming.neardup_stream import (
+        stream_minhash_neardup)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = str(tmp_path / "corpus")
+    docs.where(F.col("doc_id") % 2 == 0).repartition(1) \
+        .write.mode("overwrite").parquet(corpus)
+    docs.where(F.col("doc_id") % 2 == 1).repartition(1) \
+        .write.mode("append").parquet(corpus)
+
+    # ground truth: strong near-dup pairs from the batch operator
+    pairs = minhash_near_dup(docs, "doc_id", "text",
+                             threshold=0.7).collect()
+    assert pairs, "fixture should contain planted near-duplicates"
+    straddling = [(r["id_a"], r["id_b"]) for r in pairs
+                  if r["id_a"] % 2 != r["id_b"] % 2]
+    same_file = [(r["id_a"], r["id_b"]) for r in pairs
+                 if r["id_a"] % 2 == r["id_b"] % 2]
+
+    def run(tag):
+        base = tmp_path / tag
+        out = stream_minhash_neardup(
+            spark, f"{corpus}/part-*.parquet",
+            ledger_dir=str(base / "ledger"),
+            out_dir=str(base / "verdicts"),
+            checkpoint_dir=str(base / "ckpt"),
+            max_files_per_trigger=1)
+        return {r["doc_id"]: r["verdict"] for r in out.collect()}
+
+    v = run("run1")
+    assert len(v) == docs.count()
+    for a, b in straddling:
+        assert {v[a], v[b]} == {"SUCCESS", "DUPLICATE"}, \
+            f"cross-file pair ({a},{b}) not arbitrated through the " \
+            f"ledger: {v[a]}, {v[b]}"
+    for a, b in same_file:
+        assert v[max(a, b)] == "DUPLICATE", \
+            f"within-batch pair ({a},{b}): larger id must lose"
+    # determinism: a fresh replay produces identical verdicts
+    assert run("run2") == v
