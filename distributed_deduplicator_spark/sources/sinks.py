@@ -168,3 +168,33 @@ def write_zorder(df: DataFrame, path: str,
              .sortWithinPartitions("_zval")
              .drop("_zval"))
     out.write.mode(mode).parquet(path)
+
+
+def compact_small_files(spark: SparkSession, src_path: str,
+                        dest_path: str,
+                        target_bytes: int = 128 * 1024 * 1024,
+                        mode: str = "overwrite") -> int:
+    """Bin-pack a directory of small parquet files into
+    ~``target_bytes`` outputs; returns the output file count.
+
+    THE operational fix for the small-files problem: streaming sinks,
+    per-batch appends and over-parallel writes leave thousands of tiny
+    files whose open/footer overhead dominates scan time and whose
+    listing hammers the object store. Output count is sized from
+    FOOTER/file metadata only (no data scan before the rewrite), then
+    one round-robin repartition redistributes rows evenly. Writes to a
+    NEW path — at scale, atomic swap is the table format's job
+    (Delta/Iceberg rewrite + commit); an in-place rewrite on plain
+    parquet would lose data on failure mid-write.
+    """
+    import glob as _glob
+    import os as _os
+    files = _glob.glob(_os.path.join(src_path, "*.parquet")) \
+        or _glob.glob(_os.path.join(src_path, "part-*"))
+    if not files:
+        raise ValueError(f"no parquet files under {src_path!r}")
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode(mode).parquet(dest_path)
+    return n_out

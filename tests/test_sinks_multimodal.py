@@ -254,3 +254,27 @@ def test_zorder_write_prunes_both_dims(spark, sf_dir, tmp_path):
         f"control broken: single-key sort should NOT prune event_id: {s_e}"
     # round-trip integrity
     assert spark.read.parquet(zpath).count() == e.count()
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """A 16-tiny-file layout must compact to the footer-sized output
+    count with full row fidelity."""
+    from distributed_deduplicator_spark.sources import load_table
+    from distributed_deduplicator_spark.sources.sinks import (
+        compact_small_files)
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "fragmented")
+    e.repartition(16).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 16
+    dest = str(tmp_path / "compacted")
+    n = compact_small_files(spark, src, dest,
+                            target_bytes=64 * 1024 * 1024)
+    out_files = glob.glob(f"{dest}/part-*.parquet")
+    assert len(out_files) == n == 1  # tiny fixture packs into one file
+    back = spark.read.parquet(dest)
+    assert back.count() == e.count()
+    # value fidelity, not just counts
+    a = sorted(r["event_id"] for r in back.select("event_id").collect())
+    b = sorted(r["event_id"] for r in e.select("event_id").collect())
+    assert a == b
