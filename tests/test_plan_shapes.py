@@ -202,3 +202,14 @@ def test_guarded_block_runs_exactly_once_per_key(spark, sf_dir):
                                 ["ts", "event_id"], block).collect()
         rekeys = {(r.user_id, r.event_type) for r in reran}
         assert calls.value - before == len(rekeys)
+
+
+def test_rotation_head_pins_driver_window():
+    """The driver verifies the FIRST 50 registry entries; the explicit
+    rotation head must be exactly that window — present, deduplicated,
+    and in control of registry order (queries/__init__.py)."""
+    from distributed_deduplicator_spark.queries import (
+        _ROTATION_HEAD, QUERIES)
+    assert len(_ROTATION_HEAD) == 50
+    assert len(set(_ROTATION_HEAD)) == 50
+    assert list(QUERIES)[:50] == _ROTATION_HEAD
