@@ -39,6 +39,9 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # Parquet timestamps in fixtures are microsecond-precision.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Python data sources (sources/synthdocs.py) implement pushFilters;
+    # the capability is conf-gated.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp,
     # so read as long and convert in the source layer (sources/fixtures.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -278,3 +278,96 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     a = sorted(r["event_id"] for r in back.select("event_id").collect())
     b = sorted(r["event_id"] for r in e.select("event_id").collect())
     assert a == b
+
+
+def test_synthdocs_datasource(spark):
+    """Custom Python data source (the engine's 'connector' extension
+    point): parallel deterministic generation, schema contract, and
+    partition pruning through pushed doc_id range filters."""
+    from pyspark.sql import functions as F
+    from distributed_deduplicator_spark.sources.synthdocs import (
+        SynthDocsReader, _IdRange, register_synthdocs)
+    register_synthdocs(spark)
+    rd = (spark.read.format("synthdocs")
+          .option("n_docs", 400).option("seed", 7)
+          .option("n_partitions", 8))
+    df = rd.load()
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert df.count() == 400
+    # parallel: generation splits into the requested partition count
+    assert df.rdd.getNumPartitions() == 8
+    # determinism: same options → byte-identical corpus
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, rd.load().collect()))
+    assert a == b
+    # filtered read returns exactly the range, values identical to the
+    # unfiltered corpus slice
+    got = sorted(map(tuple,
+                     rd.load().where(F.col("doc_id") < 75).collect()))
+    assert got == [r for r in a if r[0] < 75]
+
+    # unit-level: pushed range filters prune whole partitions
+    r = SynthDocsReader({"n_docs": "400", "n_partitions": "8"})
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+    remaining = list(r.pushFilters([GreaterThanOrEqual(("doc_id",), 100),
+                                    LessThan(("doc_id",), 150)]))
+    assert remaining == []  # both fully handled by the source
+    parts = r.partitions()
+    assert [(p.start, p.end) for p in parts] == [(100, 150)]
+    # unsupported filters are returned to Spark by reference
+    r2 = SynthDocsReader({"n_docs": "400", "n_partitions": "8"})
+    from pyspark.sql.datasource import EqualTo
+    lang_f = EqualTo(("lang",), "en")
+    assert list(r2.pushFilters([lang_f])) == [lang_f]
+    assert len(r2.partitions()) == 8
+
+
+def test_observed_write_collects_metrics_in_one_pass(spark, sf_dir,
+                                                     tmp_path):
+    """observe() metrics must arrive with the write action itself —
+    row count plus caller aggregates — and match a direct computation."""
+    from pyspark.sql import functions as F
+    from distributed_deduplicator_spark.sources import load_table
+    from distributed_deduplicator_spark.sources.sinks import observed_write
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "observed")
+    got = observed_write(
+        e, path,
+        metrics={"n_null_props": F.count(F.when(F.col("props").isNull(), 1)),
+                 "n_users": F.approx_count_distinct("user_id")})
+    assert got["n_rows"] == e.count()
+    assert got["n_null_props"] == e.where(F.col("props").isNull()).count()
+    assert got["n_users"] > 0
+    assert spark.read.parquet(path).count() == got["n_rows"]
+
+
+def test_zorder_value_matches_python_morton(spark):
+    """Property: the JVM z-value expression equals a reference Python
+    Morton interleave of the same quantized bucket ids."""
+    from pyspark.sql import functions as F
+    from distributed_deduplicator_spark.sources.sinks import zorder_value
+    bits = 6
+    n = 2 ** bits
+    rows = [(float(x), float(y))
+            for x in range(0, 64, 7) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    bounds = {"x": (0.0, 64.0), "y": (0.0, 64.0)}
+    got = {(r["x"], r["y"]): r["z"]
+           for r in df.withColumn(
+               "z", zorder_value(bounds, bits=bits)).collect()}
+
+    def bucket(v, lo, hi):
+        # width_bucket semantics: 1..n for in-range, clamped, minus 1
+        b = int((v - lo) / (hi - lo) * n) + 1
+        return min(b, n) - 1
+
+    def morton(bx, by):
+        z = 0
+        for i in range(bits):
+            z |= ((bx >> i) & 1) << (2 * i)      # dim 0 at even bits
+            z |= ((by >> i) & 1) << (2 * i + 1)  # dim 1 at odd bits
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(bucket(x, 0.0, 64.0), bucket(y, 0.0, 64.0)), \
+            (x, y, z)
