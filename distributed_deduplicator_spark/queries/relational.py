@@ -1461,3 +1461,43 @@ def q_sales_opportunity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(F.count("*").alias("n_custs"),
                  F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
                   .cast("double").alias("total_acctbal")))
+
+
+@query("incremental_rollup_merge", oracle="""
+SELECT user_id, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id, event_type
+""")
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the corpus is split into a 'base'
+    half and a 'delta' half (event_id parity), each aggregated to a
+    partial state, and the states MERGED (operators/relational.py
+    merge_agg_states) — the oracle is the FULL recompute over all
+    events, so the driver row proves the mergeability law
+    merge(agg(A), agg(B)) == agg(A ∪ B) value-for-value. Counts and
+    DECIMAL sums merge exactly; the double cast happens only at the
+    output boundary. At scale: base state is yesterday's table, delta
+    is today's partition — merge cost is O(|keys|), never a rescan of
+    history."""
+    from distributed_deduplicator_spark.operators.relational import (
+        merge_agg_states)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.col("value").cast("decimal(18,2)").alias("_v"))
+
+    def state(part):
+        return (part.groupBy("user_id", "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum("_v").alias("_sum_v")))
+
+    base = state(ev.where(F.col("event_id") % 2 == 0))
+    delta = state(ev.where(F.col("event_id") % 2 == 1))
+    merged = merge_agg_states(base, delta,
+                              ["user_id", "event_type"],
+                              ["n_events", "_sum_v"])
+    return merged.select(
+        "user_id", "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("_sum_v").cast("double").alias("total_value"))
