@@ -107,3 +107,32 @@ def merge_agg_states(base: DataFrame, delta: DataFrame,
          + F.coalesce(F.col(f"_d_{c}"), F.lit(0))).alias(c)
         for c in state_cols]
     return joined.select(*keys, *merged)
+
+
+def table_diff(a: DataFrame, b: DataFrame, keys: Sequence[str],
+               compare_cols: Sequence[str]) -> DataFrame:
+    """Keyed reconciliation of two table versions: rows missing from
+    either side or whose compared columns changed — the migration /
+    replication / backfill audit primitive.
+
+    Scale shape: each side is pre-projected to (keys, xxhash64 of the
+    compared columns) so the full outer join shuffles FIXED-WIDTH rows
+    — never payloads — and the output is keys + status only. Equal
+    rows (the overwhelming majority in a healthy replica) are filtered
+    out before anything wide happens. Hash equality on differing rows
+    is a 2^-64 xxhash64 collision — the standard reconciliation
+    tradeoff; rerun on the flagged keys with direct comparison when a
+    court-grade answer is needed.
+    """
+    from pyspark.sql import functions as F
+    ha = a.select(*keys, F.xxhash64(*[F.col(c) for c in compare_cols])
+                  .alias("_ha"))
+    hb = b.select(*keys, F.xxhash64(*[F.col(c) for c in compare_cols])
+                  .alias("_hb"))
+    j = ha.join(hb, list(keys), "full_outer")
+    status = (F.when(F.col("_hb").isNull(), F.lit("missing_in_b"))
+               .when(F.col("_ha").isNull(), F.lit("missing_in_a"))
+               .when(F.col("_ha") != F.col("_hb"), F.lit("changed")))
+    return (j.withColumn("diff_status", status)
+             .where(F.col("diff_status").isNotNull())
+             .select(*keys, "diff_status"))

@@ -1501,3 +1501,39 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("_sum_v").cast("double").alias("total_value"))
+
+
+@query("table_diff_reconcile", oracle="""
+WITH a AS (
+  SELECT event_id, user_id, value FROM events WHERE event_id % 89 <> 0),
+b AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 101 = 0 THEN value + 1.0 ELSE value END
+           AS value
+  FROM events WHERE event_id % 97 <> 0)
+SELECT coalesce(a.event_id, b.event_id) AS event_id,
+       CASE WHEN b.event_id IS NULL THEN 'missing_in_b'
+            WHEN a.event_id IS NULL THEN 'missing_in_a'
+            ELSE 'changed' END AS diff_status
+FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+WHERE b.event_id IS NULL OR a.event_id IS NULL
+   OR a.user_id <> b.user_id OR a.value <> b.value
+""")
+def q_table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two simulated versions of the events table (drops on
+    each side + value drift on one) down to (key, diff_status) rows —
+    the replica/migration audit. The operator ships only keys + row
+    hashes through the full outer join (operators/relational.py
+    table_diff); the oracle compares column values directly — hash
+    reconciliation and direct comparison must agree row-for-row."""
+    from distributed_deduplicator_spark.operators.relational import (
+        table_diff)
+    ev = _t(spark, sf_dir, "events")
+    a = (ev.where(F.col("event_id") % 89 != 0)
+           .select("event_id", "user_id", "value"))
+    b = (ev.where(F.col("event_id") % 97 != 0)
+           .select("event_id", "user_id",
+                   F.when(F.col("event_id") % 101 == 0,
+                          F.col("value") + F.lit(1.0))
+                    .otherwise(F.col("value")).alias("value")))
+    return table_diff(a, b, ["event_id"], ["user_id", "value"])

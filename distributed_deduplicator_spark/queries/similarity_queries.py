@@ -358,3 +358,81 @@ def q_near_dup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .where(F.col("n_votes") >= 2)
                  .select("id_a", "id_b", "n_votes",
                          F.concat_ws(",", "methods").alias("methods")))
+
+
+_QUALITY_SQL = r"""
+(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END
+ + least(CAST(len(string_split_regex(trim(regexp_replace(
+       regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+       '\s+', ' ', 'g')), ' ')) AS DOUBLE) / 100.0, 1.0)
+ + CASE WHEN CAST(length(text) AS DOUBLE)
+             / (len(string_split_regex(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                 '\s+', ' ', 'g')), ' ')) + 1) BETWEEN 3 AND 12
+        THEN 1.0 ELSE 0.0 END) / 3.0
+"""
+
+
+@query("jaccard_keep_best", oracle=rf"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+q AS (SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality FROM documents),
+labeled AS (
+  SELECT d.doc_id,
+         COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+         q.quality
+  FROM documents d
+  LEFT JOIN cc ON cc.id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id)
+SELECT doc_id, cluster_id, quality,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality DESC, doc_id) = 1 AS keep
+FROM labeled
+""")
+def q_jaccard_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware corpus dedup: exact-Jaccard near-dup clusters keep
+    their HIGHEST-QUALITY member (composite quality score; ties to the
+    smallest doc_id) instead of the first-seen one — the canonical-
+    selection policy real training-data pipelines use (keep the
+    cleanest copy, drop mirrors and truncations). Same recursive-CTE
+    closure oracle as jaccard_keep_one, extended with an argmax-per-
+    cluster window — the full value surface (cluster labels, scores,
+    keep flags) is exact-checked."""
+    from pyspark.sql import Window
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    pairs = S.jaccard_similarity_join(d, "doc_id", "text", n=_NGRAM,
+                                      threshold=_JACCARD_THRESHOLD)
+    cc = S.connected_components(pairs)
+    docs = d.select("doc_id",
+                    F.round(TXT.quality_score("text"), 6).alias("quality"))
+    labeled = (docs.join(cc, docs["doc_id"] == cc["id"], "left")
+                   .select(docs["doc_id"],
+                           F.coalesce(cc["cluster_id"], docs["doc_id"])
+                            .alias("cluster_id"),
+                           "quality"))
+    w = Window.partitionBy("cluster_id") \
+              .orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return labeled.withColumn("keep", F.row_number().over(w) == 1)

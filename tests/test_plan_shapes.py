@@ -43,7 +43,7 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
 # (driver loop, one action per round) execute by nature too.
 _STREAMING = {n for n in Q.QUERIES if n.startswith("stream_")}
 _ITERATIVE = {"near_dup_clusters", "jaccard_dedup_clusters",
-              "jaccard_keep_one"}
+              "jaccard_keep_one", "jaccard_keep_best"}
 _EXECUTES_ON_CALL = _STREAMING | _ITERATIVE
 
 
