@@ -238,3 +238,62 @@ def q_stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return P.stratified_sample(d.select("doc_id", "lang"),
                                "lang", "doc_id", frac=_SAMPLE_FRAC)
+
+
+_CHUNK_W = 32   # window tokens
+_CHUNK_S = 24   # stride tokens (overlap = 8)
+
+
+@query("chunk_sliding_windows", oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+p AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= {_CHUNK_W} THEN 1
+              ELSE 1 + CAST(ceil((len(t) - {_CHUNK_W}) / {_CHUNK_S}.0)
+                            AS BIGINT) END AS n_chunks
+  FROM toks)
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(t[i*{_CHUNK_S} + 1 :
+                         least(i*{_CHUNK_S} + {_CHUNK_W}, n)], ' ')
+         AS chunk_text,
+       CAST(least({_CHUNK_W}, n - i*{_CHUNK_S}) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, t, n, unnest(range(n_chunks)) AS i FROM p)
+""")
+def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (window 32 tokens, stride
+    24) — the RAG / context-window packing splitter, complementing the
+    non-overlapping dedup chunker (chunk_exact_dedup): every token
+    belongs to ≥1 chunk, consecutive chunks share an 8-token overlap,
+    and the final partial chunk is kept. Chunk count and boundaries
+    are exact integer arithmetic, identical in both engines.
+
+    Scale shape: ZERO shuffles — tokenize, chunk-count, slice and
+    re-join are all array-local JVM expressions; output size is
+    ~n_tokens/stride rows per doc, produced by one explode in the same
+    stage as the scan."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TXT.tokens("text").alias("_toks"))
+    n = F.size("_toks")
+    n_chunks = F.when(
+        n <= _CHUNK_W, F.lit(1).cast("bigint")
+    ).otherwise(
+        (F.lit(1) + F.ceil((n - F.lit(_CHUNK_W))
+                           / F.lit(float(_CHUNK_S)))).cast("bigint"))
+    chunks = F.expr(
+        "transform(sequence(0, n_chunks - 1), "
+        "i -> struct(i AS chunk_idx, "
+        f"concat_ws(' ', slice(_toks, i*{_CHUNK_S} + 1, {_CHUNK_W})) "
+        "AS chunk_text, "
+        f"least({_CHUNK_W}, size(_toks) - i*{_CHUNK_S}) AS n_tokens))")
+    g = (t.withColumn("n_chunks", n_chunks)
+          .select("doc_id", F.explode(chunks).alias("c")))
+    return g.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("bigint").alias("n_tokens"))

@@ -1537,3 +1537,31 @@ def q_table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("value") + F.lit(1.0))
                     .otherwise(F.col("value")).alias("value")))
     return table_diff(a, b, ["event_id"], ["user_id", "value"])
+
+
+@query("parquet_roundtrip_agg", oracle="""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""")
+def q_parquet_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink round-trip under the correctness gate: events are WRITTEN
+    through the append sink (R5, sources/sinks.py write_parquet, with a
+    target-partitions repartition) to a fresh directory, read back, and
+    aggregated — the oracle aggregates the ORIGINAL table, so the
+    driver row proves the write/read path is lossless value-for-value,
+    not just row-counted. Executes a job at call time by nature (the
+    write), like the streaming family."""
+    import tempfile
+
+    from distributed_deduplicator_spark.sources.sinks import write_parquet
+    base = tempfile.mkdtemp(prefix="roundtrip_")
+    ev = _t(spark, sf_dir, "events")
+    write_parquet(ev, f"{base}/events", mode="overwrite",
+                  target_partitions=4)
+    back = spark.read.parquet(f"{base}/events")
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total_value")))
