@@ -215,3 +215,23 @@ def test_rotation_head_pins_driver_window():
     assert len(_ROTATION_HEAD) == 50
     assert len(set(_ROTATION_HEAD)) == 50
     assert list(QUERIES)[:50] == _ROTATION_HEAD
+
+
+def test_spark_entry_cold_import_contract():
+    """The driver imports __spark_entry__ in a fresh interpreter; the
+    import must succeed (registry + rotation resolve) and the contract
+    functions must expose a consistent registry without needing a
+    SparkSession."""
+    import subprocess
+    import sys
+    code = (
+        "import __spark_entry__ as e; "
+        "qs = e.queries(); osql = e.oracle_sql(); "
+        "assert len(qs) >= 127, len(qs); "
+        "assert set(osql) <= set(qs); "
+        "assert callable(e.entry); "
+        "print(len(qs), len(osql))")
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, cwd="/root/repo",
+                       timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
