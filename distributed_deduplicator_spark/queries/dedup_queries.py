@@ -209,3 +209,41 @@ def q_dedup_within_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_within_ttl(ev, ["user_id", "event_type"], "ts",
                               ttl_seconds=_TTL_SECONDS,
                               order_by=["ts", "event_id"])
+
+
+@query("dedup_rate_by_hour", oracle="""
+WITH v AS (
+  SELECT ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 'SUCCESS' ELSE 'DUPLICATE' END AS verdict
+  FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+       count(*) AS n_attempts,
+       CAST(sum(CASE WHEN verdict = 'DUPLICATE' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_duplicates,
+       CAST(CAST(sum(CASE WHEN verdict = 'DUPLICATE' THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DOUBLE)
+         AS dup_rate
+FROM v
+GROUP BY time_bucket(INTERVAL '1 hour', ts)
+""")
+def q_dedup_rate_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup service's own health dashboard: hourly attempt volume,
+    duplicate count and duplicate rate derived from first-wins verdicts
+    — the reference's absorbed/duplicate audit counters (R13 burst
+    metrics, R21 verdict taxonomy) as a time series instead of JMX
+    numbers. Two shuffles total: the verdict window on the dedup key,
+    then a combinable bucket aggregate; the rate is one exact-int IEEE
+    division."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts",
+                                       "event_id")
+    v = D.dedup_first_wins(ev, keys=["user_id", "event_type"],
+                           order_by=["ts", "event_id"])
+    bucket = F.window("ts", "1 hour")["start"]
+    dup = F.sum(F.when(F.col("verdict") == "DUPLICATE", 1).otherwise(0))
+    return (v.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_attempts"),
+                 dup.cast("bigint").alias("n_duplicates"),
+                 (dup.cast("double") / F.count("*").cast("double"))
+                 .cast("double").alias("dup_rate")))

@@ -1565,3 +1565,36 @@ def q_parquet_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.sum(F.col("value").cast("decimal(18,2)"))
                   .cast("double").alias("total_value")))
+
+
+@query("late_shipment_counts", oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+""")
+def q_late_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the fixtures lack ship modes and
+    commit/receipt dates, so 'late' = shipped 60+ days after the order
+    date and the grouping key is the return flag): per-flag counts of
+    high- vs low-priority orders among late shipments — the
+    cross-table date-arithmetic predicate plus two conditional counts
+    in one pass. One lineitem⋈orders shuffle; both counts map-side
+    combinable."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority",
+                                           "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag",
+                                             "l_shipdate")
+    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
+               .where(F.col("l_shipdate")
+                      >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (joined.groupBy("l_returnflag")
+            .agg(F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint")
+                  .alias("high_line_count"),
+                 F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint")
+                  .alias("low_line_count")))
