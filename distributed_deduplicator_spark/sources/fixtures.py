@@ -22,9 +22,12 @@ TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
-# nanoseconds (spark.sql.legacy.parquet.nanosAsLong). Values are
-# microsecond-aligned in the fixtures, so ns→µs conversion is lossless.
+# Legacy-format guard: earlier fixture generations stored events.ts as
+# parquet TIMESTAMP(NANOS), which Spark reads as long nanoseconds
+# (spark.sql.legacy.parquet.nanosAsLong). Current fixtures use tz-naive
+# timestamp[us] (handled below via the NTZ conf + cast); this ns→µs
+# conversion stays armed in case a future regeneration reverts. Values
+# are microsecond-aligned, so the conversion is lossless.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 # Schema inference reads the parquet footer through a one-task Spark
