@@ -1598,3 +1598,43 @@ def q_late_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("high_line_count"),
                  F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint")
                   .alias("low_line_count")))
+
+
+@query("variant_shred_stats", oracle="""
+SELECT event_type,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.missing')
+                          IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_missing,
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                               AS INTEGER) % 2 = 0
+                     THEN CAST(json_extract_string(props, '$.k')
+                               AS INTEGER) ELSE 0 END) AS BIGINT)
+         AS sum_even_k
+FROM events GROUP BY event_type
+""")
+def q_variant_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through Spark 4's VARIANT type: props parse
+    ONCE into the binary variant encoding (parse_json), then typed
+    paths extract via variant_get / try_variant_get — the modern
+    replacement for per-path string re-parsing (json_props_stats shows
+    the classic get_json_object route on the same data; at 100 TB the
+    variant parses each row once however many paths you read, and a
+    variant-shredded parquet layout prunes paths at the scan).
+    try_variant_get on an absent path yields null (counted, proving
+    missing-path semantics match JSON NULL handling)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (e.select("event_type", k.alias("_k"),
+                     missing.alias("_m"))
+             .groupBy("event_type")
+             .agg(F.sum(F.when(F.col("_k").isNotNull(), 1).otherwise(0))
+                   .cast("bigint").alias("n_with_k"),
+                  F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0))
+                   .cast("bigint").alias("n_with_missing"),
+                  F.sum(F.when(F.col("_k") % 2 == 0, F.col("_k"))
+                         .otherwise(0)).cast("bigint")
+                   .alias("sum_even_k")))
