@@ -42,7 +42,11 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType(), False),
     T.StructField("n_bytes", T.LongType(), False),
     T.StructField("content_sha", T.StringType(), False),
-    T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    # double, not float32: the fake extractor emits u32/2^32 — exact in
+    # IEEE double on any engine, so the feature values themselves are
+    # oracle-checkable; a float32 element type would round them to
+    # values DuckDB cannot reproduce
+    T.StructField("feature", T.ArrayType(T.DoubleType()), False),
 ])
 
 _FEATURE_DIM = 8

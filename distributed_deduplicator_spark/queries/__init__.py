@@ -47,44 +47,50 @@ from distributed_deduplicator_spark.queries import text_queries  # noqa: F401,E4
 from distributed_deduplicator_spark.queries import dedup_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 
-# Round-4 verification rotation (see VERIFIED.md for the cross-round
-# ledger). The first 50 names are pinned: the 39 queries that have
-# never had a driver correctness row in rounds 1-3, then the 2 queries
-# that regressed to ERR in r03 (NTZ — fixed this round, re-prove), then
-# the 4 r01-mismatch queries whose fixes were never driver-re-checked,
-# then 5 r01-green-only entries with the oldest evidence. Everything
-# after the window keeps module registration order. Update this list
-# each round as the window rotates; an unknown name fails import.
+# Round-5 verification rotation (see VERIFIED.md for the cross-round
+# ledger). The first 50 names are pinned: the 22 queries that have
+# never had a driver correctness row in rounds 1-4 (added in round 4
+# after the r04 window was pinned, or displaced by it), then the 10
+# entries whose only driver evidence is round 1 (code untouched but
+# stale), then the 2 multimodal queries whose code changed this round
+# (r04's one red row — array-terminal ERR — flattened and given a full
+# value oracle; feature_neardup upgraded from rows-only to oracle),
+# then 16 oldest-evidence banked entries (r03 sketch rows-only, the
+# dedup family, oldest relational). Everything after the window keeps
+# module registration order. Update this list each round as the window
+# rotates; an unknown name fails import.
 _ROTATION_HEAD = [
-    # never driver-verified: multimodal (incl. guarded_process = R10)
-    "multimodal_stats", "multimodal_content_hash", "multimodal_features",
-    "guarded_process", "embedding_quantize_dedup", "multimodal_frame_sample",
-    "multimodal_resize", "multimodal_feature_neardup",
-    "multimodal_audio_windows",
-    # never driver-verified: pipeline curation
-    "train_test_split_hash", "benchmark_decontaminate", "repetition_filter",
-    "source_cap_sample", "token_budget_pack", "corpus_mix_weights",
-    "chunk_dedup_stats", "stratified_sample_lang",
-    # never driver-verified: similarity
-    "simhash_near_dup_pairs", "winnow_near_dup_pairs", "embedding_norm_stats",
-    "embedding_cosine_neardup", "near_dup_clusters", "jaccard_dedup_clusters",
-    "jaccard_keep_one", "ann_ivfpq_topk", "near_dup_ensemble",
-    # never driver-verified: streaming
-    "stream_enrich_counts", "stream_stream_attribution", "stream_upsert_ledger",
-    # never driver-verified: temporal
-    "timeseries_gapfill", "attribution_window_join", "rolling_hour_stats",
-    "activity_profile_topk", "window_fill_forward", "user_event_journey",
-    # never driver-verified: text
-    "text_top_bigrams", "text_length_quantiles", "fuzzy_name_pairs",
-    "frequent_tokens_approx",
-    # r03 ERR regressions, fixed this round — re-prove green
-    "dedup_within_ttl", "window_lag_lead",
-    # r01 mismatch, fixed in r02 code but never driver-re-checked
-    "stream_windowed_counts", "sessionize_events", "session_stats",
-    "text_lang_profile",
-    # r01-green-only (oldest evidence; code touched in r02)
-    "jaccard_ngram_pairs", "cosine_topk", "asof_join_orders",
-    "stream_session_windows", "stream_sliding_counts",
+    # never driver-verified: round-4 TPC-H additions
+    "local_supplier_volume", "forecast_revenue", "market_share",
+    "product_profit_by_nation", "promo_revenue", "top_supplier_revenue",
+    "small_qty_order_revenue", "large_order_customers",
+    "sales_opportunity_by_nation",
+    # never driver-verified: relational
+    "incremental_rollup_merge", "table_diff_reconcile",
+    "parquet_roundtrip_agg", "late_shipment_counts", "variant_shred_stats",
+    # never driver-verified: text / temporal / similarity / pipeline /
+    # dedup / streaming
+    "doc_dup_ngram_stats", "bigram_lift_topk",
+    "funnel_conversion", "user_state_history",
+    "jaccard_keep_best", "chunk_sliding_windows",
+    "dedup_rate_by_hour", "stream_minhash_neardup",
+    # r01-only evidence (stale; code unchanged since r02)
+    "stream_dedup_watermark", "stream_ttl_dedup_stateful",
+    "text_fingerprint_dedup", "text_lang_id", "text_quality_filter",
+    "text_winnow_fingerprints", "minhash_near_dup", "simhash_fingerprints",
+    "ann_lsh_topk", "ann_ivf_topk",
+    # code changed in round 5: r04's red row fixed (scalar f0..f7 +
+    # sha-derived value oracle) and the neardup twin's oracle upgrade
+    "multimodal_features", "multimodal_feature_neardup",
+    # oldest banked evidence: r03 sketch rows-only re-checks
+    "agg_approx_distinct", "sketch_distinct_users", "kll_value_quantiles",
+    # oldest banked evidence: dedup family (reference R4/R6/R8/R21)
+    "dedup_first_wins", "dedup_first_wins_winners", "dedup_exact_distinct",
+    "dedup_latest_state", "dedup_arbitrate_ledger", "dedup_incremental",
+    # oldest banked evidence: relational core
+    "filter_project", "predicate_in_null", "pricing_summary",
+    "agg_global", "agg_distinct", "join_star_revenue",
+    "join_left_order_counts",
 ]
 
 

@@ -21,6 +21,24 @@ _MEDIA_TYPE_SQL = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
                    "ELSE 'video' END")
 
 
+def _sha_u32_sql(i: int, hx: str = "hx") -> str:
+    """DuckDB expression for feature dimension ``i`` of the fake
+    extractor (operators/multimodal._fake_decode_features): the i-th
+    big-endian u32 of the sha256 digest, divided by 2^32. Parses the 8
+    hex chars digit-by-digit — every term is an exact integer < 2^32,
+    so the BIGINT sum and the final power-of-two division are
+    bit-identical to Python's ``int.from_bytes(...) / 2**32``."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hx}, {i * 8 + k}, 1)) - 1) "
+        f"* {16 ** (8 - k)}"
+        for k in range(1, 9))
+    return f"(CAST({terms} AS DOUBLE) / 4294967296.0)"
+
+
+_F_COLS_SQL = ",\n       ".join(
+    f"{_sha_u32_sql(i)} AS f{i}" for i in range(8))
+
+
 @query("multimodal_stats", oracle=f"""
 SELECT {_MEDIA_TYPE_SQL} AS media_type,
        count(*) AS n_items,
@@ -57,13 +75,29 @@ def q_multimodal_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("payload", 256).alias("content_sha"))
 
 
-@query("multimodal_features")  # rows-only: fake-extractor float arrays
+@query("multimodal_features", oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {_MEDIA_TYPE_SQL} AS media_type,
+         octet_length(encode(text)) AS n_bytes, sha256(text) AS hx
+  FROM documents)
+SELECT media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+       hx AS content_sha,
+       {_F_COLS_SQL}
+FROM m
+""")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full feature-extraction pipeline incl. the 8-dim feature vector
     from the deterministic fake extractor (real codecs stubbed —
-    operators/multimodal.py docstring)."""
+    operators/multimodal.py docstring). The vector is flattened to
+    scalar f0..f7 at the query boundary: nested terminals crash the
+    driver's pandas canonicalizer (round-4 red row), and the sha-derived
+    doubles are exactly reproducible in SQL (_sha_u32_sql) — so this
+    gets a full value oracle rather than rows-only."""
     docs = load_table(spark, sf_dir, "documents")
-    return MM.extract_features(MM.media_from_documents(docs))
+    feats = MM.extract_features(MM.media_from_documents(docs))
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "content_sha",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)])
 
 
 @query("guarded_process", oracle="""
@@ -178,20 +212,45 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "target_h", "n_bytes")
 
 
-@query("multimodal_feature_neardup")  # rows-only: fake-extractor floats
+_FND_NORM = "sqrt(" + " + ".join(f"f{i} * f{i}" for i in range(8)) + ")"
+_FND_UNIT = ", ".join(f"f{i} / nrm AS u{i}" for i in range(8))
+_FND_DOT = " + ".join(f"a.u{i} * b.u{i}" for i in range(8))
+_FND_SIGNS = " AND ".join(f"(a.u{i} >= 0) = (b.u{i} >= 0)"
+                          for i in range(8))
+
+@query("multimodal_feature_neardup", oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, sha256(text) FROM documents WHERE doc_id < 10),
+f AS (SELECT media_id, {_F_COLS_SQL} FROM m),
+u AS (SELECT media_id, {_FND_UNIT}
+      FROM (SELECT media_id, {_FND_NORM} AS nrm,
+                   {', '.join(f'f{i}' for i in range(8))} FROM f))
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       round({_FND_DOT}, 6) AS cosine_r
+FROM u a JOIN u b ON a.media_id < b.media_id AND {_FND_SIGNS}
+WHERE {_FND_DOT} >= 0.999
+""")
 def q_multimodal_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over extracted media features:
     sign-quantization buckets + exact cosine verify (sub-quadratic;
     identical payloads always collide at cosine 1.0). The corpus is
     salted with 10 re-ingested copies (media_id + 100000) — the
     re-crawl scenario — whose pairs the operator must surface; asserted
-    exactly in tests/test_sinks_multimodal.py."""
+    exactly in tests/test_sinks_multimodal.py. With the sha-derived
+    double features the whole pipeline is SQL-expressible, so the
+    oracle replays bucket semantics exactly: sign-code equality (the
+    operator's recall contract, not just the threshold) + the same
+    fold-order cosine — upgraded from rows-only in round 5."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.media_from_documents(docs)
     clones = (media.where(F.col("media_id") < 10)
                    .withColumn("media_id", F.col("media_id") + 100000))
     feats = MM.extract_features(media.unionByName(clones))
-    return MM.feature_near_dup(feats, threshold=0.999)
+    pairs = MM.feature_near_dup(feats, threshold=0.999)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 6).alias("cosine_r"))
 
 
 _AW_WIN = 256

@@ -206,6 +206,47 @@ def test_guarded_block_runs_exactly_once_per_key(spark, sf_dir):
         assert calls.value - before == len(rekeys)
 
 
+def test_no_nested_or_decimal_terminals(spark, sf_dir):
+    """Every registered query's OUTPUT schema must be flat scalars:
+    the driver canonicalizes results via pandas sort_values, which
+    raises `unhashable type` on array/map cells (round-4 red row:
+    multimodal_features returned array<float>), and DuckDB's pandas
+    conversion floats DECIMAL/HUGEINT so Decimal terminals hash-
+    mismatch even when value-equal. This extends tests/oracle.py's
+    Decimal ban from oracle-checked queries to the whole registry —
+    including rows-only queries, whose row counts the driver still
+    canonicalizes."""
+    from pyspark.sql import types as T
+    banned = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+    offenders = {}
+    for name, fn in Q.QUERIES.items():
+        if name in _EXECUTES_ON_CALL:
+            continue  # covered by the companion schema probe below
+        bad = [f"{f.name}:{f.dataType.simpleString()}"
+               for f in fn(spark, sf_dir).schema.fields
+               if isinstance(f.dataType, banned)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"nested/decimal terminals: {offenders}"
+
+
+def test_no_nested_or_decimal_terminals_executing_queries(spark, sf_dir):
+    """Same gate for the queries that execute on call (streaming
+    drains, iterative closures, sink round-trips) — their results go
+    through the driver canonicalizer too. Kept separate because
+    building these runs real work."""
+    from pyspark.sql import types as T
+    banned = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+    offenders = {}
+    for name in sorted(_EXECUTES_ON_CALL):
+        bad = [f"{f.name}:{f.dataType.simpleString()}"
+               for f in Q.QUERIES[name](spark, sf_dir).schema.fields
+               if isinstance(f.dataType, banned)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"nested/decimal terminals: {offenders}"
+
+
 def test_rotation_head_pins_driver_window():
     """The driver verifies the FIRST 50 registry entries; the explicit
     rotation head must be exactly that window — present, deduplicated,

@@ -123,7 +123,7 @@ def test_feature_neardup_finds_cloned_payloads(spark, sf_dir):
     # every clone pairs with its original at cosine ~1.0
     clone_pairs = {(r.id_a, r.id_b) for r in pairs if r.id_b >= 100000}
     assert {(i, i + 100000) for i in range(10)} <= clone_pairs
-    assert all(r.cosine >= 0.999 for r in pairs)
+    assert all(r.cosine_r >= 0.999 for r in pairs)
 
 
 def test_streaming_guarded_ledger(spark, sf_dir):
