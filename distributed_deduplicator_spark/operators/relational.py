@@ -84,29 +84,50 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
 
 def merge_agg_states(base: DataFrame, delta: DataFrame,
                      keys: Sequence[str],
-                     state_cols: Sequence[str]) -> DataFrame:
+                     state_cols: Sequence[str],
+                     merges: "dict[str, str] | None" = None) -> DataFrame:
     """Merge two partial-aggregate state tables into one — the
     incremental-view-maintenance primitive: ``merge(agg(A), agg(B)) ==
-    agg(A ∪ B)`` for any mergeable state (counts, exact decimal sums,
-    min/max, sketches).
+    agg(A ∪ B)`` for mergeable state columns.
+
+    Per-column merge semantics come from ``merges`` (column →
+    ``'sum' | 'min' | 'max'``); columns not listed default to null-safe
+    addition, which is correct for counts and exact decimal sums ONLY —
+    a min/max state column merged by the default would be silently
+    summed, so pass its strategy explicitly.
 
     At 100 TB this is THE rollup maintenance path: a nightly base state
     plus a small delta state merge in time proportional to |keys|, not
     |raw events| — a full recompute rescans the entire history. The
-    merge is a full outer join on the group keys with null-safe
-    addition; with DECIMAL sums and integer counts the merged state is
-    BIT-IDENTICAL to the full recompute (decimal addition is exact and
-    associative; a double sum would drift by association order).
+    merge is a full outer join on the group keys; with DECIMAL sums and
+    integer counts the merged state is BIT-IDENTICAL to the full
+    recompute (decimal addition is exact and associative; a double sum
+    would drift by association order). min/max merge via least/greatest,
+    which skip NULLs — the absent-side identity, same as additive 0.
     """
     from pyspark.sql import functions as F
+    merges = merges or {}
+    unknown = {c: m for c, m in merges.items()
+               if m not in ("sum", "min", "max")}
+    if unknown:
+        raise ValueError(f"unsupported merge strategies: {unknown}")
+    if extra := set(merges) - set(state_cols):
+        raise ValueError(f"merges for non-state columns: {sorted(extra)}")
     b = base.select(*keys, *[F.col(c).alias(f"_b_{c}") for c in state_cols])
     d = delta.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in state_cols])
     joined = b.join(d, list(keys), "full_outer")
-    merged = [
-        (F.coalesce(F.col(f"_b_{c}"), F.lit(0))
-         + F.coalesce(F.col(f"_d_{c}"), F.lit(0))).alias(c)
-        for c in state_cols]
-    return joined.select(*keys, *merged)
+
+    def merge_one(c):
+        bc, dc = F.col(f"_b_{c}"), F.col(f"_d_{c}")
+        strat = merges.get(c, "sum")
+        if strat == "min":
+            return F.least(bc, dc)
+        if strat == "max":
+            return F.greatest(bc, dc)
+        return F.coalesce(bc, F.lit(0)) + F.coalesce(dc, F.lit(0))
+
+    return joined.select(*keys, *[merge_one(c).alias(c)
+                                  for c in state_cols])
 
 
 def table_diff(a: DataFrame, b: DataFrame, keys: Sequence[str],
@@ -123,12 +144,23 @@ def table_diff(a: DataFrame, b: DataFrame, keys: Sequence[str],
     is a 2^-64 xxhash64 collision — the standard reconciliation
     tradeoff; rerun on the flagged keys with direct comparison when a
     court-grade answer is needed.
+
+    NULL handling: xxhash64 passes its seed through unchanged for NULL
+    inputs, so hashing the raw columns alone would make rows that
+    differ only in WHICH same-typed column is NULL (``(x, NULL)`` vs
+    ``(NULL, x)``) collide deterministically — a guaranteed miss, not
+    a 2^-64 one. Appending a per-column null-flag disambiguates: the
+    flags pin which positions were skipped, so equal hashes again
+    require an identical null pattern AND equal non-null values.
     """
     from pyspark.sql import functions as F
-    ha = a.select(*keys, F.xxhash64(*[F.col(c) for c in compare_cols])
-                  .alias("_ha"))
-    hb = b.select(*keys, F.xxhash64(*[F.col(c) for c in compare_cols])
-                  .alias("_hb"))
+
+    def row_hash(cols):
+        return F.xxhash64(*[F.col(c) for c in cols],
+                          *[F.col(c).isNull() for c in cols])
+
+    ha = a.select(*keys, row_hash(compare_cols).alias("_ha"))
+    hb = b.select(*keys, row_hash(compare_cols).alias("_hb"))
     j = ha.join(hb, list(keys), "full_outer")
     status = (F.when(F.col("_hb").isNull(), F.lit("missing_in_b"))
                .when(F.col("_ha").isNull(), F.lit("missing_in_a"))

@@ -372,9 +372,13 @@ def q_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-partition heaps), never a global sort."""
     from distributed_deduplicator_spark.operators.relational import topk_global
     d = load_table(spark, sf_dir, "documents")
-    t = (d.select(TXT.tokens("text").alias("_toks"))
-          .where(F.size("_toks") >= 2))
-    uni = (t.select(F.explode("_toks").alias("w"))
+    # unigram counts over ALL documents (the oracle's uni CTE domain);
+    # the size>=2 filter applies only to bigram derivation — filtering
+    # uni too would diverge n_tok/n_w1/n_w2 (and every lift) the moment
+    # a fixture regeneration contains a 0/1-token doc
+    t_all = d.select(TXT.tokens("text").alias("_toks"))
+    t = t_all.where(F.size("_toks") >= 2)
+    uni = (t_all.select(F.explode("_toks").alias("w"))
             .groupBy("w").agg(F.count("*").alias("c")))
     bg_all = (t.select(F.explode(
                   F.expr("transform(sequence(1, size(_toks) - 1), "

@@ -125,6 +125,14 @@ def zorder_value(bounds: dict[str, tuple[float, float]],
     if not (1 <= bits <= 20):
         raise ValueError("bits must be in [1, 20]")
     ndim = len(bounds)
+    if bits * ndim > 63:
+        # JVM shiftleft wraps shift amounts mod 64, so an interleaved
+        # bit position past 63 would silently fold back onto low bits
+        # and destroy the clustering/pruning property
+        raise ValueError(
+            f"bits * len(bounds) = {bits * ndim} exceeds 63: the "
+            f"interleaved z-value must fit a signed 64-bit long; lower "
+            f"bits (e.g. {63 // ndim}) or drop dimensions")
     terms = []
     for d, (col, (lo, hi)) in enumerate(bounds.items()):
         if not hi > lo:

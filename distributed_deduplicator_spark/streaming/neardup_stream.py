@@ -22,9 +22,13 @@ Design (scale-first):
   verification would require storing shingle sets in the ledger
   (unbounded width); the estimator keeps the ledger fixed-width and
   its error is the standard MinHash bound at num_hashes components.
-- Survivors' signatures append to the ledger parquet per batch
-  (foreachBatch = exactly-once per epoch with the checkpoint, the
-  same idempotent-sink discipline as streaming/sinks.py).
+- Survivors' signatures land in a batch-id-versioned ledger directory
+  (``ledger_dir/batch=N``, overwrite semantics) and verdicts in
+  ``out_dir/batch=N`` — the same idempotent-sink discipline as
+  streaming/sinks.py: a foreachBatch retry of epoch N overwrites its
+  own partial output instead of appending duplicates, and the
+  cross-batch check reads only batches < N, so retried docs can never
+  band-match their own prior ledger entries.
 
 Deterministic end to end: seeded xxhash64 signatures, greedy
 arbitration by id, no randomness.
@@ -70,12 +74,33 @@ def _band_keys(sig_df: DataFrame) -> DataFrame:
                   .select("id", "bk.band", "bk.band_hash"))
 
 
+def _earlier_ledger_paths(ledger_dir: str, batch_id: int) -> list[str]:
+    """Batch-versioned ledger directories strictly BEFORE ``batch_id``
+    — a retried epoch must not see its own prior (possibly partial)
+    ledger write, or every retried doc would match itself at signature
+    agreement 1.0 and flip to DUPLICATE."""
+    if not os.path.isdir(ledger_dir):
+        return []
+    out = []
+    for name in os.listdir(ledger_dir):
+        if name.startswith("batch="):
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid < batch_id:
+                out.append(os.path.join(ledger_dir, name))
+    return sorted(out)
+
+
 def process_batch(batch: DataFrame, ledger_dir: str, out_dir: str,
-                  shingle_n: int = 3) -> None:
+                  shingle_n: int = 3, batch_id: int = 0) -> None:
     """Arbitrate one microbatch of (doc_id, text) against the ledger,
-    write verdicts to ``out_dir`` and append survivors' signatures to
-    ``ledger_dir``. Pure batch logic — callable from foreachBatch or
-    directly in incremental-batch pipelines."""
+    write verdicts to ``out_dir/batch=<batch_id>`` and survivors'
+    signatures to ``ledger_dir/batch=<batch_id>`` (both overwrite —
+    idempotent under epoch retry). Pure batch logic — callable from
+    foreachBatch (pass the epoch id as ``batch_id``) or directly in
+    incremental-batch pipelines with a caller-managed version number."""
     spark = batch.sparkSession
     sh = shingles(batch, "doc_id", "text", n=shingle_n)
     sig = minhash_signatures(sh, num_hashes=_NUM_HASHES)
@@ -91,11 +116,12 @@ def process_batch(batch: DataFrame, ledger_dir: str, out_dir: str,
                     .select(F.greatest("id_a", "id_b").alias("id"))
                     .distinct())
 
-    # -- cross-batch: band collision against the ledger, verify
+    # -- cross-batch: band collision against EARLIER batches' ledger
     bk = _band_keys(sig)
     cross_losers = None
-    if os.path.exists(ledger_dir):
-        ledger = spark.read.parquet(ledger_dir)
+    earlier = _earlier_ledger_paths(ledger_dir, batch_id)
+    if earlier:
+        ledger = spark.read.parquet(*earlier)
         lbk = _band_keys(ledger.select("id", "sig")) \
             .select(F.col("id").alias("_lid"), "band", "band_hash")
         cand = (bk.join(lbk, ["band", "band_hash"])
@@ -116,11 +142,13 @@ def process_batch(batch: DataFrame, ledger_dir: str, out_dir: str,
                         F.when(F.col("_dup").isNotNull(),
                                F.lit("DUPLICATE"))
                          .otherwise(F.lit("SUCCESS")).alias("verdict")))
-    verdicts.write.mode("append").parquet(out_dir)
+    verdicts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}"))
 
     survivors = (sig.join(losers, "id", "left_anti")
                    .select("id", "sig"))
-    survivors.write.mode("append").parquet(ledger_dir)
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(ledger_dir, f"batch={batch_id}"))
 
 
 def stream_minhash_neardup(spark: SparkSession, docs_glob: str,
@@ -141,10 +169,12 @@ def stream_minhash_neardup(spark: SparkSession, docs_glob: str,
                                str(max_files_per_trigger))
     stream = reader.parquet(docs_glob).select("doc_id", "text")
     q = (stream.writeStream
-         .foreachBatch(lambda b, _bid: process_batch(
-             b, ledger_dir, out_dir, shingle_n=shingle_n))
+         .foreachBatch(lambda b, bid: process_batch(
+             b, ledger_dir, out_dir, shingle_n=shingle_n, batch_id=bid))
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # drop the discovered batch=N partition column: verdict schema is
+    # (doc_id, verdict) regardless of how ingestion was batched
+    return spark.read.parquet(out_dir).select("doc_id", "verdict")

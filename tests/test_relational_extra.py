@@ -117,3 +117,42 @@ def test_kll_quantiles_error_and_merge(spark, sf_dir):
     # merge-order dependent, so the merged ALL row is gated on accuracy
     # vs exact percentiles (loop above), not on bit-equality with a
     # one-pass sketch.
+
+
+def test_table_diff_flags_null_position_swap(spark):
+    """ADVICE r4: xxhash64 skips NULL inputs, so (x, NULL) vs (NULL, x)
+    used to hash equal and a real change read as unchanged. The
+    null-bitmap hashing must flag it."""
+    from distributed_deduplicator_spark.operators.relational import table_diff
+    a = spark.createDataFrame(
+        [(1, "x", None), (2, "same", "same"), (3, None, None)],
+        "k int, c1 string, c2 string")
+    b = spark.createDataFrame(
+        [(1, None, "x"), (2, "same", "same"), (3, None, None)],
+        "k int, c1 string, c2 string")
+    got = {r.k: r.diff_status
+           for r in table_diff(a, b, ["k"], ["c1", "c2"]).collect()}
+    assert got == {1: "changed"}  # 2 and 3 are genuinely unchanged
+
+
+def test_merge_agg_states_min_max_strategies(spark):
+    """min/max state columns merge via least/greatest (null-safe),
+    never the additive default; unknown strategies are rejected."""
+    import pytest
+    from distributed_deduplicator_spark.operators.relational import (
+        merge_agg_states)
+    base = spark.createDataFrame(
+        [("a", 3, 10, 1), ("b", 1, 7, 7)], "k string, n long, mx long, mn long")
+    delta = spark.createDataFrame(
+        [("a", 2, 4, 0), ("c", 5, 9, 9)], "k string, n long, mx long, mn long")
+    got = {r.k: (r.n, r.mx, r.mn)
+           for r in merge_agg_states(base, delta, ["k"], ["n", "mx", "mn"],
+                                     merges={"mx": "max", "mn": "min"})
+           .collect()}
+    assert got == {"a": (5, 10, 0),   # sum / greatest / least
+                   "b": (1, 7, 7),    # absent delta side is identity
+                   "c": (5, 9, 9)}
+    with pytest.raises(ValueError, match="unsupported"):
+        merge_agg_states(base, delta, ["k"], ["n"], merges={"n": "avg"})
+    with pytest.raises(ValueError, match="non-state"):
+        merge_agg_states(base, delta, ["k"], ["n"], merges={"mx": "max"})

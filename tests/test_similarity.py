@@ -210,3 +210,54 @@ def test_near_dup_ensemble_consensus(spark, docs, sf_dir):
     assert len(missed) <= max(1, len(exact) // 5), \
         f"strong pairs dropped by consensus: {missed}"
     S.release_persisted()
+
+
+def test_two_phase_cc_matches_union_find_on_path_graph(spark):
+    """The large-star/small-star variant must (a) produce exactly the
+    union-find labels and (b) converge within ~2*log2(n) rounds on a
+    1000-node path — the adversarial-diameter topology where
+    O(diameter) label propagation needs n-1 rounds."""
+    import math
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    cap = 2 * math.ceil(math.log2(n)) + 2   # 22 rounds for n=1000
+    labels = {r.id: r.cluster_id
+              for r in S.connected_components(
+                  pairs, max_iter=cap, algorithm="two-phase").collect()}
+
+    # union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in [(i, i + 1) for i in range(n - 1)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+    assert labels == expected
+    S.release_persisted()
+
+
+def test_two_phase_cc_matches_label_propagation_on_neardup_graph(spark,
+                                                                 docs):
+    """Both algorithms label the REAL near-dup pair graph identically
+    (multi-component, branching — not just a path), and storage is
+    fully released."""
+    pairs = S.minhash_near_dup(docs, "doc_id", "text", threshold=0.5)
+    lp = {r.id: r.cluster_id
+          for r in S.connected_components(pairs).collect()}
+    tp = {r.id: r.cluster_id
+          for r in S.connected_components(
+              pairs, algorithm="two-phase").collect()}
+    assert lp == tp and lp
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        S.connected_components(pairs, algorithm="banana")
+    assert S.release_persisted() > 0
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() == 0

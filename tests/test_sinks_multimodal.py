@@ -371,3 +371,14 @@ def test_zorder_value_matches_python_morton(spark):
     for (x, y), z in got.items():
         assert z == morton(bucket(x, 0.0, 64.0), bucket(y, 0.0, 64.0)), \
             (x, y, z)
+
+
+def test_zorder_value_rejects_overflowing_interleave(spark):
+    """ADVICE r4: JVM shiftleft wraps shifts mod 64, so bits*ndim > 63
+    would silently fold high interleaved bits onto low ones and destroy
+    clustering — must raise instead."""
+    from distributed_deduplicator_spark.sources.sinks import zorder_value
+    bounds = {f"c{i}": (0.0, 1.0) for i in range(6)}
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_value(bounds, bits=12)   # 72 bit positions
+    zorder_value(bounds, bits=10)       # 60 — fine

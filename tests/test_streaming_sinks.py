@@ -106,3 +106,35 @@ def test_stream_minhash_neardup_cross_batch_ledger(spark, sf_dir, tmp_path):
             f"within-batch pair ({a},{b}): larger id must lose"
     # determinism: a fresh replay produces identical verdicts
     assert run("run2") == v
+
+
+def test_neardup_batch_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r4 (medium): a foreachBatch retry of epoch N must not
+    append duplicate verdicts, and the retried docs must not band-match
+    their own prior ledger write (signature agreement 1.0 would flip
+    the whole retried batch to DUPLICATE)."""
+    from pyspark.sql import functions as F
+    from distributed_deduplicator_spark.sources import load_table
+    from distributed_deduplicator_spark.streaming.neardup_stream import (
+        process_batch)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "verdicts")
+
+    process_batch(b0, ledger, out, batch_id=0)
+    first = sorted(map(tuple, spark.read.parquet(out)
+                       .select("doc_id", "verdict").collect()))
+    # simulate the epoch-0 retry after a partial failure
+    process_batch(b0, ledger, out, batch_id=0)
+    retried = sorted(map(tuple, spark.read.parquet(out)
+                         .select("doc_id", "verdict").collect()))
+    assert retried == first, "retry appended or flipped verdicts"
+
+    # the next epoch still arbitrates against epoch 0's survivors
+    process_batch(b1, ledger, out, batch_id=1)
+    all_v = spark.read.parquet(out).select("doc_id", "verdict").collect()
+    assert len(all_v) == docs.count()
+    assert len({r.doc_id for r in all_v}) == len(all_v)
