@@ -286,19 +286,29 @@ def window_audio(media: DataFrame, window_bytes: int = 256,
 
 def feature_near_dup(features: DataFrame, threshold: float = 0.999,
                      id_col: str = "media_id",
-                     vec_col: str = "feature") -> DataFrame:
+                     vec_col: str = "feature",
+                     sign_pivot: float = 0.0) -> DataFrame:
     """Embedding-cosine near-dup over extracted features, sub-quadratic:
     bucket by the sign-quantization code of the unit vector (near-dup
     pairs at cosine ≥ ~0.999 share every sign bit unless a component
-    sits at ≈0 — the standard recall caveat of sign LSH), self-join per
-    bucket, verify with the exact cosine. Exact payload dups (identical
-    feature vectors) always collide. Work is Σ|bucket|², not n²."""
+    sits at ≈``sign_pivot`` — the standard recall caveat of sign LSH),
+    self-join per bucket, verify with the exact cosine. Exact payload
+    dups (identical feature vectors) always collide. Work is
+    Σ|bucket|², not n².
+
+    ``sign_pivot`` is the per-component threshold the "sign" compares
+    against. 0.0 is right for zero-centered model embeddings; for
+    extractors with one-sided output (the sha-derived fake emits
+    [0,1) — EVERY vector would share the all-ones code and the bucket
+    join degenerates to n²) pass a pivot near the component median so
+    the code actually partitions the corpus."""
     from distributed_deduplicator_spark.operators import similarity as S
     dim = _FEATURE_DIM
     u = S.unit_vectors(features, id_col=id_col, vec_col=vec_col)
     code = None
     for i in range(dim):
-        bit = F.when(F.col("unit")[i] >= 0, F.lit(1).cast("long")) \
+        bit = F.when(F.col("unit")[i] >= sign_pivot,
+                     F.lit(1).cast("long")) \
                .otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         code = term if code is None else code.bitwiseXOR(term)

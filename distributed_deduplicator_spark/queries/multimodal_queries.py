@@ -215,8 +215,13 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FND_NORM = "sqrt(" + " + ".join(f"f{i} * f{i}" for i in range(8)) + ")"
 _FND_UNIT = ", ".join(f"f{i} / nrm AS u{i}" for i in range(8))
 _FND_DOT = " + ".join(f"a.u{i} * b.u{i}" for i in range(8))
-_FND_SIGNS = " AND ".join(f"(a.u{i} >= 0) = (b.u{i} >= 0)"
-                          for i in range(8))
+# sign pivot ≈ E[u_i] for uniform-[0,1) features in 8 dims (0.5/√(8/3));
+# pivot 0.0 would put every nonneg fake-extractor vector in ONE bucket
+# and degrade the bucket join to n² at scale
+_FND_PIVOT = 0.31
+_FND_SIGNS = " AND ".join(
+    f"(a.u{i} >= {_FND_PIVOT}) = (b.u{i} >= {_FND_PIVOT})"
+    for i in range(8))
 
 @query("multimodal_feature_neardup", oracle=f"""
 WITH m AS (
@@ -240,15 +245,17 @@ def q_multimodal_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-crawl scenario — whose pairs the operator must surface; asserted
     exactly in tests/test_sinks_multimodal.py. With the sha-derived
     double features the whole pipeline is SQL-expressible, so the
-    oracle replays bucket semantics exactly: sign-code equality (the
-    operator's recall contract, not just the threshold) + the same
-    fold-order cosine — upgraded from rows-only in round 5."""
+    oracle replays bucket semantics exactly: sign-code equality at the
+    _FND_PIVOT pivot (the operator's recall contract, not just the
+    threshold) + the same fold-order cosine — upgraded from rows-only
+    in round 5."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.media_from_documents(docs)
     clones = (media.where(F.col("media_id") < 10)
                    .withColumn("media_id", F.col("media_id") + 100000))
     feats = MM.extract_features(media.unionByName(clones))
-    pairs = MM.feature_near_dup(feats, threshold=0.999)
+    pairs = MM.feature_near_dup(feats, threshold=0.999,
+                                sign_pivot=_FND_PIVOT)
     return pairs.select("id_a", "id_b",
                         F.round("cosine", 6).alias("cosine_r"))
 

@@ -76,6 +76,17 @@ def get_session(app_name: str = "distributed-deduplicator-spark",
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # AQE plans shuffles at initialPartitionNum and coalesces DOWN to
+    # target sizes — so the partition count scales with the data
+    # instead of being capped at shuffle.partitions. Without this the
+    # heavy shingle-join stages ran 32-way at every SF: measured at
+    # sf1 (10× bench scale), jaccard_ngram_pairs took 56.5 s capped vs
+    # 19.3 s with 8×cpus initial partitions (sub-linear vs sf0.1
+    # again); small SFs are unaffected because AQE coalesces right
+    # back. On a real cluster this is the knob that keeps partitions
+    # at executor-memory grain as input grows.
+    conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = \
+        str(8 * shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

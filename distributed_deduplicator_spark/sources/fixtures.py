@@ -53,6 +53,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and matches the DuckDB oracle's naive-timestamp reading.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Same defensive posture for the one optimizer rule that cripples
+    # the explode-heavy pipelines: InferFiltersFromGenerate clones the
+    # generator's child (the whole tokenize/winnow expression chain)
+    # into a size(...)>0 filter that pushdown drags to the scan, where
+    # it runs interpreted and single-threaded. Measured on a plain
+    # driver session at sf0.01: winnow_near_dup_pairs 110 s with the
+    # rule, 4 s without. Merge — never clobber — any rules already
+    # excluded by the caller.
+    _IFG = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    current_excluded = spark.conf.get("spark.sql.optimizer.excludedRules",
+                                      None)
+    if not current_excluded:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _IFG)
+    elif _IFG not in current_excluded:
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+                       f"{current_excluded},{_IFG}")
     path = f"{sf_dir}/{name}.parquet"
     key = (sf_dir, name)
     cached = _SCHEMA_CACHE.get(key)
