@@ -293,3 +293,47 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
               .withColumn("n_stratum", F.count("*").over(w_all))
               .where(F.col("rk")
                      <= F.ceil(F.lit(frac) * F.col("n_stratum"))))
+
+
+def source_overlap_matrix(docs: DataFrame, group_col: str,
+                          text_col: str, n: int = 4) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    the distinct word n-grams they share, with Jaccard and containment
+    over the per-source distinct shingle sets. The corpus-level view
+    of what `ngram_decontaminate` checks doc-by-doc — the pass that
+    tells a curation pipeline which crawls/dumps duplicate each other
+    BEFORE it spends a full near-dup pass on the union.
+
+    Scale: per-source shingle sets come from one distinct shuffle on
+    (source, shingle); the pair join is an equi-join on shingle, so a
+    shingle present in k sources contributes k·(k-1)/2 rows — bounded
+    by |sources|² per shingle, never |docs|². The per-pair and
+    per-source aggregates are map-side combinable; only (pair, count)
+    rows reach the final tiny join of |sources|² rows against the
+    broadcast per-source totals.
+    """
+    from distributed_deduplicator_spark.operators.similarity import (
+        shingle_array)
+    grams = (shingle_array(docs, group_col, text_col, n=n)
+             .select(F.col("id").alias("src"),
+                     F.explode("shingles").alias("shingle"))
+             .distinct())
+    per = grams.groupBy("src").agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.src") < F.col("b.src")))
+              .groupBy(F.col("a.src").alias("source_a"),
+                       F.col("b.src").alias("source_b"))
+              .agg(F.count("*").alias("shared_shingles")))
+    pa = per.select(F.col("src").alias("_sa"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("src").alias("_sb"), F.col("n").alias("n_b"))
+    shared = F.col("shared_shingles").cast("double")
+    return (pairs.join(F.broadcast(pa), F.col("source_a") == F.col("_sa"))
+                 .join(F.broadcast(pb), F.col("source_b") == F.col("_sb"))
+                 .select("source_a", "source_b", "shared_shingles",
+                         "n_a", "n_b",
+                         F.round(shared / (F.col("n_a") + F.col("n_b")
+                                           - F.col("shared_shingles")), 6)
+                          .alias("jaccard"),
+                         F.round(shared / F.least("n_a", "n_b"), 6)
+                          .alias("containment")))

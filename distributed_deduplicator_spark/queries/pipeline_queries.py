@@ -297,3 +297,42 @@ def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").cast("bigint").alias("n_tokens"))
+
+
+@query("cross_source_overlap", oracle=rf"""
+WITH toks AS (SELECT source, {_NORM_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT source,
+         t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+           AS shingle
+  FROM (SELECT source, t,
+               unnest(range(greatest(len(t) - {_DECON_NGRAM - 1}, 0)))
+                 AS i
+        FROM toks)),
+per AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+pair AS (SELECT a.source AS source_a, b.source AS source_b,
+                count(*) AS shared_shingles
+         FROM grams a
+         JOIN grams b ON a.shingle = b.shingle AND a.source < b.source
+         GROUP BY 1, 2)
+SELECT source_a, source_b, shared_shingles, pa.n AS n_a, pb.n AS n_b,
+       round(CAST(shared_shingles AS DOUBLE)
+             / (pa.n + pb.n - shared_shingles), 6) AS jaccard,
+       round(CAST(shared_shingles AS DOUBLE) / least(pa.n, pb.n), 6)
+         AS containment
+FROM pair
+JOIN per pa ON source_a = pa.source
+JOIN per pb ON source_b = pb.source
+""")
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct shared 4-grams,
+    Jaccard and containment for every source pair — tells the curation
+    pipeline which crawls/dumps duplicate each other before a full
+    near-dup pass runs on the union. Counts are exact integers; the
+    two ratios are single IEEE divisions over identical integer inputs,
+    rounded identically in both engines. Plan: one distinct shuffle on
+    (source, shingle), one shingle equi-join (k sources sharing a
+    shingle emit k·(k-1)/2 rows — bounded by |sources|², never
+    |docs|²), then |sources|²-row joins against broadcast totals."""
+    d = load_table(spark, sf_dir, "documents")
+    return P.source_overlap_matrix(d, "source", "text", n=_DECON_NGRAM)

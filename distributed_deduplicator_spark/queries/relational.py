@@ -1638,3 +1638,292 @@ def q_variant_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.when(F.col("_k") % 2 == 0, F.col("_k"))
                          .otherwise(0)).cast("bigint")
                    .alias("sum_even_k")))
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the last five TPC-H query shapes (Q2/Q11/Q16/Q20/Q21). The
+# fixtures carry no partsupp table, so the part↔supplier relation is
+# derived from lineitem — per-(partkey, suppkey) aggregates stand in
+# for ps_supplycost / ps_availqty. The SHAPES (correlated min, fraction
+# -of-global HAVING, count-distinct with NOT-IN exclusion, semi-join on
+# an aggregated subquery, exists/not-exists double correlation) are the
+# point; they complete all 22 TPC-H patterns over this schema.
+# ---------------------------------------------------------------------------
+
+
+@query("min_cost_supplier", oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, supply_cost,
+         min(supply_cost) OVER (PARTITION BY p_partkey) AS _best
+  FROM part
+  JOIN ps ON p_partkey = l_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_size < 25 AND p_type = 'LARGE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       supply_cost AS cost
+FROM cand WHERE supply_cost = _best
+""")
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region offering the minimum supply cost — the correlated-scalar-min
+    subquery, decorrelated to a window min + self-filter (exactly what
+    Catalyst rewrites the IN-(correlated min) form into). Supply cost
+    derives from lineitem as min(unit price) per (part, supplier); the
+    min is order-independent and the per-row division is the same IEEE
+    op in both engines, so the double equality against the window min
+    is exact. Plan: ONE lineitem shuffle on (partkey, suppkey), then a
+    window re-shuffle of the (much smaller) aggregate on partkey; part
+    filter and the region-pruned supplier dim both broadcast."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    ps = (l.groupBy("l_partkey", "l_suppkey")
+           .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("supply_cost")))
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = (_t(spark, sf_dir, "nation")
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey", "n_name"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = (_t(spark, sf_dir, "part")
+         .where((F.col("p_size") < 25) & (F.col("p_type") == "LARGE"))
+         .select("p_partkey", "p_name"))
+    cand = (ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey))
+    w = Window.partitionBy("p_partkey")
+    return (cand.withColumn("_best", F.min("supply_cost").over(w))
+                .where(F.col("supply_cost") == F.col("_best"))
+                .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                        "p_name", F.col("supply_cost").alias("cost")))
+
+
+@query("important_part_value", oracle="""
+WITH val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
+FROM val
+WHERE v * (SELECT count(*) FROM val) > (SELECT sum(v) FROM val) * 2
+""")
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supplied value (from suppliers of a
+    nation group) exceeds a FRACTION of the global supplied value — the
+    HAVING-against-a-scalar-subquery pattern. TPC-H scales the fraction
+    by 1/SF to keep the row count stable; here the cut is 2× the
+    average per-part share (v·n > total·2), which is scale-free and
+    keeps the comparison in exact DECIMAL×BIGINT on both engines
+    (doubles appear only at the output boundary), so it is
+    bit-identical. Plan: one lineitem shuffle on partkey after the
+    nation-pruned supplier broadcast; the global total is a 1-row
+    re-aggregate of the grouped values cross-joined back (scalar
+    broadcast, O(n·1)) — lineitem is scanned twice only in the
+    unpersisted textbook form; at scale, pin `val` or let AQE reuse
+    the exchange."""
+    sup = (_t(spark, sf_dir, "supplier")
+           .join(F.broadcast(
+               _t(spark, sf_dir, "nation")
+               .where(F.col("n_name").isin("NATION_1", "NATION_2",
+                                           "NATION_3"))),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val = (l.join(F.broadcast(sup), l.l_suppkey == sup.s_suppkey)
+            .groupBy("l_partkey")
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).alias("v")))
+    thresh = val.agg((F.sum("v") * 2).alias("_tot2"),
+                     F.count("*").alias("_n"))
+    return (val.crossJoin(F.broadcast(thresh))
+               .where(F.col("v") * F.col("_n") > F.col("_tot2"))
+               .select(F.col("l_partkey").alias("partkey"),
+                       F.col("v").cast("double").alias("part_value")))
+
+
+@query("parts_supplier_counts", oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size) bucket, excluding some brands/types and a
+    NOT-IN supplier denylist (acctbal < 0 stands in for the complaints
+    LIKE — the fixtures have no comment column). The part↔supplier
+    relation derives from lineitem. Plan: denylist anti-join rides a
+    broadcast (s_suppkey is non-null, so left_anti ≡ NOT IN); part
+    attributes broadcast; the count-distinct is the only shuffle
+    (two-phase: partial distinct on (grp, suppkey), then count)."""
+    deny = (_t(spark, sf_dir, "supplier")
+            .where(F.col("s_acctbal") < 0.0).select("s_suppkey"))
+    p = (_t(spark, sf_dir, "part")
+         .where((F.col("p_brand") != "Brand#1")
+                & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+                & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (l.join(F.broadcast(deny), l.l_suppkey == deny.s_suppkey,
+                   "left_anti")
+             .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .groupBy("p_brand", "p_type", "p_size")
+             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@query("promo_part_shippers", oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+w AS (
+  SELECT l_partkey, l_suppkey, qty,
+         sum(qty) OVER (PARTITION BY l_partkey) AS part_qty
+  FROM shipped
+),
+big AS (
+  SELECT DISTINCT l_suppkey
+  FROM w
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND qty > part_qty * CAST(0.5 AS DECIMAL(3,2))
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+""")
+def q_promo_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of a
+    promoted part's annual volume — the semi-join against an aggregated
+    correlated subquery (availqty > 0.5·sum(qty) in the reference;
+    share-of-part-volume here, since there is no partsupp.availqty).
+    The half-share cut compares exact DECIMALs. Plan: one lineitem
+    shuffle on (partkey, suppkey) with the shipdate filter pushed to
+    the scan, a window re-shuffle of the aggregate on partkey (the
+    per-part total), 'red%' part broadcast, then a distinct-suppkey
+    semi-join into the broadcast supplier⋈nation dim."""
+    l = (_t(spark, sf_dir, "lineitem")
+         .where((F.col("l_shipdate")
+                 >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate")
+                   < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+         .select("l_partkey", "l_suppkey", "l_quantity"))
+    shipped = (l.groupBy("l_partkey", "l_suppkey")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                      .alias("qty")))
+    w = Window.partitionBy("l_partkey")
+    p = (_t(spark, sf_dir, "part")
+         .where(F.col("p_name").like("red%")).select("p_partkey"))
+    big = (shipped.withColumn("part_qty", F.sum("qty").over(w))
+                  .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+                  .where(F.col("qty")
+                         > F.col("part_qty")
+                         * F.lit("0.5").cast("decimal(3,2)"))
+                  .select("l_suppkey").distinct())
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(_t(spark, sf_dir, "nation")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "n_name"))
+    return (s.join(F.broadcast(big), s.s_suppkey == big.l_suppkey,
+                   "left_semi")
+             .select("s_name", "n_name"))
+
+
+@query("suppliers_kept_waiting", oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+  FROM li GROUP BY l_orderkey
+),
+waits AS (
+  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+  FROM li
+  JOIN per_order ON li.l_orderkey = per_order.l_orderkey
+  WHERE li.late = 1 AND per_order.n_supp > 1 AND per_order.n_late = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM waits JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order — the exists / not-exists double
+    correlation, decorrelated into one per-order aggregate (distinct
+    suppliers, distinct LATE suppliers) joined back to the late rows:
+    late=1 ∧ n_supp>1 ∧ n_late=1 is exactly "exists another supplier,
+    not exists another LATE supplier". Lateness adapts to this schema
+    as shipping >90 days after the order date (no commit/receipt
+    columns). The top-20 order is total (s_name is unique), so LIMIT
+    is deterministic. Plan: lineitem⋈orders shuffles on orderkey; the
+    per-order aggregate and the join-back REUSE that orderkey
+    partitioning (no extra exchange); the final per-supplier count is
+    a tiny shuffle over distinct (order, supplier) pairs."""
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    li = (l.join(o, l.l_orderkey == o.o_orderkey)
+           .select("l_orderkey", "l_suppkey",
+                   F.when(F.col("l_shipdate")
+                          > F.col("o_orderdate")
+                          + F.expr("INTERVAL 90 DAYS"), 1)
+                    .otherwise(0).alias("late")))
+    per_order = (li.groupBy("l_orderkey")
+                   .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                        F.countDistinct(
+                            F.when(F.col("late") == 1,
+                                   F.col("l_suppkey"))).alias("n_late")))
+    waits = (li.where(F.col("late") == 1)
+               .join(per_order.where((F.col("n_supp") > 1)
+                                     & (F.col("n_late") == 1)),
+                     "l_orderkey", "left_semi")
+               .select("l_orderkey", "l_suppkey").distinct())
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (waits.join(F.broadcast(s), waits.l_suppkey == s.s_suppkey)
+                 .groupBy("s_name")
+                 .agg(F.count("*").alias("numwait"))
+                 .orderBy(F.col("numwait").desc(), "s_name")
+                 .limit(20))

@@ -36,7 +36,8 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
                  # 1-row scalar aggregate cross-joined into the plan
                  # (global totals / global average) — the standard
                  # scalar-subquery physical shape, O(n·1) work
-                 "bigram_lift_topk", "sales_opportunity_by_nation"}
+                 "bigram_lift_topk", "sales_opportunity_by_nation",
+                 "important_part_value"}
 
 # Streaming queries EXECUTE on call (availableNow drain) — exclude them
 # from build-time-laziness and plan-string checks. Iterative queries
