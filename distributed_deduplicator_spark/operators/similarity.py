@@ -1106,3 +1106,42 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
                  .where(F.col("rk") <= k)
                  .select("query_id", "neighbor_id", F.col("rk").alias("rank"),
                          "cosine"))
+
+
+def containment_join(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """All pairs (id_a < id_b) whose smaller shingle set is ≥
+    ``threshold`` contained in the larger: |A∩B| / min(|A|,|B|).
+    The asymmetric near-dup criterion (RefinedWeb/CCNet use it next to
+    Jaccard): a short doc quoted wholesale inside a long one scores
+    containment ≈ 1 while its Jaccard stays far below any dedup
+    threshold, so a Jaccard-only pass ships the duplicate.
+
+    Exact: shingle equi-join + pair counts, never a cross join; the
+    candidate blowup is Σ df² over shingle blocks, same as the
+    all-pairs Jaccard path. At scale the prefix-filter upgrade is
+    ASYMMETRIC (a pair with containment ≥ τ shares a shingle in the
+    first |A|−⌈τ|A|⌉+1 rarest of the SMALLER set only — the larger
+    side must keep its full set), which halves the prefix join's
+    traffic vs the symmetric Jaccard prefix at equal τ.
+    """
+    arr = shingle_array(df, id_col, text_col, n)
+    sh = arr.select("id", F.explode("shingles").alias("shingle"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                       & (F.col("a.id") < F.col("b.id")))
+               .groupBy(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"))
+               .agg(F.count("*").alias("n_common")))
+    sizes = arr.select("id", "set_size")
+    sa = sizes.select(F.col("id").alias("id_a"),
+                      F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"),
+                      F.col("set_size").alias("size_b"))
+    cont = (F.col("n_common").cast("double")
+            / F.least("size_a", "size_b"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+                  .withColumn("containment", cont)
+                  .where(F.col("containment") >= threshold)
+                  .select("id_a", "id_b", "size_a", "size_b",
+                          "n_common", "containment"))

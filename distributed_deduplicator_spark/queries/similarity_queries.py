@@ -436,3 +436,38 @@ def q_jaccard_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cluster_id") \
               .orderBy(F.col("quality").desc(), F.col("doc_id"))
     return labeled.withColumn("keep", F.row_number().over(w) == 1)
+
+
+_CONTAINMENT_THRESHOLD = 0.6
+
+
+@query("containment_ngram_pairs", oracle=rf"""
+WITH toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, sa.set_size AS size_a, sb.set_size AS size_b, n_common,
+       CAST(n_common AS DOUBLE) / least(sa.set_size, sb.set_size)
+         AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / least(sa.set_size, sb.set_size)
+      >= {_CONTAINMENT_THRESHOLD}
+""")
+def q_containment_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram CONTAINMENT join: |A∩B| / min(|A|,|B|) ≥ 0.6 —
+    the asymmetric criterion that catches a short doc quoted wholesale
+    inside a long one, which Jaccard misses (the union term drowns the
+    small set). Same shingle equi-join machinery as
+    `jaccard_ngram_pairs`; the ratio is one IEEE division of exact
+    integers, bit-identical in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.containment_join(d, "doc_id", "text",
+                              n=_NGRAM, threshold=_CONTAINMENT_THRESHOLD)

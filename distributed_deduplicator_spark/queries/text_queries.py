@@ -421,3 +421,51 @@ def q_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select("bigram", "n_pair", "n_w1", "n_w2",
                         lift.alias("lift"))
     return topk_global(out, [F.col("lift").desc(), F.col("bigram")], 25)
+
+
+@query("tfidf_top_terms", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+tok AS (SELECT doc_id, source, unnest(t) AS w FROM toks WHERE len(t) > 0),
+tf AS (SELECT source, w, count(*) AS tf FROM tok GROUP BY source, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w)
+SELECT source, w AS token, tf, df,
+       CAST(tf AS DOUBLE) / df AS score, rk
+FROM (SELECT source, tf.w, tf, df,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY CAST(tf AS DOUBLE) / df DESC,
+                                         tf.w) AS rk
+      FROM tf JOIN df ON tf.w = df.w)
+WHERE rk <= 5
+""")
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive terms: top-5 tokens by tf/df — term
+    frequency in the source over corpus-wide document frequency, the
+    log-free tf-idf kernel (same ranking; a libm log would hang the
+    cross-engine hash on ULP differences, the `bigram_lift_topk`
+    lesson). Profiles what vocabulary makes each crawl/dump different —
+    the text-analysis companion to `corpus_mix_weights`.
+
+    Plan: two map-side-combinable counts (per-(source, token) tf and
+    per-token distinct-doc df — vocabulary-sized, not corpus-sized),
+    one equi-join on token, then a per-source window top-5 whose
+    partition count is |sources| (tiny); the ordering (score desc,
+    token) is total, so the cut is deterministic in both engines."""
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "source", TXT.tokens("text").alias("_toks"))
+            .where(F.size("_toks") > 0)
+            .select("doc_id", "source", F.explode("_toks").alias("w")))
+    tf = tok.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("source").orderBy(score.desc(), "w")
+    return (tf.join(df, "w")
+              .withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") <= 5)
+              .select("source", F.col("w").alias("token"), "tf", "df",
+                      score.alias("score"),
+                      F.col("rk").cast("bigint").alias("rk")))
