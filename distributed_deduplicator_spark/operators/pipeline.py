@@ -337,3 +337,36 @@ def source_overlap_matrix(docs: DataFrame, group_col: str,
                           .alias("jaccard"),
                          F.round(shared / F.least("n_a", "n_b"), 6)
                           .alias("containment")))
+
+
+def quality_funnel(df: DataFrame,
+                   stages: list[tuple[str, Column]]) -> DataFrame:
+    """Per-stage survivor counts through a cascade of quality gates —
+    the filter-funnel report every corpus-curation run publishes
+    (C4/FineWeb lineage: how many documents each heuristic removed).
+    Stage k's survivor count applies gates 1..k cumulatively, so the
+    funnel is monotone by construction.
+
+    One pass: all gate predicates evaluate in the scan stage, the
+    cumulative counts are map-side-combinable conditional sums (one
+    row per partition crosses the wire), and the stage table is
+    unpivoted driver-free with ``stack`` over the single aggregate
+    row. At 100 TB this is exactly one scan + a 1-row shuffle,
+    regardless of how many gates the cascade has.
+    """
+    cum, counts = F.lit(True), [F.count("*").alias("c0")]
+    for i, (_, pred) in enumerate(stages, start=1):
+        cum = cum & pred
+        counts.append(F.sum(cum.cast("bigint")).alias(f"c{i}"))
+    agg = df.agg(*counts)
+    pairs = ", ".join(
+        f"{i}, '{name}', c{i}, c{i - 1}"
+        for i, (name, _) in enumerate(stages, start=1))
+    return (agg.selectExpr(
+                f"stack({len(stages)}, {pairs}) "
+                "AS (stage_idx, stage, survivors, prev)")
+               .select(F.col("stage_idx").cast("bigint").alias("stage_idx"),
+                       F.col("stage"),
+                       F.col("survivors").cast("bigint").alias("survivors"),
+                       (F.col("prev") - F.col("survivors"))
+                       .cast("bigint").alias("dropped")))

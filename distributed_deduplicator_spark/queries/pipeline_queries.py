@@ -336,3 +336,56 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs|²), then |sources|²-row joins against broadcast totals."""
     d = load_table(spark, sf_dir, "documents")
     return P.source_overlap_matrix(d, "source", "text", n=_DECON_NGRAM)
+
+
+@query("corpus_filter_funnel", oracle=f"""
+WITH s AS (
+  SELECT n_chars, {_NORM_SQL} AS t FROM documents),
+f AS (
+  SELECT n_chars >= 100 AS len_ok,
+         len(t) >= 20 AS tok_ok,
+         len(list_distinct(t)) * 5 >= len(t) * 2 AS distinct_ok,
+         list_aggregate(list_transform(t, x -> len(x)), 'sum') * 10
+           BETWEEN len(t) * 40 AND len(t) * 50 AS meanlen_ok
+  FROM s),
+agg AS (
+  SELECT count(*) AS c0,
+         count(*) FILTER (len_ok) AS c1,
+         count(*) FILTER (len_ok AND tok_ok) AS c2,
+         count(*) FILTER (len_ok AND tok_ok AND distinct_ok) AS c3,
+         count(*) FILTER (len_ok AND tok_ok AND distinct_ok
+                          AND meanlen_ok) AS c4
+  FROM f)
+SELECT 1 AS stage_idx, 'min_chars' AS stage, c1 AS survivors,
+       c0 - c1 AS dropped FROM agg
+UNION ALL SELECT 2, 'min_tokens', c2, c1 - c2 FROM agg
+UNION ALL SELECT 3, 'distinct_ratio', c3, c2 - c3 FROM agg
+UNION ALL SELECT 4, 'mean_word_len', c4, c3 - c4 FROM agg
+""")
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb-style quality-filter funnel: cumulative survivor and
+    per-stage drop counts through four heuristic gates (min chars →
+    min tokens → distinct-token ratio ≥ 0.4 → mean word length in
+    [4.0, 5.0]). Every gate is an integer cross-multiplication — no
+    float thresholds — so the funnel is bit-identical in both engines.
+    One scan + a 1-row aggregate regardless of corpus size."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.col("_toks")
+    charsum = F.aggregate(toks, F.lit(0),
+                          lambda acc, x: acc + F.length(x))
+    base = d.select(
+        "n_chars", TXT.tokens("text").alias("_toks"))
+    base = base.select(
+        (F.col("n_chars") >= 100).alias("len_ok"),
+        (F.size(toks) >= 20).alias("tok_ok"),
+        (F.size(F.array_distinct(toks)) * 5 >= F.size(toks) * 2)
+        .alias("distinct_ok"),
+        ((charsum * 10 >= F.size(toks) * 40)
+         & (charsum * 10 <= F.size(toks) * 50)).alias("meanlen_ok"))
+    return P.quality_funnel(base, [
+        ("min_chars", F.col("len_ok")),
+        ("min_tokens", F.col("tok_ok")),
+        ("distinct_ratio", F.col("distinct_ok")),
+        ("mean_word_len", F.col("meanlen_ok")),
+    ])

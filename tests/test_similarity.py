@@ -261,3 +261,38 @@ def test_two_phase_cc_matches_label_propagation_on_neardup_graph(spark,
     assert S.release_persisted() > 0
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     assert jmap.size() == 0
+
+
+def test_containment_join_matches_python_reference(spark, docs):
+    """containment_join reproduces a pure-Python shingle-set
+    containment computation exactly (pairs AND values), and every
+    containment is >= the pair's Jaccard (min <= union)."""
+    import re
+
+    rows = docs.select("doc_id", "text").collect()
+    sets = {}
+    for r in rows:
+        t = re.sub(r"\s+", " ",
+                   re.sub(r"[^a-z0-9\s]", " ", r.text.lower())).strip()
+        toks = t.split(" ")
+        sets[r.doc_id] = {" ".join(toks[i:i + 3])
+                          for i in range(len(toks) - 2)} if len(toks) >= 3 \
+            else set()
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            m = min(len(sets[a]), len(sets[b]))
+            if m and inter / m >= 0.6:
+                expect[(a, b)] = inter / m
+    got = {(r.id_a, r.id_b): r.containment
+           for r in S.containment_join(
+               docs, "doc_id", "text", n=3, threshold=0.6).collect()}
+    assert got.keys() == expect.keys() and expect
+    for k, v in got.items():
+        assert abs(v - expect[k]) < 1e-12
+        a, b = k
+        jac = (len(sets[a] & sets[b])
+               / len(sets[a] | sets[b]))
+        assert v >= jac - 1e-12
