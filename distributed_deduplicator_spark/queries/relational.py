@@ -1927,3 +1927,78 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count("*").alias("numwait"))
                  .orderBy(F.col("numwait").desc(), "s_name")
                  .limit(20))
+
+
+@query("event_p99_exceeders", oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+cut AS (
+  SELECT event_type, value AS p99 FROM ranked
+  WHERE rk = CAST(ceil(0.99 * n) AS BIGINT))
+SELECT r.event_type, count(*) FILTER (r.value > c.p99) AS n_above,
+       max(c.p99) AS p99, count(*) AS n
+FROM ranked r JOIN cut c ON r.event_type = c.event_type
+GROUP BY r.event_type
+""")
+def q_event_p99_exceeders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type p99 tail: the discrete order statistic at rank
+    ⌈0.99·n⌉ (a REAL data value, carried — never interpolated, so it
+    hashes identically in both engines) and the count of rows strictly
+    above it. The SLO/outlier primitive: which event types have how
+    heavy a tail.
+
+    Plan: one shuffle on event_type for the rank window, then the
+    tiny |types|-row cut table joins back (broadcast). At 100 TB a
+    per-type total sort skews on hot types — the documented scale path
+    is a first pass with approx_percentile to get a candidate cut,
+    then one exact filtered count pass (two scans, no global sort);
+    the window form stays here because it is the oracle-exact shape.
+    """
+    e = _t(spark, sf_dir, "events").select("event_type", "value",
+                                           "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = (e.withColumn("rk", F.row_number().over(w))
+               .withColumn("n", F.count("*").over(wn)))
+    cut = (ranked.where(F.col("rk") == F.ceil(F.lit(0.99) * F.col("n"))
+                        .cast("bigint"))
+                 .select("event_type", F.col("value").alias("p99")))
+    return (ranked.join(F.broadcast(cut), "event_type")
+                  .groupBy("event_type")
+                  .agg(F.sum((F.col("value") > F.col("p99"))
+                             .cast("bigint")).alias("n_above"),
+                       F.max("p99").alias("p99"),
+                       F.count("*").alias("n")))
+
+
+@query("unpivot_lineitem_measures", oracle="""
+SELECT l_returnflag, measure,
+       CAST(round(sum(CAST(val AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS total,
+       count(*) AS n_rows
+FROM (UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+                      l_discount, l_tax FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE val)
+GROUP BY 1, 2
+""")
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape through the native ``DataFrame.unpivot``
+    (melt) operator — the inverse of `pivot_status_counts` — then an
+    exact DECIMAL sum per (returnflag, measure). Unpivot is a zero-
+    shuffle Expand in the scan stage (each row emits 4); the only
+    shuffle is the final 12-group aggregate, map-side combined.
+    Sums go through DECIMAL(28,6) so both engines add exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.unpivot(["l_returnflag"],
+                   ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax"],
+                   "measure", "val")
+    return (m.groupBy("l_returnflag", "measure")
+             .agg(F.round(F.sum(F.col("val").cast("decimal(28,6)")), 2)
+                   .cast("double").alias("total"),
+                  F.count("*").alias("n_rows")))
