@@ -370,3 +370,72 @@ def quality_funnel(df: DataFrame,
                        F.col("survivors").cast("bigint").alias("survivors"),
                        (F.col("prev") - F.col("survivors"))
                        .cast("bigint").alias("dropped")))
+
+
+def bloom_ngram_decontaminate(docs: DataFrame, bench_ids: DataFrame,
+                              id_col: str, text_col: str, n: int = 5,
+                              m_bits: int = 1 << 22,
+                              seeds: tuple[int, ...] = (11, 23, 47),
+                              ) -> DataFrame:
+    """Bloom-filter variant of `ngram_decontaminate`: flags every
+    train doc whose shingles MIGHT overlap the benchmark set (no false
+    negatives; false-positive rate set by m_bits/k). Returns one row
+    per flagged doc: (id, n_maybe_shingles).
+
+    Why it exists at 100 TB: the exact path broadcasts the benchmark's
+    full shingle strings — fine for one eval suite, linear in its
+    size. The bloom build is a FIXED-size structure (m_bits/64 longs ≈
+    512 KB at the 2²² default) no matter how many benchmarks are
+    unioned in, built distributively (positions → 64-bit words via
+    map-side-combinable bit_or — never a driver-side
+    `df.stat.bloomFilter`, which would run a job at query
+    construction). The probe is k broadcast joins on word index with a
+    bit test — corpus shingle strings never shuffle, and a doc
+    short-circuits out of the count as soon as any of its shingles
+    passes all k bit tests.
+    """
+    from distributed_deduplicator_spark.operators.similarity import (
+        shingle_array)
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    bench = bench_ids.select(F.col(bench_ids.columns[0]).alias("bid"))
+    bench_docs = docs.join(F.broadcast(bench),
+                           docs[id_col] == bench["bid"], "inner") \
+                     .drop("bid")
+    train_docs = docs.join(F.broadcast(bench),
+                           docs[id_col] == bench["bid"], "left_anti")
+
+    def pos(col: Column, seed: int) -> Column:
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
+
+    bench_grams = (shingle_array(bench_docs, id_col, text_col, n=n)
+                   .select(F.explode("shingles").alias("shingle")))
+    # SQL shiftleft (unlike the Python wrapper) takes a column shift
+    mask_of = "shiftleft(1L, cast(p % 64 as int))"
+    words = (bench_grams
+             .select(F.explode(F.array(
+                 *[pos(F.col("shingle"), s) for s in seeds])).alias("p"))
+             .select(F.expr("cast(p div 64 as long)").alias("widx"),
+                     F.expr(mask_of).alias("mask"))
+             .groupBy("widx").agg(F.bit_or("mask").alias("w")))
+
+    cur = (shingle_array(train_docs, id_col, text_col, n=n)
+           .select("id", F.explode("shingles").alias("shingle")))
+    maybe = F.lit(True)
+    for i, s in enumerate(seeds):
+        # int seed literal, matching the build side's F.lit(seed)
+        # (xxhash64 folds argument TYPES into the hash)
+        p_sql = f"pmod(xxhash64(shingle, {s}), {m_bits}L)"
+        cur = cur.withColumn(f"_widx{i}",
+                             F.expr(f"cast({p_sql} div 64 as long)")) \
+                 .withColumn(f"_mask{i}",
+                             F.expr(f"shiftleft(1L, "
+                                    f"cast({p_sql} % 64 as int))"))
+        w = words.select(F.col("widx").alias(f"_widx{i}"),
+                         F.col("w").alias(f"_w{i}"))
+        cur = cur.join(F.broadcast(w), f"_widx{i}", "left")
+        maybe = maybe & (F.col(f"_w{i}").bitwiseAND(F.col(f"_mask{i}"))
+                         == F.col(f"_mask{i}"))
+    return (cur.where(F.coalesce(maybe, F.lit(False)))
+               .groupBy("id")
+               .agg(F.countDistinct("shingle").alias("n_maybe_shingles")))

@@ -2,7 +2,8 @@
 passes between raw ingest and training shards (deterministic split,
 benchmark decontamination, repetition filter, per-source cap,
 stratified sample). Operators in operators/pipeline.py; every query
-here is fully SQL-expressible, so each carries a DuckDB oracle.
+here except `decontaminate_bloom` (probabilistic structure, gated by
+a superset/accuracy property test instead) carries a DuckDB oracle.
 
 Oracle notes: all selection decisions derive from md5 of the doc id's
 decimal string — DuckDB and Spark md5 agree byte-for-byte, so splits,
@@ -389,3 +390,23 @@ def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("distinct_ratio", F.col("distinct_ok")),
         ("mean_word_len", F.col("meanlen_ok")),
     ])
+
+
+@query("decontaminate_bloom")
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination (rows-only by contract:
+    the xxhash64 bit layout has no DuckDB twin; the gate is
+    `tests/test_pipeline.py::test_bloom_decontaminate_no_false_negatives`,
+    which proves the flagged set is a superset of the exact operator's
+    with a bounded false-positive margin). Same semantics surface as
+    `benchmark_decontaminate`, but the benchmark structure the corpus
+    probes is a FIXED 512 KB bitmap however many eval suites are
+    unioned in — the O(1)-memory form of the decontamination pass.
+    The bitmap is built distributively (bit_or over 64-bit words), so
+    query construction still launches zero jobs."""
+    d = load_table(spark, sf_dir, "documents")
+    bench_ids = (d.where(F.col("doc_id") % _BENCH_MOD == 0)
+                  .select("doc_id"))
+    out = P.bloom_ngram_decontaminate(d, bench_ids, "doc_id", "text",
+                                      n=_DECON_NGRAM)
+    return out.withColumnRenamed("id", "doc_id")

@@ -2002,3 +2002,28 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.round(F.sum(F.col("val").cast("decimal(28,6)")), 2)
                    .cast("double").alias("total"),
                   F.count("*").alias("n_rows")))
+
+
+@query("hll_sketch_rollup")
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-user sketches (Apache DataSketches HLL
+    via Spark 4's hll_sketch_agg): per-event-type estimates plus an
+    'ALL' row whose estimate comes from MERGING the per-type sketches
+    (hll_union_agg) — never from rescanning raw rows. This is the
+    100 TB pattern the plain approx_count_distinct can't do: sketch
+    once per partition/day/type, then answer any rollup by unioning
+    fixed-size (~KB) sketches. Rows-only by contract (DataSketches
+    binary layout has no DuckDB twin); the accuracy gate is
+    `tests/test_pipeline.py::test_hll_rollup_accuracy` (≤5% vs
+    exact, and the merged estimate consistent with the per-type ones).
+    """
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    per = (e.groupBy("event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    per_rows = per.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est_users"))
+    merged = (per.agg(F.hll_union_agg("sk").alias("sk"))
+                 .select(F.lit("ALL").alias("scope"),
+                         F.hll_sketch_estimate("sk").alias("est_users")))
+    return per_rows.unionByName(merged)

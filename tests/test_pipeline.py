@@ -142,3 +142,44 @@ def test_mix_weights_flatten_property(spark, sf_dir):
             assert r.weight == 1.0
         else:
             assert r.weight * r.n_tokens <= target * 1.001
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """The bloom flag set must be a superset of the exact operator's
+    contaminated set (bloom filters never false-negative), with a
+    bounded false-positive margin at the default sizing, and flagged
+    shingle counts >= the exact shared counts per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    bench_ids = d.where(F.col("doc_id") % 97 == 0).select("doc_id")
+    exact = {r.id: r.n_shared_shingles
+             for r in P.ngram_decontaminate(
+                 d, bench_ids, "doc_id", "text", n=4).collect()}
+    bloom = {r.id: r.n_maybe_shingles
+             for r in P.bloom_ngram_decontaminate(
+                 d, bench_ids, "doc_id", "text", n=4).collect()}
+    assert set(exact) <= set(bloom) and exact
+    for i, n in exact.items():
+        assert bloom[i] >= n
+    n_train = d.where(F.col("doc_id") % 97 != 0).count()
+    # default sizing (2^22 bits, k=3) over a fixture-scale shingle
+    # load keeps the FP density tiny; allow a generous margin
+    assert len(bloom) - len(exact) <= max(2, n_train // 100)
+
+
+def test_hll_rollup_accuracy(spark, sf_dir):
+    """HLL estimates within 5% of exact per type; the merged-sketch
+    'ALL' estimate within 5% of the exact global distinct count (and
+    >= any single type's exact count scaled by the same margin)."""
+    e = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r.n
+             for r in e.groupBy("event_type")
+                       .agg(F.countDistinct("user_id").alias("n"))
+                       .collect()}
+    exact_all = e.select("user_id").distinct().count()
+    from distributed_deduplicator_spark.queries.registry import QUERIES
+    est = {r.scope: r.est_users
+           for r in QUERIES["hll_sketch_rollup"](spark, sf_dir).collect()}
+    assert set(est) == set(exact) | {"ALL"}
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(1, 0.05 * n)
+    assert abs(est["ALL"] - exact_all) <= max(1, 0.05 * exact_all)
