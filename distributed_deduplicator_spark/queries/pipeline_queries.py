@@ -410,3 +410,96 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = P.bloom_ngram_decontaminate(d, bench_ids, "doc_id", "text",
                                       n=_DECON_NGRAM)
     return out.withColumnRenamed("id", "doc_id")
+
+
+@query("unigram_lm_quality", oracle=rf"""
+WITH toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, u.w AS w FROM toks, unnest(toks.t) AS u(w)
+        WHERE len(t) > 0),
+vocab AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM vocab)
+SELECT doc_id,
+       count(*) AS n_toks,
+       CAST(sum(cw) AS BIGINT) AS sum_freq,
+       CAST(sum(cw) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * CAST(any_value(n_total) AS DOUBLE))
+         AS avg_prob
+FROM tok JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def q_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy, log-free: score each document by
+    the mean corpus-unigram probability of its tokens (sum of exact
+    integer corpus counts over n_toks x N_total as ONE fixed-order
+    double expression — a log-perplexity would hang the cross-engine
+    hash on libm ULP differences while ranking documents identically,
+    monotonicity aside). Low avg_prob = rare-token-heavy doc
+    (OCR noise, code, IDs); high = common-token boilerplate — the
+    cheap single-pass stand-in for the KenLM filter in CCNet
+    (Wenzek et al. 2020, arXiv:1911.00359).
+
+    Plan: one combinable vocabulary count, the token->count join runs
+    on the token key (auto-broadcast while the vocab fits, hash join
+    beyond), the 1-row total broadcasts, and the per-doc rollup sums
+    exact integers — three shuffles total, all on combinable aggs."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", TXT.tokens("text").alias("_toks"))
+            .where(F.size("_toks") > 0)
+            .select("doc_id", F.explode("_toks").alias("w")))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cw"))
+    tot = vocab.agg(F.sum("cw").alias("n_total"))
+    return (tok.join(vocab, "w")
+               .crossJoin(F.broadcast(tot))
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_toks"),
+                    F.sum("cw").alias("sum_freq"),
+                    (F.sum("cw").cast("double")
+                     / (F.count("*").cast("double")
+                        * F.first("n_total").cast("double")))
+                    .alias("avg_prob")))
+
+
+_MAD_K = 3.0
+
+@query("length_outlier_mad", oracle=f"""
+WITH med AS (
+  SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+  FROM documents GROUP BY lang),
+dev AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         abs(CAST(d.n_chars AS DOUBLE) - m.med) AS dev
+  FROM documents d JOIN med m ON d.lang = m.lang),
+mad AS (
+  SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY lang)
+SELECT dev.doc_id, dev.lang, dev.n_chars, dev.dev, mad.mad,
+       dev.dev > {_MAD_K} * mad.mad AS is_outlier
+FROM dev JOIN mad ON dev.lang = mad.lang
+""")
+def q_length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length outliers via median absolute
+    deviation — the outlier gate that survives the heavy tails a
+    mean/stddev z-score drowns in (one 10 MB doc drags the mean; the
+    median doesn't move). Flags docs whose absolute deviation exceeds
+    3x the language's MAD. All arithmetic is exact interpolation on
+    integers (medians of ints are dyadic rationals; abs/compare are
+    exact), so the cross-engine hash holds without rounding.
+
+    Plan: two tiny per-language exact percentiles (|langs| groups; the
+    per-group value list is the documented exact-percentile cost — at
+    100 TB swap in approx_percentile's t-digest like
+    `text_length_quantiles`), each joined back as an auto-broadcast
+    |langs|-row table; everything else is a map."""
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").alias("med"))
+    dev = (d.join(F.broadcast(med), "lang")
+            .select("doc_id", "lang", "n_chars",
+                    F.abs(F.col("n_chars").cast("double") - F.col("med"))
+                     .alias("dev")))
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (dev.join(F.broadcast(mad), "lang")
+               .select("doc_id", "lang", "n_chars", "dev", "mad",
+                       (F.col("dev") > _MAD_K * F.col("mad"))
+                       .alias("is_outlier")))

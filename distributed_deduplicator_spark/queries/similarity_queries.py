@@ -471,3 +471,50 @@ def q_containment_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return S.containment_join(d, "doc_id", "text",
                               n=_NGRAM, threshold=_CONTAINMENT_THRESHOLD)
+
+
+@query("semantic_dedup_keep_one", oracle=f"""
+WITH RECURSIVE
+d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {_COS_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT emb.vec_id, emb.label,
+       COALESCE(cc.cluster_id, emb.vec_id) AS cluster_id,
+       emb.vec_id = COALESCE(cc.cluster_id, emb.vec_id) AS keep
+FROM embeddings emb LEFT JOIN cc ON cc.id = emb.vec_id
+""")
+def q_semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) applied to the
+    embedding corpus: semantic near-dup pairs inside cluster blocks
+    (cosine ≥ τ on the 6-dp rounded score), transitive closure, FIRST
+    vector per semantic cluster keeps — the embedding-space twin of
+    ``jaccard_keep_one``, and the second iterative Spark operator with
+    a full recursive-CTE value oracle. The fixture's ``label`` column
+    plays the k-means cluster-assignment role (SemDeDup's step 1);
+    at 100 TB that assignment comes from the IVF centroid path already
+    in :mod:`operators.similarity`, keeping the quadratic verify at
+    Σ|cluster|², never n².
+
+    Every vector gets a verdict row (singletons keep), so the output
+    IS the training-set filter: ``WHERE keep`` drops semantically
+    redundant examples while the cluster_id column documents why."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_neardup_blocked(emb, "label",
+                                     threshold=_COS_THRESHOLD)
+    cc = S.connected_components(pairs)
+    return (emb.select("vec_id", "label")
+               .join(cc, emb["vec_id"] == cc["id"], "left")
+               .select(emb["vec_id"], emb["label"],
+                       F.coalesce(cc["cluster_id"], emb["vec_id"])
+                        .alias("cluster_id"))
+               .withColumn("keep", F.col("vec_id") == F.col("cluster_id")))

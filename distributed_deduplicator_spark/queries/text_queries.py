@@ -469,3 +469,210 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("source", F.col("w").alias("token"), "tf", "df",
                       score.alias("score"),
                       F.col("rk").cast("bigint").alias("rk")))
+
+
+@query("ngram_novelty_scores", oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] AS gram
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - 1, 0))) AS i
+        FROM toks WHERE len(t) >= 2)),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS novelty
+FROM g JOIN firsts f ON f.gram = g.gram
+GROUP BY g.doc_id
+""")
+def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    bigrams never seen in any earlier document (first occurrence =
+    min doc_id over the corpus). The memorization/contribution metric a
+    curriculum or data-mixing pass ranks documents by — a doc whose
+    grams all appeared before adds nothing; a high-novelty doc extends
+    corpus coverage. Deterministic: ingest order is the doc_id order.
+
+    Scale shape: per-doc distinct grams are array-local; the
+    first-occurrence table is one combinable MIN agg shuffled on the
+    gram key (vocabulary-sized); the join back is the same gram-keyed
+    shuffle reused; the final per-doc rollup is combinable. No step
+    holds more than (gram, min_id) state — the novelty twin of the
+    `doc_dup_ngram_stats` zero-shuffle intra-doc gate."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TXT.tokens("text").alias("_toks")) \
+         .where(F.size("_toks") >= 2)
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, size(_toks) - 1), "
+               "i -> concat(element_at(_toks, i), ' ', "
+               "element_at(_toks, i + 1)))"))
+    g = t.select("doc_id", F.explode(grams).alias("gram"))
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    new_flag = F.when(F.col("first_doc") == F.col("doc_id"), 1) \
+                .otherwise(0)
+    return (g.join(firsts, "gram")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_distinct"),
+                  F.sum(new_flag).alias("n_new"),
+                  (F.sum(new_flag).cast("double") / F.count("*"))
+                  .alias("novelty")))
+
+
+_ZIPF_TOPK = 100
+
+@query("zipf_rank_freq", oracle=rf"""
+WITH toks AS (
+  SELECT string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+counted AS (
+  SELECT bigram AS token, count(*) AS freq
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2)
+  GROUP BY bigram),
+ranked AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM counted)
+SELECT token, freq, rank, rank * freq AS rank_x_freq
+FROM ranked WHERE rank <= {_ZIPF_TOPK}
+""")
+def q_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile over the BIGRAM vocabulary (the
+    unigram lexicon of the fixture is ~31 types — degenerate; bigrams
+    give a ~1k-type distribution with a real tail): top-100 grams with
+    their rank and the rank×frequency product (≈ constant under Zipf's
+    law — the sanity check that a corpus is natural-language-like
+    rather than boilerplate-dominated; a flat product curve with a
+    sudden cliff is the signature of template spam). Exact integer
+    counts; the product stays integer so the oracle hash has no float.
+
+    Plan: the gram build is array-local per doc; one combinable count
+    shuffled on the gram key, then TakeOrderedAndProject for the global
+    cut; the rank window runs on the 100 survivors (single tiny
+    partition by construction — the cut and the window share the same
+    total order, so rank-after-cut equals rank-before-cut)."""
+    from distributed_deduplicator_spark.operators.relational import (
+        topk_global)
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(TXT.tokens("text").alias("_toks")) \
+         .where(F.size("_toks") >= 2)
+    grams = F.expr("transform(sequence(1, size(_toks) - 1), "
+                   "i -> concat(element_at(_toks, i), ' ', "
+                   "element_at(_toks, i + 1)))")
+    counted = (t.select(F.explode(grams).alias("token"))
+                .groupBy("token").agg(F.count("*").alias("freq")))
+    top = topk_global(counted, [F.col("freq").desc(), F.col("token")],
+                      _ZIPF_TOPK)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+               .withColumn("rank_x_freq", F.col("rank") * F.col("freq")))
+
+
+_VOCAB_BUCKETS = 10
+
+@query("vocab_growth", oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+tok AS (SELECT doc_id, bigram AS w
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS bigram
+              FROM toks WHERE len(t) >= 2)),
+firsts AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w),
+width AS (SELECT (max(doc_id) // {_VOCAB_BUCKETS}) + 1 AS bw
+          FROM documents),
+b AS (
+  SELECT CAST(first_doc // bw AS BIGINT) AS bucket,
+         count(*) AS n_new_tokens
+  FROM firsts CROSS JOIN width
+  GROUP BY 1)
+SELECT bucket, n_new_tokens,
+       CAST(sum(n_new_tokens) OVER (ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM b
+""")
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law) over the BIGRAM vocabulary
+    (the fixture's unigram lexicon saturates inside the first decile —
+    degenerate): distinct grams first seen per decile of the ingest
+    order, with the cumulative vocabulary size — the curve a
+    tokenizer-training or dedup-effectiveness review reads (sub-linear
+    growth = healthy natural corpus; linear growth = unbounded
+    noise/IDs; a flat tail = the corpus has saturated and more data
+    adds no new vocabulary).
+
+    Plan: one combinable MIN per gram (vocabulary-sized state), the
+    bucket width from a 1-row MAX broadcast (no driver-side count), a
+    10-row rollup, and a 10-row cumulative window — nothing scales with
+    corpus size past the first aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TXT.tokens("text").alias("_toks")) \
+         .where(F.size("_toks") >= 2)
+    grams = F.expr("transform(sequence(1, size(_toks) - 1), "
+                   "i -> concat(element_at(_toks, i), ' ', "
+                   "element_at(_toks, i + 1)))")
+    tok = t.select("doc_id", F.explode(grams).alias("w"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    width = d.agg((F.floor(F.max("doc_id") / _VOCAB_BUCKETS) + 1)
+                  .alias("bw"))
+    b = (firsts.crossJoin(F.broadcast(width))
+               .select(F.floor(F.col("first_doc") / F.col("bw"))
+                        .cast("bigint").alias("bucket"))
+               .groupBy("bucket")
+               .agg(F.count("*").alias("n_new_tokens")))
+    from pyspark.sql import Window
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.withColumn("cum_vocab", F.sum("n_new_tokens").over(w))
+
+
+@query("token_simpson_diversity", oracle=r"""
+WITH toks AS (
+  SELECT source,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+tok AS (SELECT source, u.w AS w FROM toks, unnest(toks.t) AS u(w)),
+c AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY source, w)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       count(*) AS vocab,
+       CAST(sum(cnt * (cnt - 1)) AS DOUBLE)
+         / (CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) - 1 AS DOUBLE))
+         AS simpson
+FROM c GROUP BY source
+""")
+def q_token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token diversity via Simpson's index — the probability
+    two random token occurrences are the same type. The log-free
+    diversity metric (Shannon entropy would hang the cross-engine hash
+    on libm ULP differences; Simpson is exact integer sums + one
+    fixed-order double expression). High index = repetitive/templated
+    source; low = diverse vocabulary — the corpus-mixing signal next to
+    `corpus_mix_weights`' volume shares.
+
+    Plan: one combinable (source, token) count, then a source-sized
+    rollup of exact integer moments. The denominator multiplies as
+    DOUBLE (n² overflows BIGINT once a source passes ~3e9 tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TXT.tokens("text")).alias("w"))
+    c = tok.groupBy("source", "w").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt")
+    sum_cc = F.sum(F.col("cnt") * (F.col("cnt") - 1))
+    return (c.groupBy("source")
+             .agg(n.alias("n_tokens"),
+                  F.count("*").alias("vocab"),
+                  (sum_cc.cast("double")
+                   / (n.cast("double") * (n - 1).cast("double")))
+                  .alias("simpson")))

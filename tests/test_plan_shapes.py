@@ -37,14 +37,18 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
                  # (global totals / global average) — the standard
                  # scalar-subquery physical shape, O(n·1) work
                  "bigram_lift_topk", "sales_opportunity_by_nation",
-                 "important_part_value"}
+                 "important_part_value",
+                 # 1-row totals broadcast (unigram LM N_total; Heaps
+                 # bucket width from a MAX aggregate)
+                 "unigram_lm_quality", "vocab_growth"}
 
 # Streaming queries EXECUTE on call (availableNow drain) — exclude them
 # from build-time-laziness and plan-string checks. Iterative queries
 # (driver loop, one action per round) execute by nature too.
 _STREAMING = {n for n in Q.QUERIES if n.startswith("stream_")}
 _ITERATIVE = {"near_dup_clusters", "jaccard_dedup_clusters",
-              "jaccard_keep_one", "jaccard_keep_best"}
+              "jaccard_keep_one", "jaccard_keep_best",
+              "semantic_dedup_keep_one"}
 # Sink round-trips write at call time by design.
 _WRITES = {"parquet_roundtrip_agg"}
 _EXECUTES_ON_CALL = _STREAMING | _ITERATIVE | _WRITES
