@@ -138,3 +138,49 @@ def test_neardup_batch_retry_is_idempotent(spark, sf_dir, tmp_path):
     all_v = spark.read.parquet(out).select("doc_id", "verdict").collect()
     assert len(all_v) == docs.count()
     assert len({r.doc_id for r in all_v}) == len(all_v)
+
+
+def test_tws_equals_apply_in_pandas(spark, sf_dir):
+    """The transformWithStateInPandas TTL dedup must drain to exactly
+    the applyInPandasWithState operator's output (same keys, same
+    verdicts). Runs only where the protobuf-framed state protocol can
+    (tws_available); everywhere else the processor is still
+    import-validated by test_tws_builds_unlinked below."""
+    import pytest
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        events_stream, run_stream_to_df)
+    from distributed_deduplicator_spark.streaming.stateful import (
+        ttl_dedup_stateful, ttl_dedup_tws, tws_available)
+    if not tws_available():
+        pytest.skip("google.protobuf absent — transformWithState's "
+                    "state protocol cannot run in this container")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        old = run_stream_to_df(ttl_dedup_stateful(
+            events_stream(spark, sf_dir), 86400, evict_state=False),
+            spark)
+        new = run_stream_to_df(ttl_dedup_tws(
+            events_stream(spark, sf_dir), 86400, evict_state=False),
+            spark)
+        assert sorted(map(tuple, old.collect())) == \
+            sorted(map(tuple, new.collect()))
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_builds_unlinked(spark, sf_dir):
+    """Constructing the transformWithState plan must succeed even where
+    the protobuf runtime is absent (failure belongs at stream start,
+    not import/plan time) — locks the operator's API usage against
+    pyspark upgrades."""
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        events_stream)
+    from distributed_deduplicator_spark.streaming.stateful import (
+        ttl_dedup_tws)
+    df = ttl_dedup_tws(events_stream(spark, sf_dir), 86400,
+                       evict_state=False)
+    assert set(df.columns) == {"user_id", "event_type", "ts",
+                               "event_id", "verdict"}

@@ -13,10 +13,16 @@ for scale runs (sf1) where the perf confs are the thing under test.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import duckdb
+
+# runnable as `python tools/local_drive.py` (script sys.path[0] is
+# tools/, not the repo root the entry module lives in)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
