@@ -518,3 +518,67 @@ def q_semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.coalesce(cc["cluster_id"], emb["vec_id"])
                         .alias("cluster_id"))
                .withColumn("keep", F.col("vec_id") == F.col("cluster_id")))
+
+
+@query("soft_dedup_weights", oracle=rf"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+docs AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM docs GROUP BY cluster_id)
+SELECT docs.doc_id, docs.cluster_id, csizes.cluster_size,
+       CAST(1 AS DOUBLE) / csizes.cluster_size AS weight
+FROM docs JOIN csizes USING (cluster_id)
+""")
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates
+    (``jaccard_keep_one``), every document stays in the corpus with a
+    sampling weight 1/|cluster| so each duplicate CLUSTER contributes
+    one document's worth of training signal — the downweight-don't-drop
+    policy modern mixing pipelines prefer when near-dups carry
+    complementary context (quotes, mirrors, revisions). Singletons
+    weigh 1.0; Σ weight = the deduplicated corpus size.
+
+    Same sub-quadratic machinery as the keep-one path (exact-Jaccard
+    prefix join → O(log n)-capable closure), plus one cluster-sized
+    count aggregate and a weight column; value-checked node-for-node
+    against DuckDB's recursive-CTE closure."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = S.jaccard_similarity_join(d, "doc_id", "text", n=_NGRAM,
+                                      threshold=_JACCARD_THRESHOLD)
+    cc = S.connected_components(pairs)
+    docs = (d.select("doc_id")
+             .join(cc, d["doc_id"] == cc["id"], "left")
+             .select(d["doc_id"],
+                     F.coalesce(cc["cluster_id"], d["doc_id"])
+                      .alias("cluster_id")))
+    sizes = docs.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (docs.join(sizes, "cluster_id")
+                .select("doc_id", "cluster_id", "cluster_size",
+                        (F.lit(1.0) / F.col("cluster_size"))
+                        .alias("weight")))

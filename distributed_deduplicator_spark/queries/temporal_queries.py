@@ -438,3 +438,82 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.row_number().over(w).cast("bigint").alias("version"),
         F.lead("ts").over(w).isNull().alias("is_current"))
+
+
+_DRIFT_BUCKET_WIDTH = 20.0
+
+@query("value_drift_by_day", oracle=rf"""
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(floor(value / {_DRIFT_BUCKET_WIDTH}) AS BIGINT) AS bucket
+  FROM events),
+db AS (SELECT day, bucket, count(*) AS n_db FROM base GROUP BY day, bucket),
+gb AS (SELECT bucket, CAST(sum(n_db) AS BIGINT) AS n_gb
+       FROM db GROUP BY bucket),
+nd AS (SELECT day, CAST(sum(n_db) AS BIGINT) AS n_day
+       FROM db GROUP BY day),
+tot AS (SELECT CAST(sum(n_gb) AS BIGINT) AS n_total FROM gb),
+j AS (SELECT db.day, db.n_db, gb.n_gb, nd.n_day, tot.n_total
+      FROM db JOIN gb USING (bucket) JOIN nd USING (day) CROSS JOIN tot),
+per AS (SELECT day, n_day, n_total,
+               CAST(sum(abs(n_db * n_total - n_gb * n_day)) AS BIGINT)
+                 AS s_abs,
+               CAST(sum(n_gb) AS BIGINT) AS t_glob,
+               count(*) AS n_buckets
+        FROM j GROUP BY day, n_day, n_total)
+SELECT day, n_day, n_buckets,
+       0.5 * (CAST(s_abs AS DOUBLE) / CAST(n_day * n_total AS DOUBLE)
+              + 1.0 - CAST(t_glob AS DOUBLE) / CAST(n_total AS DOUBLE))
+         AS tv_drift
+FROM per
+""")
+def q_value_drift_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distribution drift of the event-value stream vs the
+    corpus-wide distribution: total-variation distance between the
+    day's fixed-width value histogram and the global one — the
+    ingest-monitoring gate that catches a schema change, unit change,
+    or upstream bug as a distribution shift, per day, with one number.
+
+    Exactness discipline: TV distance over a shared bucketing is
+    0.5·Σ_b |p_day(b) − p_glob(b)|. Buckets absent from a day
+    contribute Σ p_glob = 1 − Σ_{{b∈day}} p_glob, so the sum needs ONLY
+    buckets the day actually has — no day×bucket grid, no cartesian.
+    The Σ runs on exact BIGINT cross-products (|n_db·N − n_gb·N_day|),
+    so the one double expression at the end is identical IEEE work in
+    any engine — the same integer-moments trick as Simpson diversity.
+    (The BIGINT product caps at ~3e9 events/day × 3e9 total; past
+    that, scale the histogram to per-day doubles and round.)
+
+    Plan: ONE corpus-scale combinable (day, bucket) count — a tiny
+    persisted table (days × buckets) that every later stage re-reads;
+    global/bucket/day margins are re-aggregations of it, the totals a
+    1-row broadcast. Nothing downstream of the first aggregate scales
+    with corpus size."""
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / F.lit(_DRIFT_BUCKET_WIDTH))
+         .cast("bigint").alias("bucket"))
+    db = _tracked_persist(
+        base.groupBy("day", "bucket").agg(F.count("*").alias("n_db")))
+    gb = db.groupBy("bucket").agg(F.sum("n_db").alias("n_gb"))
+    nd = db.groupBy("day").agg(F.sum("n_db").alias("n_day"))
+    tot = gb.agg(F.sum("n_gb").alias("n_total"))
+    j = (db.join(F.broadcast(gb), "bucket")
+           .join(F.broadcast(nd), "day")
+           .crossJoin(F.broadcast(tot)))
+    per = (j.groupBy("day", "n_day", "n_total")
+            .agg(F.sum(F.abs(F.col("n_db") * F.col("n_total")
+                             - F.col("n_gb") * F.col("n_day")))
+                  .alias("s_abs"),
+                 F.sum("n_gb").alias("t_glob"),
+                 F.count("*").alias("n_buckets")))
+    tv = (F.lit(0.5)
+          * (F.col("s_abs").cast("double")
+             / (F.col("n_day") * F.col("n_total")).cast("double")
+             + F.lit(1.0)
+             - F.col("t_glob").cast("double")
+             / F.col("n_total").cast("double")))
+    return per.select("day", "n_day", "n_buckets", tv.alias("tv_drift"))

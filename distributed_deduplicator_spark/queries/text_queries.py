@@ -676,3 +676,64 @@ def q_token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (sum_cc.cast("double")
                    / (n.cast("double") * (n - 1).cast("double")))
                   .alias("simpson")))
+
+
+_BPE_TOPK = 50
+
+@query("bpe_pair_counts", oracle=rf"""
+WITH toks AS (
+  SELECT string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+words AS (
+  SELECT u.w AS word, count(*) AS freq
+  FROM toks, unnest(toks.t) AS u(w)
+  GROUP BY u.w),
+pairs AS (
+  SELECT word, freq, substr(word, i, 1) AS lft, substr(word, i + 1, 1) AS rgt
+  FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+        FROM words WHERE length(word) >= 2)),
+agg AS (
+  SELECT lft, rgt,
+         CAST(sum(freq) AS BIGINT) AS pair_count,
+         count(DISTINCT word) AS n_words
+  FROM pairs GROUP BY lft, rgt)
+SELECT lft, rgt, pair_count, n_words
+FROM agg
+ORDER BY pair_count DESC, lft, rgt
+LIMIT {_BPE_TOPK}
+""")
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair counts — the inner loop of BPE
+    tokenizer training (Sennrich et al., ACL'16): the top-{50} character
+    pairs by occurrence count, each occurrence weighted by its word's
+    corpus frequency, plus how many distinct words contain the pair.
+    Run iteratively with a merge step, this IS tokenizer training; one
+    round of it is the corpus statistic a tokenizer-budget review reads.
+
+    Plan — the reason BPE training is feasible at 100 TB: the ONLY
+    corpus-scale operation is the word-frequency aggregate (explode →
+    map-side-combinable count, vocabulary-sized result). The pair
+    explosion, pair aggregate, and top-k all run on the vocabulary
+    table (≪ corpus; bounded by Σ|word| over distinct words), exactly
+    how production BPE trainers count on word frequencies, never raw
+    text. Top-k via the rank-cut operator, total order (count desc,
+    pair) fully deterministic."""
+    from distributed_deduplicator_spark.operators.relational import (
+        topk_global)
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select(F.explode(TXT.tokens("text")).alias("word"))
+              .groupBy("word").agg(F.count("*").alias("freq")))
+    pair_structs = F.expr(
+        "transform(sequence(1, length(word) - 1), "
+        "i -> struct(substring(word, i, 1) AS lft, "
+        "substring(word, i + 1, 1) AS rgt))")
+    pairs = (words.where(F.length("word") >= 2)
+                  .select("word", "freq",
+                          F.explode(pair_structs).alias("p")))
+    agg = (pairs.groupBy(F.col("p.lft").alias("lft"),
+                         F.col("p.rgt").alias("rgt"))
+                .agg(F.sum("freq").alias("pair_count"),
+                     F.countDistinct("word").alias("n_words")))
+    return topk_global(agg, [F.col("pair_count").desc(),
+                             F.col("lft"), F.col("rgt")], _BPE_TOPK)

@@ -40,7 +40,9 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
                  "important_part_value",
                  # 1-row totals broadcast (unigram LM N_total; Heaps
                  # bucket width from a MAX aggregate)
-                 "unigram_lm_quality", "vocab_growth"}
+                 "unigram_lm_quality", "vocab_growth",
+                 # 1-row global-total broadcast (TV-drift N)
+                 "value_drift_by_day"}
 
 # Streaming queries EXECUTE on call (availableNow drain) — exclude them
 # from build-time-laziness and plan-string checks. Iterative queries
@@ -48,7 +50,7 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
 _STREAMING = {n for n in Q.QUERIES if n.startswith("stream_")}
 _ITERATIVE = {"near_dup_clusters", "jaccard_dedup_clusters",
               "jaccard_keep_one", "jaccard_keep_best",
-              "semantic_dedup_keep_one"}
+              "semantic_dedup_keep_one", "soft_dedup_weights"}
 # Sink round-trips write at call time by design.
 _WRITES = {"parquet_roundtrip_agg"}
 _EXECUTES_ON_CALL = _STREAMING | _ITERATIVE | _WRITES
