@@ -132,9 +132,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
 def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
                             n: int = 3, threshold: float = 0.5,
-                            method: str = "prefix") -> DataFrame:
+                            method: str = "prefix",
+                            sample_mod: int = 20,
+                            hot_min: int = 2) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
-    Exact (both methods return identical results):
+    Exact (every method returns identical results):
 
     - ``method='prefix'`` (default): PPJoin-style prefix filtering
       (Xiao et al., WWW'08 — public literature). Shingles are globally
@@ -142,11 +144,27 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
       within the first ``|A| - ceil(τ|A|) + 1`` rarest shingles of each
       doc, so candidate generation joins only those prefixes — on
       skewed vocabularies (the 100 TB reality) this cuts the join's
-      Σ df² blowup by orders of magnitude. Verification computes the
-      exact intersection with ``array_intersect`` on the full sets
-      (no second explode).
+      Σ df² blowup by orders of magnitude. The prefix theorem needs
+      only a CONSISTENT total order, and rarity ranking only pays off
+      on the hot head of the df distribution — so rarity is estimated
+      from a 1/``sample_mod`` hash-sample of documents and the hot
+      shingles (sample df ≥ ``hot_min``) BROADCAST into the ordering:
+      no corpus-wide df aggregate, no second corpus-scale shuffle.
+      Un-sampled tail shingles share rank 0 and tie-break
+      lexicographically (harmless: a shingle the sample never saw
+      twice is not the one that blows up the join). At extreme scale
+      raise ``hot_min`` to bound the broadcast — only the degenerate
+      head must be ranked. Verification computes the exact
+      intersection with ``array_intersect`` on the full sets (no
+      second explode).
+    - ``method='prefix-exact'``: same pruning with the textbook exact
+      corpus-wide df ordering (one extra corpus-scale aggregate +
+      shuffle join) — the reference plan the sampled ordering is
+      checked against in tests.
     - ``method='allpairs'``: plain shingle self-join + pair count; the
-      simple plan, better when shingle frequencies are near-uniform.
+      simple plan, competitive only when shingle frequencies are
+      near-uniform AND the corpus is small enough that Σ df² cannot
+      hurt.
 
     No ``set_size > 0`` pre-filter: empty shingle sets explode to zero
     rows on every path that matters, and an explicit filter on a
@@ -174,18 +192,36 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
                       .where(F.col("jaccard") >= threshold)
                       .select("id_a", "id_b", "size_a", "size_b",
                               "n_common", "jaccard"))
-    if method != "prefix":
-        raise ValueError("method must be 'prefix' or 'allpairs'")
+    if method not in ("prefix", "prefix-exact"):
+        raise ValueError(
+            "method must be 'prefix', 'prefix-exact' or 'allpairs'")
 
     # --- PPJoin-lite ---
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
-    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    # per doc: shingles ordered rarest-first (df, shingle) — the global
-    # canonical order required by the prefix theorem
-    ordered = (sh.join(doc_freq, "shingle")
-                 .groupBy("id")
-                 .agg(F.sort_array(
-                     F.collect_list(F.struct("df", "shingle"))).alias("os")))
+    if method == "prefix-exact":
+        doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        # per doc: shingles ordered rarest-first (df, shingle) — a
+        # consistent global order as the prefix theorem requires
+        ranked = sh.join(doc_freq, "shingle")
+    else:
+        # sampled hot-shingle rarity: a 1/sample_mod hash-sample of
+        # docs (whole doc in or out, so sample df scales by mod),
+        # keep shingles the sample saw >= hot_min times, broadcast.
+        # Rank = estimated df for the hot head, 0 for the tail.
+        hot = (arr.where(F.xxhash64(F.col("id")) % sample_mod == 0)
+                  .select(F.explode("shingles").alias("shingle"))
+                  .groupBy("shingle").agg(F.count("*").alias("_c"))
+                  .where(F.col("_c") >= hot_min)
+                  .select("shingle",
+                          (F.col("_c") * sample_mod).alias("df")))
+        ranked = (sh.join(F.broadcast(hot), "shingle", "left")
+                    .select("id", "shingle",
+                            F.coalesce("df", F.lit(0).cast("long"))
+                             .alias("df")))
+    ordered = (ranked
+               .groupBy("id")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("df", "shingle"))).alias("os")))
     ordered = ordered.select(
         "id",
         F.transform("os", lambda s: s["shingle"]).alias("ordered_shingles"),

@@ -296,3 +296,27 @@ def test_containment_join_matches_python_reference(spark, docs):
         jac = (len(sets[a] & sets[b])
                / len(sets[a] | sets[b]))
         assert v >= jac - 1e-12
+
+
+def test_jaccard_methods_identical(spark, docs):
+    """Sampled-hot-df prefix (default), exact-df prefix, and the plain
+    all-pairs join must return byte-identical pair sets — the prefix
+    theorem holds for ANY consistent global order, sampled rarity
+    included."""
+    def rows(**kw):
+        out = sorted(map(tuple, S.jaccard_similarity_join(
+            docs, "doc_id", "text", n=3, threshold=THRESH, **kw)
+            .collect()))
+        S.release_persisted()
+        return out
+    default = rows()
+    assert default == rows(method="prefix-exact")
+    assert default == rows(method="allpairs")
+    assert default, "fixture should produce at least one pair"
+
+
+def test_jaccard_rejects_bad_method(spark, docs):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        S.jaccard_similarity_join(docs, "doc_id", "text",
+                                  method="nope")
