@@ -503,3 +503,191 @@ def q_length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "lang", "n_chars", "dev", "mad",
                        (F.col("dev") > _MAD_K * F.col("mad"))
                        .alias("is_outlier")))
+
+
+_DSIR_TARGET_LANG = "en"   # target distribution = the English slice
+_DSIR_BUCKETS = 256        # hashed-feature space: md5-prefix buckets
+
+@query("dsir_importance_weights", oracle=rf"""
+WITH toks AS (SELECT doc_id, lang, {_NORM_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, lang, substr(md5(u.w), 1, 2) AS b
+        FROM toks, unnest(toks.t) AS u(w) WHERE len(t) > 0),
+stats AS (SELECT b,
+                 count(*) AS raw_c,
+                 count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}')
+                   AS tgt_c
+          FROM tok GROUP BY b),
+tot AS (SELECT CAST(sum(raw_c) AS BIGINT) AS n_raw,
+               CAST(sum(tgt_c) AS BIGINT) AS n_tgt FROM stats)
+SELECT doc_id,
+       count(*) AS n_toks,
+       CAST(sum(tgt_c + 1) AS BIGINT) AS tgt_mass,
+       CAST(sum(raw_c + 1) AS BIGINT) AS raw_mass,
+       (CAST(sum(tgt_c + 1) AS DOUBLE)
+        * (CAST(any_value(n_raw) AS DOUBLE) + {_DSIR_BUCKETS}.0))
+       / (CAST(sum(raw_c + 1) AS DOUBLE)
+          * (CAST(any_value(n_tgt) AS DOUBLE) + {_DSIR_BUCKETS}.0))
+         AS dsir_weight
+FROM tok JOIN stats USING (b) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169), log-free: score every document by how much more
+    likely its hashed-unigram mass is under the TARGET distribution
+    (here the `lang='en'` slice) than under the raw corpus. Features
+    are md5-prefix buckets (256 of them — the hashed-ngram trick that
+    makes DSIR O(1)-state however large the vocabulary); per-bucket
+    add-one smoothing; the weight is the ratio of mean smoothed target
+    probability to mean smoothed raw probability, computed as ONE
+    fixed-order double expression over exact integer masses so the
+    cross-engine value hash holds (same discipline as
+    `unigram_lm_quality` — a log-sum would hang on libm ULP skew
+    while ranking documents identically).
+
+    Plan: one combinable 256-group count pair, the bucket-stats table
+    auto-broadcasts to the token stream (256 rows), the 1-row totals
+    broadcast, and the per-doc rollup sums exact integers — the only
+    data-sized shuffles are the bucket count and the doc rollup, both
+    map-side combinable. At 100 TB the bucket table is STILL 256 rows:
+    the whole selection pass is two combinable aggregations."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "lang", TXT.tokens("text").alias("_toks"))
+            .where(F.size("_toks") > 0)
+            .select("doc_id", "lang", F.explode("_toks").alias("w"))
+            .select("doc_id", "lang",
+                    F.substring(F.md5(F.col("w").cast("binary")), 1, 2)
+                     .alias("b")))
+    stats = tok.groupBy("b").agg(
+        F.count("*").alias("raw_c"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, True))
+         .alias("tgt_c"))
+    tot = stats.agg(F.sum("raw_c").alias("n_raw"),
+                    F.sum("tgt_c").alias("n_tgt"))
+    buckets = F.lit(float(_DSIR_BUCKETS))
+    return (tok.join(F.broadcast(stats), "b")
+               .crossJoin(F.broadcast(tot))
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_toks"),
+                    F.sum(F.col("tgt_c") + 1).alias("tgt_mass"),
+                    F.sum(F.col("raw_c") + 1).alias("raw_mass"),
+                    ((F.sum(F.col("tgt_c") + 1).cast("double")
+                      * (F.first("n_raw").cast("double") + buckets))
+                     / (F.sum(F.col("raw_c") + 1).cast("double")
+                        * (F.first("n_tgt").cast("double") + buckets)))
+                    .alias("dsir_weight")))
+
+
+_BLOCKLIST = ("slow", "dup", "the", "stale")
+_BLOCK_MAX_PCT = 5          # keep while blocked tokens <= 5% of tokens
+_BLOCK_IN = "(" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + ")"
+
+@query("blocklist_scrub_stats", oracle=rf"""
+WITH toks AS (SELECT doc_id, lang, {_NORM_SQL} AS t FROM documents),
+s AS (SELECT doc_id, lang,
+             len(t) AS n_toks,
+             len(list_filter(t, w -> w IN {_BLOCK_IN})) AS n_blocked,
+             COALESCE(list_sum(list_transform(
+                 list_filter(t, w -> w NOT IN {_BLOCK_IN}),
+                 w -> len(w))), 0) AS kept_chars
+      FROM toks)
+SELECT doc_id, lang,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(n_blocked AS BIGINT) AS n_blocked,
+       CAST(n_blocked AS DOUBLE) / CAST(n_toks AS DOUBLE) AS blocked_frac,
+       n_blocked * 100 <= n_toks * {_BLOCK_MAX_PCT} AS keep,
+       CAST(kept_chars AS BIGINT) AS kept_chars
+FROM s
+""")
+def q_blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style lexicon scrub (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 'bad words' pass): per document, how many normalized tokens
+    hit the blocklist, the blocked fraction, the keep/drop verdict at
+    the 5% gate, and the character mass that survives scrubbing —
+    everything downstream sharding needs to budget post-scrub bytes.
+    All counting is exact integers; the single double is one division.
+
+    Plan: zero shuffles — the blocklist is a literal IN-set inside
+    array higher-order functions (filter/aggregate), so the whole pass
+    is per-row whole-stage codegen over the scan. A 100k-term lexicon
+    version swaps the IN-set for a broadcast semi-join on the exploded
+    token stream (one combinable rollup back to doc grain); the
+    4-term literal here keeps the hot path UDF- and shuffle-free."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    kept = f"filter(_toks, w -> NOT (w IN {_BLOCK_IN}))"
+    return (d.select("doc_id", "lang", TXT.tokens("text").alias("_toks"))
+             .select(
+                 "doc_id", "lang",
+                 F.size("_toks").cast("bigint").alias("n_toks"),
+                 F.size(F.expr(f"filter(_toks, w -> w IN {_BLOCK_IN})"))
+                  .cast("bigint").alias("n_blocked"),
+                 F.expr(f"aggregate({kept}, 0L, "
+                        "(acc, w) -> acc + length(w))").alias("kept_chars"))
+             .select("doc_id", "lang", "n_toks", "n_blocked",
+                     (F.col("n_blocked").cast("double")
+                      / F.col("n_toks").cast("double")).alias("blocked_frac"),
+                     (F.col("n_blocked") * 100
+                      <= F.col("n_toks") * _BLOCK_MAX_PCT).alias("keep"),
+                     "kept_chars"))
+
+
+@query("bigram_lm_quality", oracle=rf"""
+WITH toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM big)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(c12 + 1) AS BIGINT) AS num_mass,
+       CAST(sum(c1 + v) AS BIGINT) AS den_mass,
+       CAST(sum(c12 + 1) AS DOUBLE) / CAST(sum(c1 + v) AS DOUBLE)
+         AS bigram_score
+FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY b.doc_id
+""")
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score — the second-order upgrade of
+    `unigram_lm_quality` and the cheap stand-in for CCNet's KenLM
+    perplexity filter (Wenzek et al. 2020, arXiv:1911.00359): score
+    each document by the mean add-one-smoothed conditional bigram
+    probability of its token stream, p(w2|w1) = (c12+1)/(c1+V),
+    computed ratio-of-sums over exact integer masses (num = sum of
+    smoothed bigram counts, den = sum of smoothed left-context
+    counts) with ONE double division at the boundary — order-free, so
+    the cross-engine hash holds. Low score = token transitions the
+    corpus has never seen (shuffled text, boilerplate keyword stuffing
+    reads HIGH on unigrams but LOW here — exactly the gap the
+    second-order model closes).
+
+    Plan: two combinable count tables (bigram, left-context), each
+    joined back on its token key (hash join, auto-broadcast while
+    small), a 1-row distinct-vocab broadcast, and a per-doc exact
+    integer rollup — four shuffles, all map-side combinable, nothing
+    driver-side."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    t = (d.select("doc_id", TXT.tokens("text").alias("_toks"))
+          .where(F.size("_toks") >= 2))
+    pairs = F.expr("transform(sequence(1, size(_toks) - 1), "
+                   "i -> named_struct('w1', element_at(_toks, i), "
+                   "'w2', element_at(_toks, i + 1)))")
+    big = (t.select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2")))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = big.agg(F.countDistinct("w2").alias("v"))
+    return (big.join(c12, ["w1", "w2"]).join(c1, ["w1"])
+               .crossJoin(F.broadcast(v))
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_bigrams"),
+                    F.sum(F.col("c12") + 1).alias("num_mass"),
+                    F.sum(F.col("c1") + F.col("v")).alias("den_mass"),
+                    (F.sum(F.col("c12") + 1).cast("double")
+                     / F.sum(F.col("c1") + F.col("v")).cast("double"))
+                    .alias("bigram_score")))

@@ -737,3 +737,99 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.countDistinct("word").alias("n_words")))
     return topk_global(agg, [F.col("pair_count").desc(),
                              F.col("lft"), F.col("rgt")], _BPE_TOPK)
+
+
+_SPAN_N = 5     # token shingle width for duplicated-span detection
+
+@query("dup_span_stats", oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i:i + {_SPAN_N} - 1], ' ') AS gram
+  FROM (SELECT doc_id, t,
+               unnest(range(1, len(t) - {_SPAN_N} + 2)) AS i
+        FROM toks WHERE len(t) >= {_SPAN_N})),
+cnt AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN cnt USING (gram)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM dup),
+per_isl AS (SELECT doc_id, grp, count(*) AS len FROM isl
+            GROUP BY doc_id, grp),
+per_doc AS (SELECT doc_id, max(len) AS max_len,
+                   count(*) AS n_spans,
+                   CAST(sum(len) AS BIGINT) AS n_dup_pos
+            FROM per_isl GROUP BY doc_id),
+base AS (SELECT doc_id, len(t) - {_SPAN_N} + 1 AS n_positions
+         FROM toks WHERE len(t) >= {_SPAN_N})
+SELECT b.doc_id,
+       CAST(b.n_positions AS BIGINT) AS n_positions,
+       CAST(COALESCE(p.n_dup_pos, 0) AS BIGINT) AS n_dup_positions,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(CASE WHEN p.max_len IS NULL THEN 0
+                 ELSE p.max_len + {_SPAN_N} - 1 END AS BIGINT)
+         AS max_dup_span_tokens,
+       CAST(COALESCE(p.n_dup_pos, 0) AS DOUBLE)
+         / CAST(b.n_positions AS DOUBLE) AS dup_cover_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+""")
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-flavored duplicated-SPAN statistics (Lee et al.
+    2022, arXiv:2107.06499 §4.1): a token position is duplicated when
+    its 5-gram occurs at >= 2 sites anywhere in the corpus
+    (cross- OR intra-document, the ExactSubstr convention); runs of
+    consecutive duplicated positions chain into maximal duplicated
+    spans — a position run of L grams covers L + n - 1 tokens, exactly
+    the substring a suffix-array dedup would cut. Per doc: how many
+    spans, the longest one, and the covered fraction — the inputs to a
+    cut-vs-drop decision that n-gram SET overlap (``doc_dup_ngram_stats``)
+    cannot see because it ignores adjacency.
+
+    Plan: one combinable gram count, the count>=2 set semi-joins back
+    onto the (doc, pos) stream on the gram key (the same
+    shuffle-on-gram shape as `benchmark_decontaminate` — never
+    all-pairs), islands are a per-doc window over ONLY duplicated
+    positions (skew-bounded: a doc's dup positions <= its length), and
+    the rollups are exact-integer combinable aggs. The gram strings
+    can be 64-bit-hashed before the count at 100 TB (collision odds
+    2^-64 per pair) to keep shuffle bytes flat; kept as strings here
+    so the DuckDB oracle is value-exact."""
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    t = (d.select("doc_id", TXT.tokens("text").alias("_toks"))
+          .where(F.size("_toks") >= _SPAN_N))
+    grams = F.expr(f"transform(sequence(1, size(_toks) - {_SPAN_N} + 1), "
+                   f"i -> concat_ws(' ', slice(_toks, i, {_SPAN_N})))")
+    occ = (t.select("doc_id", F.posexplode(grams).alias("pos", "gram")))
+    dup_grams = (occ.groupBy("gram").agg(F.count("*").alias("c"))
+                    .where(F.col("c") >= 2).select("gram"))
+    dup = occ.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.select("doc_id", "pos",
+                     (F.col("pos") - F.row_number().over(w)).alias("grp"))
+    per_isl = isl.groupBy("doc_id", "grp").agg(F.count("*").alias("len"))
+    per_doc = per_isl.groupBy("doc_id").agg(
+        F.max("len").alias("max_len"),
+        F.count("*").alias("n_spans"),
+        F.sum("len").alias("n_dup_pos"))
+    base = t.select(
+        "doc_id",
+        (F.size("_toks") - _SPAN_N + 1).cast("bigint").alias("n_positions"))
+    return (base.join(per_doc, "doc_id", "left")
+                .select(
+                    "doc_id", "n_positions",
+                    F.coalesce("n_dup_pos", F.lit(0)).cast("bigint")
+                     .alias("n_dup_positions"),
+                    F.coalesce("n_spans", F.lit(0)).cast("bigint")
+                     .alias("n_dup_spans"),
+                    F.when(F.col("max_len").isNull(), F.lit(0))
+                     .otherwise(F.col("max_len") + _SPAN_N - 1)
+                     .cast("bigint").alias("max_dup_span_tokens"),
+                    (F.coalesce("n_dup_pos", F.lit(0)).cast("double")
+                     / F.col("n_positions").cast("double"))
+                    .alias("dup_cover_frac")))

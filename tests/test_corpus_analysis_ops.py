@@ -98,3 +98,153 @@ def test_value_drift_matches_full_grid_reference(spark, sf_dir):
         assert 0.0 <= r.tv_drift <= 1.0
         assert math.isclose(r.tv_drift, tv, rel_tol=0, abs_tol=1e-9), \
             (r.day, r.tv_drift, tv)
+
+
+def test_dsir_importance_weights_match_python_reference(spark, sf_dir):
+    """tgt/raw masses must equal the hashed-feature definition: bucket
+    = first 2 md5 hex chars of the token, mass = Σ over the doc's
+    tokens of (bucket count in the target/raw corpus + 1); the weight
+    is the ratio of mean smoothed probabilities."""
+    import hashlib
+    rows = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text").collect()
+    bucket = lambda w: hashlib.md5(w.encode()).hexdigest()[:2]
+    raw_c: collections.Counter = collections.Counter()
+    tgt_c: collections.Counter = collections.Counter()
+    doc_toks = {}
+    for r in rows:
+        toks = _py_tokens(r.text)
+        if len(toks) == 0:
+            continue
+        doc_toks[r.doc_id] = toks
+        for w in toks:
+            b = bucket(w)
+            raw_c[b] += 1
+            if r.lang == "en":
+                tgt_c[b] += 1
+    n_raw, n_tgt = sum(raw_c.values()), sum(tgt_c.values())
+    got = Q.QUERIES["dsir_importance_weights"](spark, sf_dir).collect()
+    release_persisted()
+    assert len(got) == len(doc_toks)
+    for r in got:
+        toks = doc_toks[r.doc_id]
+        tgt_mass = sum(tgt_c[bucket(w)] + 1 for w in toks)
+        raw_mass = sum(raw_c[bucket(w)] + 1 for w in toks)
+        assert r.n_toks == len(toks)
+        assert r.tgt_mass == tgt_mass
+        assert r.raw_mass == raw_mass
+        want = (tgt_mass * (n_raw + 256.0)) / (raw_mass * (n_tgt + 256.0))
+        assert math.isclose(r.dsir_weight, want, rel_tol=1e-12)
+
+
+def test_dsir_weights_rank_target_language_higher(spark, sf_dir):
+    """The point of DSIR: target-language docs should carry higher
+    median importance weight than out-of-target docs."""
+    got = Q.QUERIES["dsir_importance_weights"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = got.join(docs, "doc_id") \
+        .select("lang", "dsir_weight").collect()
+    release_persisted()
+    en = sorted(r.dsir_weight for r in joined if r.lang == "en")
+    other = sorted(r.dsir_weight for r in joined if r.lang != "en")
+    assert en and other
+    med = lambda xs: xs[len(xs) // 2]
+    assert med(en) >= med(other)
+
+
+def test_blocklist_scrub_stats_match_python_reference(spark, sf_dir):
+    """Blocked counts, kept character mass, and the 5% keep gate must
+    equal the per-token definition over normalized tokens."""
+    blocklist = {"slow", "dup", "the", "stale"}
+    rows = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    got = {r.doc_id: r for r in
+           Q.QUERIES["blocklist_scrub_stats"](spark, sf_dir).collect()}
+    release_persisted()
+    assert len(got) == len(rows)
+    for r in rows:
+        toks = _py_tokens(r.text)
+        g = got[r.doc_id]
+        n_blocked = sum(1 for w in toks if w in blocklist)
+        assert g.n_toks == len(toks)
+        assert g.n_blocked == n_blocked
+        assert g.kept_chars == sum(
+            len(w) for w in toks if w not in blocklist)
+        assert g.keep == (n_blocked * 100 <= len(toks) * 5)
+        assert math.isclose(g.blocked_frac, n_blocked / len(toks),
+                            rel_tol=0, abs_tol=1e-12)
+
+
+def test_bigram_lm_quality_match_python_reference(spark, sf_dir):
+    """num/den masses must equal the add-one-smoothed bigram LM
+    definition: num = Σ (c12+1), den = Σ (c1+V) over the doc's bigram
+    stream, with corpus-global counts and V = |distinct right vocab|."""
+    rows = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    c12: collections.Counter = collections.Counter()
+    c1: collections.Counter = collections.Counter()
+    vocab2 = set()
+    doc_bi = {}
+    for r in rows:
+        toks = _py_tokens(r.text)
+        if len(toks) < 2:
+            continue
+        bi = list(zip(toks, toks[1:]))
+        doc_bi[r.doc_id] = bi
+        for w1, w2 in bi:
+            c12[(w1, w2)] += 1
+            c1[w1] += 1
+            vocab2.add(w2)
+    V = len(vocab2)
+    got = Q.QUERIES["bigram_lm_quality"](spark, sf_dir).collect()
+    release_persisted()
+    assert len(got) == len(doc_bi)
+    for r in got:
+        bi = doc_bi[r.doc_id]
+        num = sum(c12[p] + 1 for p in bi)
+        den = sum(c1[p[0]] + V for p in bi)
+        assert r.n_bigrams == len(bi)
+        assert r.num_mass == num
+        assert r.den_mass == den
+        assert math.isclose(r.bigram_score, num / den, rel_tol=1e-12)
+
+
+def test_dup_span_stats_match_python_reference(spark, sf_dir):
+    """Span statistics must equal the ExactSubstr definition: a
+    position is duplicated iff its 5-gram occurs at >= 2 (doc, pos)
+    sites corpus-wide; spans are maximal runs of consecutive
+    duplicated positions; a run of L grams covers L + 4 tokens."""
+    K = 5
+    rows = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    occ: collections.Counter = collections.Counter()
+    doc_grams = {}
+    for r in rows:
+        toks = _py_tokens(r.text)
+        if len(toks) < K:
+            continue
+        grams = [" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)]
+        doc_grams[r.doc_id] = grams
+        occ.update(grams)
+    got = {r.doc_id: r for r in
+           Q.QUERIES["dup_span_stats"](spark, sf_dir).collect()}
+    release_persisted()
+    assert set(got) == set(doc_grams)
+    for doc_id, grams in doc_grams.items():
+        dup = [i for i, g in enumerate(grams) if occ[g] >= 2]
+        runs = []
+        for i in dup:
+            if runs and i == runs[-1][1] + 1:
+                runs[-1][1] = i
+            else:
+                runs.append([i, i])
+        g = got[doc_id]
+        assert g.n_positions == len(grams)
+        assert g.n_dup_positions == len(dup)
+        assert g.n_dup_spans == len(runs)
+        want_max = max((b - a + 1 for a, b in runs), default=0)
+        assert g.max_dup_span_tokens == \
+            (want_max + K - 1 if want_max else 0)
+        assert math.isclose(g.dup_cover_frac, len(dup) / len(grams),
+                            rel_tol=0, abs_tol=1e-12)
+    assert any(r.n_dup_spans > 0 for r in got.values())
