@@ -552,6 +552,8 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable. At 100 TB the bucket table is STILL 256 rows:
     the whole selection pass is two combinable aggregations."""
     from distributed_deduplicator_spark.functions import text as TXT
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
     d = load_table(spark, sf_dir, "documents")
     tok = (d.select("doc_id", "lang", TXT.tokens("text").alias("_toks"))
             .where(F.size("_toks") > 0)
@@ -559,24 +561,31 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang",
                     F.substring(F.md5(F.col("w").cast("binary")), 1, 2)
                      .alias("b")))
-    stats = tok.groupBy("b").agg(
-        F.count("*").alias("raw_c"),
-        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, True))
-         .alias("tgt_c"))
+    # One pass over the token stream: (doc, bucket) occurrence counts.
+    # Both the 256-row bucket stats AND the per-doc rollup derive from
+    # this subtree, so persist it (lazy — construction stays job-free;
+    # the registry hook / bench release it after the action).
+    db = _tracked_persist(
+        tok.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c")))
+    stats = db.groupBy("b").agg(
+        F.sum("c").alias("raw_c"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("c"))
+               .otherwise(F.lit(0))).alias("tgt_c"))
     tot = stats.agg(F.sum("raw_c").alias("n_raw"),
                     F.sum("tgt_c").alias("n_tgt"))
     buckets = F.lit(float(_DSIR_BUCKETS))
-    return (tok.join(F.broadcast(stats), "b")
-               .crossJoin(F.broadcast(tot))
-               .groupBy("doc_id")
-               .agg(F.count("*").alias("n_toks"),
-                    F.sum(F.col("tgt_c") + 1).alias("tgt_mass"),
-                    F.sum(F.col("raw_c") + 1).alias("raw_mass"),
-                    ((F.sum(F.col("tgt_c") + 1).cast("double")
-                      * (F.first("n_raw").cast("double") + buckets))
-                     / (F.sum(F.col("raw_c") + 1).cast("double")
-                        * (F.first("n_tgt").cast("double") + buckets)))
-                    .alias("dsir_weight")))
+    c = F.col("c")
+    return (db.join(F.broadcast(stats), "b")
+              .crossJoin(F.broadcast(tot))
+              .groupBy("doc_id")
+              .agg(F.sum(c).alias("n_toks"),
+                   F.sum(c * (F.col("tgt_c") + 1)).alias("tgt_mass"),
+                   F.sum(c * (F.col("raw_c") + 1)).alias("raw_mass"),
+                   ((F.sum(c * (F.col("tgt_c") + 1)).cast("double")
+                     * (F.first("n_raw").cast("double") + buckets))
+                    / (F.sum(c * (F.col("raw_c") + 1)).cast("double")
+                       * (F.first("n_tgt").cast("double") + buckets)))
+                   .alias("dsir_weight")))
 
 
 _BLOCKLIST = ("slow", "dup", "the", "stale")
@@ -670,6 +679,8 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rollup — four shuffles, all map-side combinable, nothing
     driver-side."""
     from distributed_deduplicator_spark.functions import text as TXT
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
     d = load_table(spark, sf_dir, "documents")
     t = (d.select("doc_id", TXT.tokens("text").alias("_toks"))
           .where(F.size("_toks") >= 2))
@@ -679,15 +690,21 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (t.select("doc_id", F.explode(pairs).alias("p"))
             .select("doc_id", F.col("p.w1").alias("w1"),
                     F.col("p.w2").alias("w2")))
-    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
-    v = big.agg(F.countDistinct("w2").alias("v"))
-    return (big.join(c12, ["w1", "w2"]).join(c1, ["w1"])
+    # One shuffle over the occurrence stream: per-(doc, bigram) counts.
+    # c12 / c1 / V and the final rollup ALL derive from this subtree —
+    # persist it (lazy) instead of re-tokenizing the corpus four times.
+    d12 = _tracked_persist(
+        big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m")))
+    c12 = d12.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.agg(F.countDistinct("w2").alias("v"))
+    m = F.col("m")
+    return (d12.join(c12, ["w1", "w2"]).join(c1, ["w1"])
                .crossJoin(F.broadcast(v))
                .groupBy("doc_id")
-               .agg(F.count("*").alias("n_bigrams"),
-                    F.sum(F.col("c12") + 1).alias("num_mass"),
-                    F.sum(F.col("c1") + F.col("v")).alias("den_mass"),
-                    (F.sum(F.col("c12") + 1).cast("double")
-                     / F.sum(F.col("c1") + F.col("v")).cast("double"))
+               .agg(F.sum(m).alias("n_bigrams"),
+                    F.sum(m * (F.col("c12") + 1)).alias("num_mass"),
+                    F.sum(m * (F.col("c1") + F.col("v"))).alias("den_mass"),
+                    (F.sum(m * (F.col("c12") + 1)).cast("double")
+                     / F.sum(m * (F.col("c1") + F.col("v"))).cast("double"))
                     .alias("bigram_score")))
