@@ -444,20 +444,28 @@ def q_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers — three shuffles total, all on combinable aggs."""
     from distributed_deduplicator_spark.functions import text as TXT
     d = load_table(spark, sf_dir, "documents")
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
     tok = (d.select("doc_id", TXT.tokens("text").alias("_toks"))
             .where(F.size("_toks") > 0)
             .select("doc_id", F.explode("_toks").alias("w")))
-    vocab = tok.groupBy("w").agg(F.count("*").alias("cw"))
+    # Collapse the occurrence stream to per-(doc, token) counts once;
+    # vocab, totals and the rollup all derive from the persisted
+    # subtree (lazy persist — construction stays job-free).
+    dw = _tracked_persist(
+        tok.groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    vocab = dw.groupBy("w").agg(F.sum("c").alias("cw"))
     tot = vocab.agg(F.sum("cw").alias("n_total"))
-    return (tok.join(vocab, "w")
-               .crossJoin(F.broadcast(tot))
-               .groupBy("doc_id")
-               .agg(F.count("*").alias("n_toks"),
-                    F.sum("cw").alias("sum_freq"),
-                    (F.sum("cw").cast("double")
-                     / (F.count("*").cast("double")
-                        * F.first("n_total").cast("double")))
-                    .alias("avg_prob")))
+    c = F.col("c")
+    return (dw.join(vocab, "w")
+              .crossJoin(F.broadcast(tot))
+              .groupBy("doc_id")
+              .agg(F.sum(c).alias("n_toks"),
+                   F.sum(c * F.col("cw")).alias("sum_freq"),
+                   (F.sum(c * F.col("cw")).cast("double")
+                    / (F.sum(c).cast("double")
+                       * F.first("n_total").cast("double")))
+                   .alias("avg_prob")))
 
 
 _MAD_K = 3.0

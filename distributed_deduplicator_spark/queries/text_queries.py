@@ -391,15 +391,25 @@ def q_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the size>=2 filter applies only to bigram derivation — filtering
     # uni too would diverge n_tok/n_w1/n_w2 (and every lift) the moment
     # a fixture regeneration contains a 0/1-token doc
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    # Each count table feeds its own total plus one or two joins — six
+    # corpus re-scans unpersisted. Persist the two VOCABULARY-sized
+    # count tables (lazy): totals and joins then never re-tokenize the
+    # corpus, and the cache holds (word, count) rows, not token arrays
+    # (caching the token arrays themselves costs more in serialization
+    # than the second scan it saves — measured at sf0.1/sf1).
     t_all = d.select(TXT.tokens("text").alias("_toks"))
     t = t_all.where(F.size("_toks") >= 2)
-    uni = (t_all.select(F.explode("_toks").alias("w"))
-            .groupBy("w").agg(F.count("*").alias("c")))
-    bg_all = (t.select(F.explode(
-                  F.expr("transform(sequence(1, size(_toks) - 1), "
-                         "i -> concat(element_at(_toks, i), ' ', "
-                         "element_at(_toks, i + 1)))")).alias("bigram"))
-               .groupBy("bigram").agg(F.count("*").alias("n_pair")))
+    uni = _tracked_persist(
+        t_all.select(F.explode("_toks").alias("w"))
+             .groupBy("w").agg(F.count("*").alias("c")))
+    bg_all = _tracked_persist(
+        t.select(F.explode(
+             F.expr("transform(sequence(1, size(_toks) - 1), "
+                    "i -> concat(element_at(_toks, i), ' ', "
+                    "element_at(_toks, i + 1)))")).alias("bigram"))
+         .groupBy("bigram").agg(F.count("*").alias("n_pair")))
     # totals BEFORE the min-count filter (M counts every bigram
     # occurrence, matching the oracle's denominator)
     tot = (uni.agg(F.sum("c").alias("n_tok"))
@@ -456,11 +466,19 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     token) is total, so the cut is deterministic in both engines."""
     from pyspark.sql import Window
     d = load_table(spark, sf_dir, "documents")
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
     tok = (d.select("doc_id", "source", TXT.tokens("text").alias("_toks"))
             .where(F.size("_toks") > 0)
             .select("doc_id", "source", F.explode("_toks").alias("w")))
-    tf = tok.groupBy("source", "w").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # Collapse occurrences to per-(doc, token) counts once (a doc has
+    # ONE source, so the rows are unique on (doc, w)); tf sums the
+    # counts, df counts the rows — both read the persisted subtree
+    # instead of re-tokenizing the corpus.
+    dw = _tracked_persist(
+        tok.groupBy("doc_id", "source", "w").agg(F.count("*").alias("c")))
+    tf = dw.groupBy("source", "w").agg(F.sum("c").alias("tf"))
+    df = dw.groupBy("w").agg(F.count("*").alias("df"))
     score = F.col("tf").cast("double") / F.col("df")
     w = Window.partitionBy("source").orderBy(score.desc(), "w")
     return (tf.join(df, "w")
@@ -512,7 +530,13 @@ def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(sequence(1, size(_toks) - 1), "
                "i -> concat(element_at(_toks, i), ' ', "
                "element_at(_toks, i + 1)))"))
-    g = t.select("doc_id", F.explode(grams).alias("gram"))
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    # (doc, distinct gram) is consumed by BOTH the first-occurrence
+    # MIN and the join-back — persist it (lazy) so the corpus is
+    # tokenized once, not twice.
+    g = _tracked_persist(
+        t.select("doc_id", F.explode(grams).alias("gram")))
     firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     new_flag = F.when(F.col("first_doc") == F.col("doc_id"), 1) \
                 .otherwise(0)
