@@ -260,8 +260,14 @@ def chunk_exact_dedup(docs: DataFrame, id_col: str, text_col: str,
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.md5(F.concat_ws(
             " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))))
-    ex = (base.where(F.size(toks) > 0)
-              .select("id", F.posexplode(chunks).alias("chunk_idx", "h")))
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    # (id, chunk_idx, h) feeds BOTH the winner MIN and the join-back —
+    # persist it (lazy; narrow md5 rows, never chunk text) so the
+    # tokenize+hash pass runs once, not twice.
+    ex = _tracked_persist(
+        base.where(F.size(toks) > 0)
+            .select("id", F.posexplode(chunks).alias("chunk_idx", "h")))
     winners = (ex.groupBy("h")
                  .agg(F.min(F.struct("id", "chunk_idx")).alias("w")))
     flagged = (ex.join(winners, "h")
