@@ -1161,7 +1161,10 @@ def containment_join(df: DataFrame, id_col: str, text_col: str,
     side must keep its full set), which halves the prefix join's
     traffic vs the symmetric Jaccard prefix at equal τ.
     """
-    arr = shingle_array(df, id_col, text_col, n)
+    # one row per doc, three consumers (both self-join sides + sizes) —
+    # same persist rationale as the Jaccard prefix path above; released
+    # by the caller via release_persisted().
+    arr = _tracked_persist(shingle_array(df, id_col, text_col, n))
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
