@@ -616,10 +616,27 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          "'label-propagation' or 'two-phase'")
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
                   .where(F.col("src") != F.col("dst")))
-    # undirected: propagate both ways
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # undirected: propagate both ways. Symmetrize with a map-side
+    # explode, NOT a self-union — a union evaluates the (often very
+    # expensive) upstream pair pipeline once per branch when this
+    # table first materializes (measured 2× the whole MinHash/cosine
+    # verify at sf1), while the explode doubles rows in one pass.
+    sym = edges.select(F.explode(F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )).alias("_e")).select("_e.src", "_e.dst")
     sym = _tracked_persist(sym)
+    # Materialize sym NOW, before any _checkpoint_tracked snapshot.
+    # The capture diff assumes every RDD persisted during a checkpoint
+    # action backs that checkpoint; if sym (and any lazily-persisted
+    # subtree inside the caller's pair pipeline) first materializes
+    # inside the init-labels action instead, its cache handle lands in
+    # round 0's release list and the per-round unpersist silently
+    # evicts it — every later round then re-runs the full pair
+    # pipeline (measured: the sf1 SemDeDup verify re-executed once per
+    # round, 5× the query). CC executes at call time by contract
+    # (registry _EXECUTES_ON_CALL), so an eager action here is fine.
+    sym.count()
     labels, cur_handles = _checkpoint_tracked(
         sym.select(F.col("src").alias("id"))
            .distinct()
@@ -674,6 +691,9 @@ def _connected_components_two_phase(pairs: DataFrame, id_a: str, id_b: str,
     nodes = (pairs.select(F.explode(F.array(F.col(id_a), F.col(id_b)))
                           .alias("id")).distinct())
     nodes = _tracked_persist(nodes)
+    # Pin the cache before any _checkpoint_tracked snapshot — same
+    # capture-race rationale as the label-propagation path above.
+    nodes.count()
     edges, cur_handles = _checkpoint_tracked(e0)
     for _ in range(max_iter):
         # -- large-star: every neighbor larger than u hooks onto

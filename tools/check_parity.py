@@ -28,6 +28,10 @@ def main() -> None:
     spark = (SparkSession.builder.master("local[8]")
              .appName("check-parity")
              .config("spark.ui.enabled", "false")
+             # dev tool, not the driver sim: give the single-JVM driver
+             # room for sf1 spot-checks (cached subtrees + broadcasts
+             # trip the 1g default; the driver's real gate is sf0.01)
+             .config("spark.driver.memory", "8g")
              .config("spark.sql.shuffle.partitions", "8").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e
