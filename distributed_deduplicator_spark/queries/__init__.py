@@ -90,7 +90,9 @@ _ROTATION_HEAD = [
     # oldest banked evidence: relational core
     "filter_project", "predicate_in_null", "pricing_summary",
     "agg_global", "agg_distinct", "join_star_revenue",
-    "join_left_order_counts",
+    # code changed in round 5: query-user cap added for sf1 scale
+    # (output identical at driver-gate SFs, but changed code re-windows)
+    "activity_profile_topk",
 ]
 
 

@@ -220,6 +220,12 @@ def q_rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_HOURS = 24
 _PROFILE_QUERY_MOD = 19   # user_id % 19 == 0 plays the query set
+_PROFILE_QUERY_CAP = 150  # absolute id bound: the query set must stay
+                          # FIXED as the corpus grows (a %-only filter
+                          # scales the query count with the user
+                          # population and the brute-force verify goes
+                          # quadratic — measured 78x at 10x data);
+                          # covers every user at the driver gate SFs
 _PROFILE_TOPK = 3
 
 # 24 conditional counts, generated once and shared verbatim in spirit
@@ -235,7 +241,8 @@ WITH prof AS (
   SELECT user_id, list_value({_PROFILE_TERMS_SQL}) AS profile
   FROM events GROUP BY user_id),
 q AS (SELECT user_id AS query_user, profile AS qp FROM prof
-      WHERE query_user % {_PROFILE_QUERY_MOD} = 0),
+      WHERE query_user % {_PROFILE_QUERY_MOD} = 0
+        AND query_user < {_PROFILE_QUERY_CAP}),
 scored AS (
   SELECT query_user, c.user_id AS neighbor_user,
          list_cosine_similarity(qp, c.profile) AS cosine
@@ -264,7 +271,8 @@ def q_activity_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in range(_PROFILE_HOURS)])
     prof = (e.groupBy("user_id")
              .agg(profile.alias("profile")))
-    q = prof.where(F.col("user_id") % _PROFILE_QUERY_MOD == 0)
+    q = prof.where((F.col("user_id") % _PROFILE_QUERY_MOD == 0)
+                   & (F.col("user_id") < _PROFILE_QUERY_CAP))
     out = S.cosine_topk_bruteforce(prof, q, k=_PROFILE_TOPK,
                                    id_col="user_id", vec_col="profile")
     return out.select(F.col("query_id").alias("query_user"),
