@@ -55,6 +55,23 @@ def _shift(table: pa.Table, cols: list[str], k: int) -> pa.Table:
         shifted = pc.add(table.column(c), pa.scalar(k * KOFF, pa.int64()))
         table = table.set_column(i, table.schema.field(i),
                                  shifted.cast(table.schema.field(i).type))
+    if "p_brand" in table.column_names and k > 0:
+        # Decorrelate part BRANDS across copies the same way document
+        # tokens are namespaced. Verbatim-replicated (brand, name)
+        # blocks make the fuzzy name join's candidate set AND its
+        # output quadratic in the copy count (measured 130x runtime at
+        # 10 copies) — a fixture artifact, not a 10x-corpus workload:
+        # ten independent crawl shards don't share a key space. Brand
+        # is the fuzzy join's equi-join block key, so a per-copy
+        # suffix kills every cross-copy candidate before any
+        # levenshtein runs, leaves names (and name-based LIKE
+        # predicates / edit distances) untouched, and only grows brand
+        # cardinality 10x — exactly what 10x more sources looks like
+        # to the brand-grouped aggregates.
+        i = table.schema.get_field_index("p_brand")
+        brands = [f"{s}#{k}" for s in table.column("p_brand").to_pylist()]
+        table = table.set_column(i, table.schema.field(i),
+                                 pa.array(brands, pa.string()))
     return table
 
 
