@@ -268,20 +268,31 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def ivf_assign(unit: DataFrame, centroids: DataFrame,
-               dim: int, nprobe: int = 1) -> DataFrame:
+               dim: int, nprobe: int = 1,
+               keep_unit: bool = True) -> DataFrame:
     """Assign each unit vector to its ``nprobe`` nearest centroids.
 
     Centroids broadcast (nlist × dim doubles — always tiny next to the
     corpus); the scoring join is a broadcast nested loop producing
     n × nlist rows whose dots run in codegen, then a per-id top-nprobe.
-    Returns (id, unit, centroid_id, rank 1..nprobe).
+
+    The ranking window sorts SKINNY rows (id, centroid_id, cdot —
+    ~20 bytes): carrying the dim-double vector through the n × nlist
+    exploded sort was the round-5 sf1 bottleneck (100k × 316 rows ×
+    512 B ≈ 16 GB through one exchange). Callers that need the vector
+    back (the Lloyd step) set ``keep_unit`` and pay one linear n-row
+    rejoin instead. Returns (id[, unit], centroid_id, crank 1..nprobe).
     """
     scored = (unit.crossJoin(F.broadcast(centroids))
-                  .select("id", "unit", "centroid_id",
+                  .select("id", "centroid_id",
                           _dot_indexed("unit", "cunit", dim).alias("cdot")))
     w = Window.partitionBy("id").orderBy(F.col("cdot").desc(), "centroid_id")
-    return (scored.withColumn("crank", F.row_number().over(w))
-                  .where(F.col("crank") <= nprobe)
+    ranked = (scored.withColumn("crank", F.row_number().over(w))
+                    .where(F.col("crank") <= nprobe)
+                    .select("id", "centroid_id", "crank"))
+    if not keep_unit:
+        return ranked
+    return (ranked.join(unit.select("id", "unit"), "id")
                   .select("id", "unit", "centroid_id", "crank"))
 
 
@@ -352,7 +363,7 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
         if n is None:
             n = emb.count()  # documented fallback; pass n at any scale
         nlist = max(4, int(math.sqrt(max(n, 4))))
-    u = unit_vectors(emb, id_col, vec_col)
+    u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     # the centroid table (nlist×dim doubles) and the assignment table
     # (n×nprobe ids) each feed TWO consumers; without pinning them the
     # deep centroid DAG (seed sample → Lloyd step → renormalize)
@@ -360,31 +371,71 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     # the caller release via release_persisted().
     cents = _tracked_persist(ivf_centroids(u, nlist, dim))
     # one assignment pass serves both roles: rank 1 = the vector's own
-    # list, ranks 1..nprobe = the lists its queries probe
-    assigns = _tracked_persist(ivf_assign(u, cents, dim, nprobe=nprobe))
-    lists = (assigns.where(F.col("crank") == 1)
-                    .select("id", F.col("centroid_id").alias("list_id")))
-    probes = assigns.select(F.col("id").alias("query_id"),
-                            F.col("centroid_id").alias("list_id"))
-    # no distinct needed: a neighbor lives in exactly one list and a
-    # query's probed lists are distinct, so (query, neighbor) pairs are
-    # unique by construction — unlike multi-table LSH.
-    cand = (probes.join(lists, "list_id")
-                  .where(F.col("query_id") != F.col("id"))
-                  .select("query_id", F.col("id").alias("neighbor_id")))
-    pairs = (cand
-             .join(u.select(F.col("id").alias("query_id"),
-                            F.col("unit").alias("qu")), "query_id")
-             .join(u.select(F.col("id").alias("neighbor_id"),
-                            F.col("unit").alias("nu")), "neighbor_id")
-             .select("query_id", "neighbor_id",
-                     _dot_indexed("qu", "nu", dim).alias("cosine")))
+    # list, ranks 1..nprobe = the lists its queries probe. Skinny: the
+    # id↔list mapping only — vectors are re-attached ONCE per side
+    # below, never per candidate pair.
+    assigns = _tracked_persist(
+        ivf_assign(u, cents, dim, nprobe=nprobe, keep_unit=False))
+    members = (assigns.where(F.col("crank") == 1)
+                      .select("id", F.col("centroid_id").alias("list_id"))
+                      .join(u, "id"))
+    probes = (assigns.select(F.col("id"),
+                             F.col("centroid_id").alias("list_id"))
+                     .join(u, "id")
+                     .select(F.col("list_id"),
+                             F.col("id").alias("query_id"),
+                             F.col("unit").alias("qunit")))
+    # Per-list scoring as a cogrouped Arrow stage running ONE BLAS
+    # matmul per list (queries-probing-the-list × list-members). The
+    # round-5 sf1 sweep showed the declarative alternative — join the
+    # unit vector onto each of the n·nprobe·(n/nlist) candidate rows
+    # twice, then fold a 64-term lambda per row — shuffles ~130 GB of
+    # repeated vectors at n=100k and grew 38× for 10× data. Here each
+    # vector crosses the wire once per list it touches (n + n·nprobe
+    # rows total) and the dot products run in vectorized float64 BLAS;
+    # this is the one similarity path where Python beats codegen,
+    # exactly as the multimodal codecs are the one Arrow path there.
+    # Per-list top-k is a superset of the global per-query top-k
+    # restricted to that list (cosine desc, neighbor_id asc is a total
+    # order), so the final skinny window over ≤ n·nprobe·k rows is
+    # exact IVF-flat semantics, unchanged.
+    kk = k
+
+    def _score_lists(m_pdf, q_pdf):  # pragma: no cover (executor-side)
+        import numpy as np
+        import pandas as pd
+        if len(m_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        mat = np.vstack(m_pdf["unit"].to_numpy()).astype(np.float64)
+        mids = m_pdf["id"].to_numpy()
+        qmat = np.vstack(q_pdf["qunit"].to_numpy()).astype(np.float64)
+        qids = q_pdf["query_id"].to_numpy()
+        sims = qmat @ mat.T                        # q×m float64 GEMM
+        # stable per-row order: cosine desc, neighbor_id asc; take k+1
+        # so dropping a self-match still leaves k candidates
+        order = np.lexsort((np.broadcast_to(mids, sims.shape), -sims),
+                           axis=1)[:, :kk + 1]
+        rows_q = np.repeat(qids, order.shape[1])
+        rows_n = mids[order].ravel()
+        rows_c = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = rows_q != rows_n
+        return pd.DataFrame({"query_id": rows_q[keep],
+                             "neighbor_id": rows_n[keep],
+                             "cosine": rows_c[keep]})
+
+    scored = (members.groupBy("list_id")
+                     .cogroup(probes.groupBy("list_id"))
+                     .applyInPandas(
+                         _score_lists,
+                         "query_id long, neighbor_id long, cosine double"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
-    return (pairs.withColumn("rk", F.row_number().over(w))
-                 .where(F.col("rk") <= k)
-                 .select("query_id", "neighbor_id", F.col("rk").alias("rank"),
-                         "cosine"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") <= k)
+                  .select("query_id", "neighbor_id",
+                          F.col("rk").alias("rank"), "cosine"))
 
 
 # ---------------------------------------------------------------------------
@@ -907,7 +958,8 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     rerank = rerank if rerank is not None else 4 * k
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     cents = _tracked_persist(ivf_centroids(u, nlist, dim))
-    assigns = _tracked_persist(ivf_assign(u, cents, dim, nprobe=nprobe))
+    assigns = _tracked_persist(
+        ivf_assign(u, cents, dim, nprobe=nprobe, keep_unit=False))
     lists = (assigns.where(F.col("crank") == 1)
                     .select("id", F.col("centroid_id").alias("list_id")))
     probes = assigns.select(F.col("id").alias("query_id"),
@@ -1007,15 +1059,26 @@ def cosine_neardup_blocked(emb: DataFrame, block_col: str,
     so the keep/drop decision is reproducible across engines (raw
     fold order is engine-specific only below ~1e-12; 6 dp is the
     proven cross-engine agreement level).
+
+    The double-cast array and its norm are computed ONCE per vector
+    in a linear pre-pass, so the Σ|block|² verify is a single dot
+    fold + one division per pair — the cosine value is bit-identical
+    to the inline form (same folds over the same doubles, just
+    factored out of the pair loop, where they ran |block|× per
+    vector and dominated at 10× scale).
     """
-    a = emb.select(F.col(id_col).alias("id_a"),
-                   F.col(block_col).alias("block"),
-                   F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"),
-                   F.col(block_col).alias("block"),
-                   F.col(vec_col).alias("vec_b"))
+    pre = emb.select(F.col(id_col).alias("id"),
+                     F.col(block_col).alias("block"),
+                     F.transform(vec_col,
+                                 lambda x: x.cast("double")).alias("vd"))
+    pre = pre.select("id", "block", "vd", _norm(F.col("vd")).alias("nrm"))
+    a = pre.select(F.col("id").alias("id_a"), "block",
+                   F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a"))
+    b = pre.select(F.col("id").alias("id_b"), "block",
+                   F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b"))
     pairs = a.join(b, on="block").where(F.col("id_a") < F.col("id_b"))
-    cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    cos = F.round(_dot(F.col("vd_a"), F.col("vd_b"))
+                  / (F.col("nrm_a") * F.col("nrm_b")), 6)
     return (pairs.withColumn("cosine_r", cos)
                  .where(F.col("cosine_r") >= threshold)
                  .select("id_a", "id_b", "block", "cosine_r"))
