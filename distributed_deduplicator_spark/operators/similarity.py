@@ -154,9 +154,25 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
       lexicographically (harmless: a shingle the sample never saw
       twice is not the one that blows up the join). At extreme scale
       raise ``hot_min`` to bound the broadcast — only the degenerate
-      head must be ranked. Verification computes the exact
-      intersection with ``array_intersect`` on the full sets (no
-      second explode).
+      head must be ranked. Candidates then pass PPJoin's POSITIONAL
+      filter before any array travels: both docs are sorted by the
+      same total order, so prefix matches are monotone and
+      overlap(A,B) ≤ (#prefix matches) + min(|A|−i*, |B|−j*) with
+      (i*, j*) the last match's positions — pairs whose bound misses
+      α = ⌈τ(|A|+|B|)/(1+τ)⌉ are pruned by the same groupBy that
+      dedups candidates (round-5 sf1: 6.3M → ~1M survivors feeding
+      the verify). Verification computes the exact intersection with
+      ``array_intersect`` on the full sets (no second explode).
+
+    All joins, orderings, and intersections run on xxhash64 shingle
+    HASHES (8-byte bigints), never the shingle strings — the verify
+    join ships each doc's set as array<bigint>, a ~3× wire/intersect
+    cut. Exactness caveat: a 64-bit collision between two distinct
+    shingles of compared docs could perturb n_common; with ~10⁷
+    distinct shingles the expected number of colliding PAIRS is
+    ~10¹⁴/2⁶⁵ ≈ 3·10⁻⁶ corpus-wide, and the parity harness checks
+    value-exact agreement against a string-keyed oracle at every
+    tested SF.
     - ``method='prefix-exact'``: same pruning with the textbook exact
       corpus-wide df ordering (one extra corpus-scale aggregate +
       shuffle join) — the reference plan the sampled ordering is
@@ -173,7 +189,8 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
     """
     arr = shingle_array(df, id_col, text_col, n)
     if method == "allpairs":
-        sh = arr.select("id", F.explode("shingles").alias("shingle"))
+        sh = (arr.select("id", F.explode("shingles").alias("_s"))
+                 .select("id", F.xxhash64("_s").alias("shingle")))
         a, b = sh.alias("a"), sh.alias("b")
         common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                            & (F.col("a.id") < F.col("b.id")))
@@ -197,7 +214,8 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
             "method must be 'prefix', 'prefix-exact' or 'allpairs'")
 
     # --- PPJoin-lite ---
-    sh = arr.select("id", F.explode("shingles").alias("shingle"))
+    sh = (arr.select("id", F.explode("shingles").alias("_s"))
+             .select("id", F.xxhash64("_s").alias("shingle")))
     if method == "prefix-exact":
         doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         # per doc: shingles ordered rarest-first (df, shingle) — a
@@ -209,7 +227,8 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
         # keep shingles the sample saw >= hot_min times, broadcast.
         # Rank = estimated df for the hot head, 0 for the tail.
         hot = (arr.where(F.xxhash64(F.col("id")) % sample_mod == 0)
-                  .select(F.explode("shingles").alias("shingle"))
+                  .select(F.explode("shingles").alias("_s"))
+                  .select(F.xxhash64("_s").alias("shingle"))
                   .groupBy("shingle").agg(F.count("*").alias("_c"))
                   .where(F.col("_c") >= hot_min)
                   .select("shingle",
@@ -236,17 +255,37 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
                   + 1)
     prefixes = ordered.select(
         "id", "set_size",
-        F.explode(F.slice("ordered_shingles", 1, prefix_len)).alias("shingle"))
+        F.posexplode(F.slice("ordered_shingles", 1, prefix_len))
+         .alias("pos", "shingle"))
     pa, pb = prefixes.alias("a"), prefixes.alias("b")
+    # the candidate-dedup groupBy doubles as the POSITIONAL filter:
+    # prefix matches are monotone (same total order on both docs), so
+    # the match maximal in a.pos is maximal in b.pos too, and
+    # overlap ≤ c + min(|A|−i*, |B|−j*) — prune pairs whose bound
+    # can't reach α = ⌈τ(|A|+|B|)/(1+τ)⌉ BEFORE any array is shipped
     cand = (pa.join(pb, (F.col("a.shingle") == F.col("b.shingle"))
                       & (F.col("a.id") < F.col("b.id")))
-              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                      F.col("a.set_size").alias("size_a"),
-                      F.col("b.set_size").alias("size_b"))
-              .distinct())
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"),
+                       F.col("a.set_size").alias("size_a"),
+                       F.col("b.set_size").alias("size_b"))
+              .agg(F.count("*").alias("_c"),
+                   F.max("a.pos").alias("_ia"),
+                   F.max("b.pos").alias("_ib")))
+    # ε guards the ceil: when s·τ/(1+τ) is exactly integral, float
+    # rounding up would over-prune a true pair; erring one unit low
+    # only weakens the prune, never correctness
+    alpha = F.ceil((F.col("size_a") + F.col("size_b"))
+                   * F.lit(float(threshold) / (1.0 + float(threshold)))
+                   - F.lit(1e-9))
+    ubound = (F.col("_c")
+              + F.least(F.col("size_a") - F.col("_ia") - 1,
+                        F.col("size_b") - F.col("_ib") - 1))
     # length filter: J ≥ τ requires τ·|A| ≤ |B| ≤ |A|/τ
-    cand = cand.where((F.col("size_b") >= F.col("size_a") * threshold)
-                      & (F.col("size_a") >= F.col("size_b") * threshold))
+    cand = (cand.where((F.col("size_b") >= F.col("size_a") * threshold)
+                       & (F.col("size_a") >= F.col("size_b") * threshold))
+                .where(ubound >= alpha)
+                .select("id_a", "id_b", "size_a", "size_b"))
     sets = ordered.select("id", F.col("ordered_shingles"))
     verified = (cand
                 .join(sets.select(F.col("id").alias("id_a"),
