@@ -82,14 +82,21 @@ _ROTATION_HEAD = [
     # code changed in round 5: r04's red row fixed (scalar f0..f7 +
     # sha-derived value oracle) and the neardup twin's oracle upgrade
     "multimodal_features", "multimodal_feature_neardup",
+    # code changed in round 5 (sf1 perf rework, parity re-verified at
+    # sf0.001/0.01/0.1): hashed-shingle + positional-filter Jaccard
+    # join and its two closure consumers, the norm-precomputing
+    # blocked cosine, and the skinny-assignment IVF-PQ (ann_ivf_topk
+    # is already windowed above)
+    "jaccard_ngram_pairs", "jaccard_dedup_clusters", "jaccard_keep_one",
+    "embedding_cosine_neardup", "ann_ivfpq_topk",
     # oldest banked evidence: r03 sketch rows-only re-checks
     "agg_approx_distinct", "sketch_distinct_users", "kll_value_quantiles",
-    # oldest banked evidence: dedup family (reference R4/R6/R8/R21)
-    "dedup_first_wins", "dedup_first_wins_winners", "dedup_exact_distinct",
-    "dedup_latest_state", "dedup_arbitrate_ledger", "dedup_incremental",
-    # oldest banked evidence: relational core
-    "filter_project", "predicate_in_null", "pricing_summary",
-    "agg_global", "agg_distinct", "join_star_revenue",
+    # oldest banked evidence: dedup family (reference R4/R6/R8/R21) and
+    # relational core — the five swapped out for the changed-code
+    # entries above (unchanged code, banked r03) head the r06 queue
+    "dedup_first_wins", "dedup_arbitrate_ledger", "dedup_incremental",
+    "filter_project", "pricing_summary",
+    "agg_global", "join_star_revenue",
     # code changed in round 5: query-user cap added for sf1 scale
     # (output identical at driver-gate SFs, but changed code re-windows)
     "activity_profile_topk",
