@@ -89,8 +89,11 @@ _ROTATION_HEAD = [
     # is already windowed above)
     "jaccard_ngram_pairs", "jaccard_dedup_clusters", "jaccard_keep_one",
     "embedding_cosine_neardup", "ann_ivfpq_topk",
+    # code changed in round 5: bounded-threshold levenshtein (same
+    # kept rows/values; displaces the kll rows-only re-check to r06)
+    "fuzzy_name_pairs",
     # oldest banked evidence: r03 sketch rows-only re-checks
-    "agg_approx_distinct", "sketch_distinct_users", "kll_value_quantiles",
+    "agg_approx_distinct", "sketch_distinct_users",
     # oldest banked evidence: dedup family (reference R4/R6/R8/R21) and
     # relational core — the five swapped out for the changed-code
     # entries above (unchanged code, banked r03) head the r06 queue

@@ -217,9 +217,13 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = a.join(b, on=["brand", "probe_band"]).where(
         (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.length("name_a") - F.length("name_b")) <= _LEV_MAX))
+    # the THRESHOLD overload (Spark ≥ 3.5) runs the banded O(len·k) DP
+    # and bails early, returning −1 past the bound — ~len/k cheaper
+    # than the full O(len²) matrix on every candidate, identical values
+    # on every kept row (exactly the rows the unbounded oracle keeps)
     return (cand.withColumn("edit_dist",
-                            F.levenshtein("name_a", "name_b"))
-                .where(F.col("edit_dist") <= _LEV_MAX)
+                            F.levenshtein("name_a", "name_b", _LEV_MAX))
+                .where(F.col("edit_dist") >= 0)
                 .select("id_a", "id_b", "name_a", "name_b", "edit_dist"))
 
 
