@@ -377,6 +377,44 @@ def ivf_centroids(unit: DataFrame, nlist: int, dim: int,
                          F.coalesce("m.cunit", "s.cunit").alias("cunit")))
 
 
+def _ivf_list_scorer(k: int):
+    """Build the cogrouped per-list scorer for :func:`ann_ivf_topk`.
+
+    Returns f(members_pdf, probes_pdf) → (query_id, neighbor_id,
+    cosine): one float64 GEMM of the list's probing queries against
+    its members, then per-query top-(k+1) under the total order
+    (cosine desc, neighbor_id asc) — k+1 so dropping a self-match
+    still leaves k candidates; the global window above takes the
+    final top-k. Module-level (not a closure) so the tie-break and
+    self-exclusion logic is unit-testable without a SparkSession
+    (tests/test_similarity.py::test_ivf_list_scorer_*).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score(m_pdf, q_pdf):
+        if len(m_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        mat = np.vstack(m_pdf["unit"].to_numpy()).astype(np.float64)
+        mids = m_pdf["id"].to_numpy()
+        qmat = np.vstack(q_pdf["qunit"].to_numpy()).astype(np.float64)
+        qids = q_pdf["query_id"].to_numpy()
+        sims = qmat @ mat.T                        # q×m float64 GEMM
+        order = np.lexsort((np.broadcast_to(mids, sims.shape), -sims),
+                           axis=1)[:, :k + 1]
+        rows_q = np.repeat(qids, order.shape[1])
+        rows_n = mids[order].ravel()
+        rows_c = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = rows_q != rows_n
+        return pd.DataFrame({"query_id": rows_q[keep],
+                             "neighbor_id": rows_n[keep],
+                             "cosine": rows_c[keep]})
+
+    return score
+
+
 def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
                  nprobe: int = 4, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64,
@@ -438,36 +476,10 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     # restricted to that list (cosine desc, neighbor_id asc is a total
     # order), so the final skinny window over ≤ n·nprobe·k rows is
     # exact IVF-flat semantics, unchanged.
-    kk = k
-
-    def _score_lists(m_pdf, q_pdf):  # pragma: no cover (executor-side)
-        import numpy as np
-        import pandas as pd
-        if len(m_pdf) == 0 or len(q_pdf) == 0:
-            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                                 "neighbor_id": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        mat = np.vstack(m_pdf["unit"].to_numpy()).astype(np.float64)
-        mids = m_pdf["id"].to_numpy()
-        qmat = np.vstack(q_pdf["qunit"].to_numpy()).astype(np.float64)
-        qids = q_pdf["query_id"].to_numpy()
-        sims = qmat @ mat.T                        # q×m float64 GEMM
-        # stable per-row order: cosine desc, neighbor_id asc; take k+1
-        # so dropping a self-match still leaves k candidates
-        order = np.lexsort((np.broadcast_to(mids, sims.shape), -sims),
-                           axis=1)[:, :kk + 1]
-        rows_q = np.repeat(qids, order.shape[1])
-        rows_n = mids[order].ravel()
-        rows_c = np.take_along_axis(sims, order, axis=1).ravel()
-        keep = rows_q != rows_n
-        return pd.DataFrame({"query_id": rows_q[keep],
-                             "neighbor_id": rows_n[keep],
-                             "cosine": rows_c[keep]})
-
     scored = (members.groupBy("list_id")
                      .cogroup(probes.groupBy("list_id"))
                      .applyInPandas(
-                         _score_lists,
+                         _ivf_list_scorer(k),
                          "query_id long, neighbor_id long, cosine double"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))

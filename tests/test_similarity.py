@@ -320,3 +320,65 @@ def test_jaccard_rejects_bad_method(spark, docs):
     with _pytest.raises(ValueError):
         S.jaccard_similarity_join(docs, "doc_id", "text",
                                   method="nope")
+
+
+def test_ivf_list_scorer_topk_tiebreak_and_self_exclusion():
+    """Pure-pandas gate on the executor-side GEMM scorer: exact
+    cosines, (cosine desc, neighbor_id asc) tie-break, self-match
+    dropped, k+1 slack, and empty-group handling — no SparkSession."""
+    import numpy as np
+    import pandas as pd
+
+    score = S._ivf_list_scorer(k=2)
+    # three members: m1 and m2 are IDENTICAL vectors (forced cosine
+    # tie → neighbor_id must break it), m7 is the query itself
+    e1 = np.array([1.0, 0.0]); e2 = np.array([0.0, 1.0])
+    members = pd.DataFrame({
+        "list_id": [9] * 3,
+        "id": [2, 1, 7],
+        "unit": [e1, e1, e2],
+    })
+    probes = pd.DataFrame({
+        "list_id": [9],
+        "query_id": [7],
+        "qunit": [np.array([0.8, 0.6])],
+    })
+    out = (score(members, probes)
+           .sort_values(["query_id", "cosine", "neighbor_id"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    # self (id 7, cosine 0.6) is in the top-3 window but excluded;
+    # the two tied 0.8-cosine members remain, id-ascending
+    assert list(out["neighbor_id"]) == [1, 2]
+    assert np.allclose(out["cosine"], [0.8, 0.8])
+    # empty sides return the typed empty frame
+    empty = score(members.iloc[:0], probes)
+    assert len(empty) == 0 and list(empty.columns) == [
+        "query_id", "neighbor_id", "cosine"]
+    assert str(empty["cosine"].dtype) == "float64"
+
+
+def test_ivf_list_scorer_matches_numpy_bruteforce():
+    """Scorer top-k per list == a naive per-query sort over the same
+    members, on a seeded random batch (shape-level regression lock)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    m, q, d, k = 37, 11, 8, 4
+    mvecs = rng.normal(size=(m, d))
+    mvecs /= np.linalg.norm(mvecs, axis=1, keepdims=True)
+    qvecs = mvecs[:q]  # queries are members → self-exclusion exercised
+    members = pd.DataFrame({"list_id": [1] * m, "id": np.arange(m),
+                            "unit": list(mvecs)})
+    probes = pd.DataFrame({"list_id": [1] * q,
+                           "query_id": np.arange(q),
+                           "qunit": list(qvecs)})
+    got = S._ivf_list_scorer(k)(members, probes)
+    for qi in range(q):
+        sims = qvecs[qi] @ mvecs.T
+        want = sorted(((-s, i) for i, s in enumerate(sims) if i != qi))[:k]
+        sub = got[got["query_id"] == qi].sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True])
+        # scorer emits k+1 minus self; its first k must equal brute force
+        assert list(sub["neighbor_id"])[:k] == [i for _, i in want]
