@@ -316,13 +316,18 @@ def source_overlap_matrix(docs: DataFrame, group_col: str,
     by |sources|² per shingle, never |docs|². The per-pair and
     per-source aggregates are map-side combinable; only (pair, count)
     rows reach the final tiny join of |sources|² rows against the
-    broadcast per-source totals.
+    broadcast per-source totals. Shingles are xxhash64-hashed before
+    the distinct, so the corpus-scale shuffle and self-join carry
+    8-byte bigints instead of ~30-byte n-gram strings (same collision
+    caveat as jaccard_similarity_join — ~1e-6 expected colliding pairs
+    corpus-wide, parity-checked against the string-keyed oracle).
     """
     from distributed_deduplicator_spark.operators.similarity import (
         shingle_array)
     grams = (shingle_array(docs, group_col, text_col, n=n)
              .select(F.col("id").alias("src"),
-                     F.explode("shingles").alias("shingle"))
+                     F.explode("shingles").alias("_s"))
+             .select("src", F.xxhash64("_s").alias("shingle"))
              .distinct())
     per = grams.groupBy("src").agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
