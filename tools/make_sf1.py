@@ -105,32 +105,49 @@ def _embeddings_copy(table: pa.Table, k: int) -> pa.Table:
                         t.schema.field("embedding"), emb)
 
 
-def main(src: str, dst: str) -> None:
+def main(src: str, dst: str, n_copies: int = N_COPIES,
+         only: set[str] | None = None) -> None:
     import os
     os.makedirs(dst, exist_ok=True)
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     for name in ("region", "nation"):
+        if not want(name):
+            continue
         pq.write_table(pq.read_table(f"{src}/{name}.parquet"),
                        f"{dst}/{name}.parquet")
         print(name, "copied")
     for name, cols in _KEY_SHIFTS.items():
+        if not want(name):
+            continue
         base = pq.read_table(f"{src}/{name}.parquet")
-        parts = [_shift(base, cols, k) for k in range(N_COPIES)]
+        parts = [_shift(base, cols, k) for k in range(n_copies)]
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{dst}/{name}.parquet")
         print(name, base.num_rows, "->", out.num_rows)
-    base = pq.read_table(f"{src}/documents.parquet")
-    out = pa.concat_tables([_documents_copy(base, k)
-                            for k in range(N_COPIES)])
-    pq.write_table(out, f"{dst}/documents.parquet")
-    print("documents", base.num_rows, "->", out.num_rows)
-    base = pq.read_table(f"{src}/embeddings.parquet")
-    out = pa.concat_tables([_embeddings_copy(base, k)
-                            for k in range(N_COPIES)])
-    pq.write_table(out, f"{dst}/embeddings.parquet")
-    print("embeddings", base.num_rows, "->", out.num_rows)
+    if want("documents"):
+        base = pq.read_table(f"{src}/documents.parquet")
+        out = pa.concat_tables([_documents_copy(base, k)
+                                for k in range(n_copies)])
+        pq.write_table(out, f"{dst}/documents.parquet")
+        print("documents", base.num_rows, "->", out.num_rows)
+    if want("embeddings"):
+        base = pq.read_table(f"{src}/embeddings.parquet")
+        out = pa.concat_tables([_embeddings_copy(base, k)
+                                for k in range(n_copies)])
+        pq.write_table(out, f"{dst}/embeddings.parquet")
+        print("embeddings", base.num_rows, "->", out.num_rows)
 
 
 if __name__ == "__main__":
+    # argv: [src [dst [n_copies [table ...]]]] — n_copies=100 over
+    # sf0.1 builds an sf10 (100× bench scale) evidence set; naming a
+    # table subset skips the rest (partial dirs are fine for queries
+    # that only touch those tables)
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
-    main(src, dst)
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else N_COPIES
+    only = set(sys.argv[4:]) or None
+    main(src, dst, n, only)
