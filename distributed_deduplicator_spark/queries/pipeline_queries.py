@@ -716,3 +716,83 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.sum(m * (F.col("c12") + 1)).cast("double")
                      / F.sum(m * (F.col("c1") + F.col("v"))).cast("double"))
                     .alias("bigram_score")))
+
+
+@query("source_token_drift", oracle=rf"""
+WITH toks AS (SELECT source, {_NORM_SQL} AS t FROM documents),
+tok AS (SELECT source, substr(md5(u.w), 1, 2) AS b
+        FROM toks, unnest(toks.t) AS u(w) WHERE len(t) > 0),
+sb AS (SELECT source, b, count(*) AS n_sb FROM tok GROUP BY source, b),
+gb AS (SELECT b, CAST(sum(n_sb) AS BIGINT) AS n_gb FROM sb GROUP BY b),
+ns AS (SELECT source, CAST(sum(n_sb) AS BIGINT) AS n_src
+       FROM sb GROUP BY source),
+tot AS (SELECT CAST(sum(n_gb) AS BIGINT) AS n_total FROM gb),
+j AS (SELECT sb.source, sb.n_sb, gb.n_gb, ns.n_src, tot.n_total
+      FROM sb JOIN gb USING (b) JOIN ns USING (source) CROSS JOIN tot),
+per AS (SELECT source, n_src, n_total,
+               CAST(sum(abs(n_sb * n_total - n_gb * n_src)) AS BIGINT)
+                 AS s_abs,
+               CAST(sum(n_gb) AS BIGINT) AS t_glob,
+               count(*) AS n_buckets
+        FROM j GROUP BY source, n_src, n_total)
+SELECT source, n_src, n_buckets,
+       0.5 * (CAST(s_abs AS DOUBLE) / CAST(n_src * n_total AS DOUBLE)
+              + 1.0 - CAST(t_glob AS DOUBLE) / CAST(n_total AS DOUBLE))
+         AS tv_drift
+FROM per
+""")
+def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain-shift profile: total-variation distance between
+    each source's hashed-unigram distribution and the whole-corpus one —
+    the number a data-mixing pipeline watches per ingest source (a
+    source whose token distribution drifts from the corpus is a
+    vocabulary shift, a language leak, or an upstream format break; the
+    same role the day-histogram TV plays for event streams in
+    `value_drift_by_day`, here over token content).
+
+    Features are the DSIR md5-prefix buckets (256 of them), so the
+    per-source histogram is FIXED-WIDTH at any vocabulary size — the
+    whole comparison state is ≤ sources × 256 rows however large the
+    corpus. TV uses the grid-free exact-integer form proved in
+    `value_drift_by_day`: Σ runs only over buckets the source actually
+    has, on |n_sb·N − n_gb·N_s| BIGINT cross-products, with the
+    1 − Σ p_glob remainder for absent buckets; one fixed-order double
+    expression at the end keeps the cross-engine value hash. (BIGINT
+    products cap at ~3e9 tokens/source × 3e9 total; past that, scale
+    the bucket histogram to per-source doubles and round.)
+
+    Plan: one corpus-scale combinable (source, bucket) count; every
+    later stage re-aggregates that tiny persisted table; margins
+    broadcast. Nothing downstream of the first aggregate scales with
+    corpus size."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("source", TXT.tokens("text").alias("_toks"))
+            .where(F.size("_toks") > 0)
+            .select("source", F.explode("_toks").alias("w"))
+            .select("source",
+                    F.substring(F.md5(F.col("w").cast("binary")), 1, 2)
+                     .alias("b")))
+    sb = _tracked_persist(
+        tok.groupBy("source", "b").agg(F.count("*").alias("n_sb")))
+    gb = sb.groupBy("b").agg(F.sum("n_sb").alias("n_gb"))
+    ns = sb.groupBy("source").agg(F.sum("n_sb").alias("n_src"))
+    tot = gb.agg(F.sum("n_gb").alias("n_total"))
+    j = (sb.join(F.broadcast(gb), "b")
+           .join(F.broadcast(ns), "source")
+           .crossJoin(F.broadcast(tot)))
+    per = (j.groupBy("source", "n_src", "n_total")
+            .agg(F.sum(F.abs(F.col("n_sb") * F.col("n_total")
+                             - F.col("n_gb") * F.col("n_src")))
+                  .alias("s_abs"),
+                 F.sum("n_gb").alias("t_glob"),
+                 F.count("*").alias("n_buckets")))
+    tv = (F.lit(0.5)
+          * (F.col("s_abs").cast("double")
+             / (F.col("n_src") * F.col("n_total")).cast("double")
+             + F.lit(1.0)
+             - F.col("t_glob").cast("double")
+             / F.col("n_total").cast("double")))
+    return per.select("source", "n_src", "n_buckets", tv.alias("tv_drift"))

@@ -248,3 +248,39 @@ def test_dup_span_stats_match_python_reference(spark, sf_dir):
         assert math.isclose(g.dup_cover_frac, len(dup) / len(grams),
                             rel_tol=0, abs_tol=1e-12)
     assert any(r.n_dup_spans > 0 for r in got.values())
+
+
+def test_source_token_drift_matches_full_grid_reference(spark, sf_dir):
+    """The grid-free per-source TV (buckets present in the source plus
+    the 1 − Σ p_glob remainder) must equal the textbook full-grid
+    0.5·Σ_b |p_src − p_glob| over ALL 256-space buckets, and land in
+    [0, 1]."""
+    import hashlib
+    rows = load_table(spark, sf_dir, "documents") \
+        .select("source", "text").collect()
+    bucket = lambda w: hashlib.md5(w.encode()).hexdigest()[:2]
+    src_hist: dict = collections.defaultdict(collections.Counter)
+    glob_hist: collections.Counter = collections.Counter()
+    for r in rows:
+        # engine semantics: split of a fully-normalized-away text is
+        # [''], size 1 > 0 — the empty token counts in BOTH engines,
+        # so the reference counts it too (same as _py_tokens)
+        for w in _py_tokens(r.text):
+            b = bucket(w)
+            src_hist[r.source][b] += 1
+            glob_hist[b] += 1
+    n_total = sum(glob_hist.values())
+    got = Q.QUERIES["source_token_drift"](spark, sf_dir).collect()
+    release_persisted()
+    assert len(got) == len(src_hist)
+    for r in got:
+        h = src_hist[r.source]
+        n_src = sum(h.values())
+        tv = 0.5 * sum(
+            abs(h.get(b, 0) / n_src - glob_hist[b] / n_total)
+            for b in glob_hist)
+        assert r.n_src == n_src
+        assert r.n_buckets == len(h)
+        assert 0.0 <= r.tv_drift <= 1.0
+        assert math.isclose(r.tv_drift, tv, rel_tol=0, abs_tol=1e-9), \
+            (r.source, r.tv_drift, tv)
