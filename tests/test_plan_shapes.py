@@ -42,7 +42,7 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
                  # bucket width from a MAX aggregate)
                  "unigram_lm_quality", "vocab_growth",
                  # 1-row global-total broadcast (TV-drift N)
-                 "value_drift_by_day",
+                 "value_drift_by_day", "source_token_drift",
                  # 1-row totals broadcast (DSIR N_raw/N_tgt; bigram-LM
                  # distinct-vocab V)
                  "dsir_importance_weights", "bigram_lm_quality"}
