@@ -796,3 +796,83 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.col("t_glob").cast("double")
              / F.col("n_total").cast("double")))
     return per.select("source", "n_src", "n_buckets", tv.alias("tv_drift"))
+
+
+_CURRICULUM_PHASES = 10
+
+# DuckDB twin of functions.text.quality_score (the text_quality_filter
+# oracle expression, shared verbatim so both queries grade identically)
+_QUALITY_SQL = rf"""(CASE WHEN length(text) BETWEEN 100 AND 20000
+        THEN 1.0 ELSE 0.0 END
+      + least(CAST(len({_NORM_SQL}) AS DOUBLE) / 100.0, 1.0)
+      + CASE WHEN CAST(length(text) AS DOUBLE) / (len({_NORM_SQL}) + 1)
+             BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) / 3.0"""
+
+
+@query("curriculum_quality_bins", oracle=rf"""
+WITH q AS (
+  SELECT doc_id, round({_QUALITY_SQL}, 6) AS q,
+         len({_NORM_SQL}) AS n_tok
+  FROM documents),
+r AS (
+  SELECT q, n_tok,
+         row_number() OVER (ORDER BY q, doc_id) AS rnk,
+         count(*) OVER () AS total
+  FROM q)
+SELECT CAST(((rnk - 1) * {_CURRICULUM_PHASES}) // total AS BIGINT) AS phase,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_total,
+       round(min(q), 6) AS min_quality,
+       round(max(q), 6) AS max_quality
+FROM r GROUP BY phase
+""")
+def q_curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: rank every document by its quality
+    score and cut the ranking into 10 equal-population phases (phase 0 =
+    lowest-quality tenth … phase 9 = highest) with each phase's doc
+    count, token budget, and quality band — the schedule a
+    quality-curriculum training run feeds from (start on the broad
+    low phases, anneal onto the high ones), and the per-phase token
+    budgets are exactly what the mixture planner needs.
+
+    The global rank is computed WITHOUT a single-partition sort of the
+    corpus: quality scores are heavily discretized (two indicator terms
+    plus a capped integer/100 term), so a per-score count table is tiny.
+    Rank = (cumulative count of strictly-lower scores, a window over
+    that tiny table) + (row_number within this doc's score group, a
+    window partitioned by score — distributed across executors). The
+    phase cut `((rank-1)·10) div total` is exact integer arithmetic,
+    identical in both engines; ties order by doc_id, so the rank is a
+    total order and the phase assignment is deterministic.
+
+    Plan: one scan computes (score, n_tok) per doc; one combinable
+    count on the score key; two windows over the ≤|distinct scores|
+    table; one broadcast join back; one combinable 10-group rollup.
+    Nothing after the scan shuffles the corpus more than once."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id",
+                 F.round(TXT.quality_score("text"), 6).alias("q"),
+                 TXT.token_count("text").cast("bigint").alias("n_tok"))
+    grp = q.groupBy("q").agg(F.count("*").alias("n"))
+    w_cum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing)
+    offs = grp.select("q",
+                      (F.sum("n").over(w_cum) - F.col("n")).alias("offset"),
+                      F.sum("n").over(w_all).alias("total"))
+    w_q = Window.partitionBy("q").orderBy("doc_id")
+    ranked = (q.join(F.broadcast(offs), "q")
+               .withColumn("rnk",
+                           F.col("offset") + F.row_number().over(w_q)))
+    # integer floor-div (both operands non-negative), exact in both
+    # engines — never a double divide-then-truncate
+    phase = F.expr(
+        f"CAST((rnk - 1) * {_CURRICULUM_PHASES} DIV total AS BIGINT)")
+    return (ranked.withColumn("phase", phase)
+                  .groupBy("phase")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_tok").alias("tok_total"),
+                       F.round(F.min("q"), 6).alias("min_quality"),
+                       F.round(F.max("q"), 6).alias("max_quality")))

@@ -582,3 +582,82 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "cluster_id", "cluster_size",
                         (F.lit(1.0) / F.col("cluster_size"))
                         .alias("weight")))
+
+
+_KNN_K = 10
+_KNN_NQUERIES = 16
+
+@query("knn_label_vote", oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_KNN_NQUERIES}),
+c AS (SELECT vec_id AS neighbor_id, label,
+             CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings WHERE vec_id >= {_KNN_NQUERIES}),
+scored AS (
+  SELECT query_id, true_label, neighbor_id, label,
+         list_cosine_similarity(qv, nv) AS cosine
+  FROM q CROSS JOIN c),
+ranked AS (
+  SELECT query_id, true_label, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored),
+votes AS (
+  SELECT query_id, true_label, label, count(*) AS n_votes
+  FROM ranked WHERE rank <= {_KNN_K}
+  GROUP BY query_id, true_label, label),
+best AS (
+  SELECT query_id, true_label, label AS pred_label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS vr
+  FROM votes)
+SELECT query_id, true_label, pred_label, n_votes,
+       CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS hit
+FROM best WHERE vr = 1
+""")
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label vote — the similarity-search application layer: for
+    each held-out query vector (vec_id < 16), the majority label among
+    its 10 exact-cosine nearest neighbors in the rest of the corpus,
+    with the vote count and a hit flag against the query's own label.
+    This is the standard embedding-quality probe (a labeled corpus
+    whose k-NN vote disagrees with its labels has an embedding,
+    labeling, or contamination problem) and the shape of
+    retrieval-augmented labeling jobs.
+
+    Ties are total-ordered everywhere: neighbor rank by (cosine desc,
+    neighbor_id), vote winner by (n_votes desc, label) — deterministic
+    in both engines, so the result carries a full value oracle.
+
+    Plan: the bounded query set broadcasts against one corpus scan
+    (the waived brute-force BNLJ baseline — swap in `ann_ivf_topk`'s
+    probe when the query set grows); the top-k window partitions by
+    query_id over nq·|corpus| scored rows ranked map-side by AQE; the
+    vote is a ≤ nq·k combinable count and the winner window runs on
+    that tiny aggregate. Labels join onto the nq·k candidate rows via
+    a broadcast of the candidates — the corpus-sized label table is
+    probed, never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("label"))
+    q = emb.where(F.col("vec_id") < _KNN_NQUERIES)
+    corpus = emb.where(F.col("vec_id") >= _KNN_NQUERIES)
+    topk = S.cosine_topk_bruteforce(corpus, q, k=_KNN_K)
+    true_l = emb.where(F.col("vec_id") < _KNN_NQUERIES) \
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("label").alias("true_label"))
+    cand = (labels.join(F.broadcast(topk.select("query_id", "neighbor_id")),
+                        "neighbor_id")
+                  .join(F.broadcast(true_l), "query_id"))
+    votes = (cand.groupBy("query_id", "true_label", "label")
+                 .agg(F.count("*").alias("n_votes")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(),
+                                               F.col("label"))
+    return (votes.withColumn("vr", F.row_number().over(w))
+                 .where(F.col("vr") == 1)
+                 .select("query_id", "true_label",
+                         F.col("label").alias("pred_label"), "n_votes",
+                         F.when(F.col("label") == F.col("true_label"), 1)
+                          .otherwise(0).cast("int").alias("hit")))

@@ -525,3 +525,55 @@ def q_value_drift_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.col("t_glob").cast("double")
              / F.col("n_total").cast("double")))
     return per.select("day", "n_day", "n_buckets", tv.alias("tv_drift"))
+
+
+@query("retention_cohorts", oracle="""
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+  FROM orders),
+fo AS (SELECT o_custkey, min(m) AS cohort_m FROM om GROUP BY o_custkey),
+j AS (SELECT om.o_custkey, fo.cohort_m, om.m - fo.cohort_m AS month_offset
+      FROM om JOIN fo USING (o_custkey)),
+agg AS (SELECT cohort_m, month_offset,
+               count(DISTINCT o_custkey) AS n_active
+        FROM j GROUP BY cohort_m, month_offset),
+base AS (SELECT cohort_m, n_active AS cohort_size
+         FROM agg WHERE month_offset = 0)
+SELECT agg.cohort_m AS cohort_month, agg.month_offset, agg.n_active,
+       base.cohort_size,
+       CAST(agg.n_active AS DOUBLE) / CAST(base.cohort_size AS DOUBLE)
+         AS retention
+FROM agg JOIN base USING (cohort_m)
+""")
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention-cohort triangle: customers grouped by their
+    first-order month (the cohort), with the count still ordering k
+    months later and the retention share — the repeat-behavior readout
+    every growth/engagement review starts from (and, for a data
+    pipeline, the contributor-churn profile of an ingest source).
+    Months index as year·12+month, so the offset is exact integer
+    arithmetic with no calendar/interval semantics to disagree on.
+
+    Plan: one combinable MIN per customer (customer-sized state); the
+    cohort join is a custkey equi-join co-partitioned with that
+    aggregate; the distinct-count shuffles (cohort, offset, custkey)
+    once; the k=0 diagonal joins back as a broadcast (≤ months rows).
+    Retention is one double division of exact counts."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    om = o.select("o_custkey", m.alias("m"))
+    fo = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    j = om.join(fo, "o_custkey").select(
+        "o_custkey", "cohort_m",
+        (F.col("m") - F.col("cohort_m")).alias("month_offset"))
+    agg = (j.groupBy("cohort_m", "month_offset")
+            .agg(F.countDistinct("o_custkey").alias("n_active")))
+    base = (agg.where(F.col("month_offset") == 0)
+               .select("cohort_m", F.col("n_active").alias("cohort_size")))
+    return (agg.join(F.broadcast(base), "cohort_m")
+               .select(F.col("cohort_m").alias("cohort_month"),
+                       "month_offset", "n_active", "cohort_size",
+                       (F.col("n_active").cast("double")
+                        / F.col("cohort_size").cast("double"))
+                       .alias("retention")))

@@ -62,21 +62,10 @@ SELECT doc_id, labeled_lang, hits_en, hits_de, hits_fr, hits_es, hits_zh,
 FROM scores
 """)
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-kernel language ID (n-gram heuristic). Ties resolve in
-    fixed lang order (en,de,fr,es,zh); zero hits → 'und'."""
-    d = load_table(spark, sf_dir, "documents")
-    hits = {lg: TXT.stopword_hits("text", lg).alias(f"hits_{lg}")
-            for lg in ("en", "de", "fr", "es", "zh")}
-    scored = d.select(F.col("doc_id"), F.col("lang").alias("labeled_lang"),
-                      *hits.values())
-    best = F.greatest(*[F.col(f"hits_{lg}") for lg in hits])
-    pred = (F.when(best == 0, F.lit("und"))
-             .when(F.col("hits_en") == best, F.lit("en"))
-             .when(F.col("hits_de") == best, F.lit("de"))
-             .when(F.col("hits_fr") == best, F.lit("fr"))
-             .when(F.col("hits_es") == best, F.lit("es"))
-             .otherwise(F.lit("zh")))
-    return scored.withColumn("pred_lang", pred)
+    """Stopword-kernel language ID (n-gram heuristic) — per-doc rows
+    from the shared `_lang_pred` predictor (ties resolve in fixed lang
+    order en,de,fr,es,zh; zero hits → 'und')."""
+    return _lang_pred(load_table(spark, sf_dir, "documents"))
 
 
 @query("text_quality_filter", oracle=r"""
@@ -861,3 +850,216 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("n_dup_pos", F.lit(0)).cast("double")
                      / F.col("n_positions").cast("double"))
                     .alias("dup_cover_frac")))
+
+
+_KNN_HITS = tuple(f"hits_{lg}" for lg in ("en", "de", "fr", "es", "zh"))
+
+
+def _lang_pred(d: DataFrame) -> DataFrame:
+    """(doc_id, labeled_lang, pred_lang) via the stopword-kernel
+    heuristic — the shared predictor behind `text_lang_id` (per-doc
+    rows) and `lang_confusion_matrix` (the aggregate monitor). Ties
+    resolve in fixed lang order (en,de,fr,es,zh); zero hits → 'und'."""
+    hits = {lg: TXT.stopword_hits("text", lg).alias(f"hits_{lg}")
+            for lg in ("en", "de", "fr", "es", "zh")}
+    scored = d.select(F.col("doc_id"), F.col("lang").alias("labeled_lang"),
+                      *hits.values())
+    best = F.greatest(*[F.col(c) for c in _KNN_HITS])
+    pred = (F.when(best == 0, F.lit("und"))
+             .when(F.col("hits_en") == best, F.lit("en"))
+             .when(F.col("hits_de") == best, F.lit("de"))
+             .when(F.col("hits_fr") == best, F.lit("fr"))
+             .when(F.col("hits_es") == best, F.lit("es"))
+             .otherwise(F.lit("zh")))
+    return scored.withColumn("pred_lang", pred)
+
+
+@query("lang_confusion_matrix", oracle=rf"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["en"])})\b')) AS hits_en,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["de"])})\b')) AS hits_de,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["fr"])})\b')) AS hits_fr,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["es"])})\b')) AS hits_es,
+         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["zh"])})\b')) AS hits_zh
+  FROM documents),
+pred AS (
+  SELECT labeled_lang,
+         CASE greatest(hits_en, hits_de, hits_fr, hits_es, hits_zh)
+              WHEN 0 THEN 'und'
+              WHEN hits_en THEN 'en'
+              WHEN hits_de THEN 'de'
+              WHEN hits_fr THEN 'fr'
+              WHEN hits_es THEN 'es'
+              ELSE 'zh' END AS pred_lang
+  FROM scores),
+cm AS (SELECT labeled_lang, pred_lang, count(*) AS n_docs
+       FROM pred GROUP BY labeled_lang, pred_lang),
+tot AS (SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_labeled
+        FROM cm GROUP BY labeled_lang)
+SELECT cm.labeled_lang, cm.pred_lang, cm.n_docs, tot.n_labeled,
+       CAST(cm.n_docs AS DOUBLE) / CAST(tot.n_labeled AS DOUBLE) AS share
+FROM cm JOIN tot USING (labeled_lang)
+""")
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-tag confusion matrix: the declared `lang` column vs the
+    stopword-kernel prediction, with each cell's share of its labeled
+    row — the mislabel monitor a multilingual ingest watches (an
+    off-diagonal cell growing over ingests means a source started
+    shipping wrongly-tagged or mixed-language documents; the 'und'
+    column isolates docs the kernel cannot place at all).
+
+    Plan: the per-doc scoring is pure scan-stage codegen (fixed literal
+    regex counts, no shuffle); the matrix is one combinable groupBy on
+    a ≤ |langs|·(|langs|+1) key space, and the row-margin join runs on
+    that tiny aggregate — nothing after the first aggregate scales with
+    corpus size. The share is one double division of exact counts, so
+    the cross-engine value hash holds."""
+    d = load_table(spark, sf_dir, "documents")
+    cm = (_lang_pred(d).groupBy("labeled_lang", "pred_lang")
+                       .agg(F.count("*").alias("n_docs")))
+    tot = cm.groupBy("labeled_lang").agg(F.sum("n_docs").alias("n_labeled"))
+    return (cm.join(F.broadcast(tot), "labeled_lang")
+              .select("labeled_lang", "pred_lang", "n_docs", "n_labeled",
+                      (F.col("n_docs").cast("double")
+                       / F.col("n_labeled").cast("double")).alias("share")))
+
+
+_COVERAGE_CUTS = (16, 64, 256, 1024, 4096)
+
+@query("vocab_coverage_topk", oracle=rf"""
+WITH toks AS (
+  SELECT string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+counted AS (
+  SELECT bigram AS token, count(*) AS freq
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2)
+  GROUP BY bigram),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM counted),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_freq,
+               count(*) AS n_vocab FROM counted),
+cuts(k) AS (VALUES (16), (64), (256), (1024), (4096))
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(sum(CASE WHEN rank <= k THEN freq ELSE 0 END) AS BIGINT)
+         AS cum_freq,
+       total_freq, n_vocab,
+       CAST(sum(CASE WHEN rank <= k THEN freq ELSE 0 END) AS DOUBLE)
+         / CAST(total_freq AS DOUBLE) AS coverage
+FROM ranked CROSS JOIN tot CROSS JOIN cuts
+GROUP BY k, total_freq, n_vocab
+""")
+def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of a top-K frequency-cut vocabulary, at
+    K ∈ {16,64,256,1024,4096}, over the bigram vocabulary (the fixture's
+    unigram lexicon is ~31 types — every cut saturates) — the
+    tokenizer-vocab-sizing curve: the smallest K whose coverage clears
+    a target (say 99.5%) is the vocab size to train, and the 1−coverage
+    remainder is the OOV/byte-fallback rate the model will pay.
+    Complements `zipf_rank_freq` (the shape of the head) and
+    `vocab_growth` (new types over ingest order) with the cumulative
+    mass actually captured at a given cut.
+
+    Plan: one combinable gram count (vocabulary-sized state), a
+    TakeOrderedAndProject for the max-K head — the rank window then
+    runs on the 4096 survivors, a single tiny partition by
+    construction, never the corpus — and the grand totals ride in on a
+    1-row broadcast (the waived scalar-subquery BNLJ shape). Coverage
+    is one double division of exact BIGINT masses, so the cross-engine
+    value hash holds."""
+    from distributed_deduplicator_spark.operators.relational import (
+        topk_global)
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(TXT.tokens("text").alias("_toks")) \
+         .where(F.size("_toks") >= 2)
+    grams = F.expr("transform(sequence(1, size(_toks) - 1), "
+                   "i -> concat(element_at(_toks, i), ' ', "
+                   "element_at(_toks, i + 1)))")
+    counted = (t.select(F.explode(grams).alias("token"))
+                .groupBy("token").agg(F.count("*").alias("freq")))
+    top = topk_global(counted, [F.col("freq").desc(), F.col("token")],
+                      max(_COVERAGE_CUTS))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    wide = ranked.agg(*[
+        F.sum(F.when(F.col("rank") <= k, F.col("freq")).otherwise(0))
+         .alias(f"c{k}") for k in _COVERAGE_CUTS])
+    stack_args = ", ".join(f"CAST({k} AS BIGINT), c{k}"
+                           for k in _COVERAGE_CUTS)
+    cut_rows = wide.select(F.expr(
+        f"stack({len(_COVERAGE_CUTS)}, {stack_args}) AS (k, cum_freq)"))
+    tot = counted.agg(F.sum("freq").alias("total_freq"),
+                      F.count("*").alias("n_vocab"))
+    return (cut_rows.crossJoin(F.broadcast(tot))
+                    .select("k", "cum_freq", "total_freq", "n_vocab",
+                            (F.col("cum_freq").cast("double")
+                             / F.col("total_freq").cast("double"))
+                            .alias("coverage")))
+
+
+_TLQ_PCTS = (50, 90, 99)
+
+@query("token_length_exact_quantiles", oracle=rf"""
+WITH n AS (
+  SELECT source,
+         len(string_split_regex(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '))
+           AS n_tok
+  FROM documents),
+cnt AS (SELECT source, n_tok, count(*) AS c FROM n GROUP BY source, n_tok),
+cum AS (
+  SELECT source, n_tok, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n_tok
+                      ROWS UNBOUNDED PRECEDING) AS cum_c,
+         sum(c) OVER (PARTITION BY source) AS tot
+  FROM cnt)
+SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum_c >= (tot * 50 + 99) // 100
+                THEN n_tok END) AS BIGINT) AS p50_tok,
+       CAST(min(CASE WHEN cum_c >= (tot * 90 + 99) // 100
+                THEN n_tok END) AS BIGINT) AS p90_tok,
+       CAST(min(CASE WHEN cum_c >= (tot * 99 + 99) // 100
+                THEN n_tok END) AS BIGINT) AS p99_tok
+FROM cum GROUP BY source
+""")
+def q_token_length_exact_quantiles(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """EXACT per-source token-length percentiles (p50/p90/p99,
+    percentile_disc semantics) — the oracle-checked exact twin of the
+    sketch-based `text_length_quantiles`, computed WITHOUT sorting the
+    corpus: token lengths are small integers, so a per-(source, length)
+    count table is tiny at any corpus size; a cumulative window over
+    that table finds the smallest length whose cumulative count clears
+    ceil(q·n). The ceil threshold is exact integer arithmetic
+    ((n·p + 99) div 100) — no float percentile-position wobble to
+    disagree across engines, unlike interpolating percentile_cont.
+
+    This count-table quantile is the 100 TB pattern for ANY
+    small-cardinality measure (lengths, scores, buckets): one
+    combinable count, windows over the aggregate, never a global sort
+    of raw rows."""
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    n = d.select("source", TXT.token_count("text").alias("n_tok"))
+    cnt = n.groupBy("source", "n_tok").agg(F.count("*").alias("c"))
+    w_cum = (Window.partitionBy("source").orderBy("n_tok")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy("source")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))
+    cum = cnt.select(
+        "source", "n_tok",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("tot"))
+    aggs = [F.max("tot").cast("bigint").alias("n_docs")]
+    for p in _TLQ_PCTS:
+        thresh = F.expr(f"(tot * {p} + 99) DIV 100")
+        aggs.append(F.min(F.when(F.col("cum_c") >= thresh,
+                                 F.col("n_tok")))
+                     .cast("bigint").alias(f"p{p}_tok"))
+    return cum.groupBy("source").agg(*aggs)

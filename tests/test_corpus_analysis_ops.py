@@ -284,3 +284,160 @@ def test_source_token_drift_matches_full_grid_reference(spark, sf_dir):
         assert 0.0 <= r.tv_drift <= 1.0
         assert math.isclose(r.tv_drift, tv, rel_tol=0, abs_tol=1e-9), \
             (r.source, r.tv_drift, tv)
+
+
+def test_lang_confusion_matrix_consistency(spark, sf_dir):
+    """Cells must aggregate the per-doc predictor exactly: cell counts
+    equal the Python rollup of text_lang_id's rows, row margins equal
+    the labeled-lang totals, shares sum to 1 per labeled lang, and the
+    whole matrix sums to the corpus size."""
+    per_doc = Q.QUERIES["text_lang_id"](spark, sf_dir) \
+        .select("labeled_lang", "pred_lang").collect()
+    release_persisted()
+    ref: collections.Counter = collections.Counter(
+        (r.labeled_lang, r.pred_lang) for r in per_doc)
+    got = Q.QUERIES["lang_confusion_matrix"](spark, sf_dir).collect()
+    release_persisted()
+    assert {(r.labeled_lang, r.pred_lang): r.n_docs for r in got} == dict(ref)
+    assert sum(r.n_docs for r in got) == len(per_doc)
+    by_label: dict = collections.defaultdict(list)
+    for r in got:
+        by_label[r.labeled_lang].append(r)
+    for lbl, rows in by_label.items():
+        n_labeled = rows[0].n_labeled
+        assert all(r.n_labeled == n_labeled for r in rows)
+        assert sum(r.n_docs for r in rows) == n_labeled
+        assert math.isclose(sum(r.share for r in rows), 1.0,
+                            rel_tol=0, abs_tol=1e-9)
+
+
+def test_vocab_coverage_matches_python_reference(spark, sf_dir):
+    """Coverage at cut K must equal the Python head-mass of the bigram
+    frequency table (rank by freq desc, token asc), be monotone
+    non-decreasing in K, and sit in (0, 1]."""
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    freq: collections.Counter = collections.Counter()
+    for r in rows:
+        t = _py_tokens(r.text)
+        freq.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    got = sorted(Q.QUERIES["vocab_coverage_topk"](spark, sf_dir).collect(),
+                 key=lambda r: r.k)
+    release_persisted()
+    assert [r.k for r in got] == [16, 64, 256, 1024, 4096]
+    prev = 0.0
+    for r in got:
+        expect = sum(f for _, f in ordered[:r.k])
+        assert r.cum_freq == expect
+        assert r.total_freq == total and r.n_vocab == len(freq)
+        assert math.isclose(r.coverage, expect / total,
+                            rel_tol=0, abs_tol=1e-12)
+        assert prev <= r.coverage <= 1.0
+        prev = r.coverage
+
+
+def test_curriculum_bins_partition_the_corpus(spark, sf_dir):
+    """The 10 phases must partition the corpus into equal-population
+    cuts (sizes differ by at most 1), cover every document and token
+    once, and carry non-overlapping, ascending quality bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    got = sorted(Q.QUERIES["curriculum_quality_bins"](spark, sf_dir)
+                 .collect(), key=lambda r: r.phase)
+    release_persisted()
+    assert [r.phase for r in got] == list(range(10))
+    assert sum(r.n_docs for r in got) == n_docs
+    sizes = [r.n_docs for r in got]
+    assert max(sizes) - min(sizes) <= 1
+    tok_total = sum(len(_py_tokens(r.text))
+                    for r in docs.select("text").collect())
+    assert sum(r.tok_total for r in got) == tok_total
+    for a, b in zip(got, got[1:]):
+        assert a.min_quality <= a.max_quality
+        assert a.max_quality <= b.min_quality
+
+
+def test_knn_label_vote_matches_python_reference(spark, sf_dir):
+    """Winner per query must equal the Python brute-force majority
+    vote (cosine computed in array order, ranks tie-broken by
+    neighbor_id, votes by (count desc, label asc))."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding", "label").collect()
+
+    def cos(a, b):
+        dot = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            n1 += x * x
+            n2 += y * y
+        return dot / math.sqrt(n1 * n2)
+
+    queries = [r for r in emb if r.vec_id < 16]
+    corpus = [r for r in emb if r.vec_id >= 16]
+    expect = {}
+    for q in queries:
+        scored = sorted(((cos(q.embedding, c.embedding), c.vec_id, c.label)
+                         for c in corpus),
+                        key=lambda t: (-t[0], t[1]))[:10]
+        votes = collections.Counter(lbl for _, _, lbl in scored)
+        pred, n = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect[q.vec_id] = (q.label, pred, n)
+    got = Q.QUERIES["knn_label_vote"](spark, sf_dir).collect()
+    release_persisted()
+    assert len(got) == len(expect)
+    for r in got:
+        t_lbl, pred, n = expect[r.query_id]
+        assert (r.true_label, r.pred_label, r.n_votes) == (t_lbl, pred, n)
+        assert r.hit == int(r.pred_label == r.true_label)
+
+
+def test_retention_cohorts_match_python_reference(spark, sf_dir):
+    """Cell counts must equal the Python cohort rollup; the k=0
+    diagonal is exactly the cohort size (retention 1.0) and no later
+    offset exceeds it."""
+    rows = load_table(spark, sf_dir, "orders") \
+        .select("o_custkey", "o_orderdate").collect()
+    first: dict = {}
+    months: dict = collections.defaultdict(set)
+    for r in rows:
+        m = r.o_orderdate.year * 12 + r.o_orderdate.month
+        months[r.o_custkey].add(m)
+        first[r.o_custkey] = min(first.get(r.o_custkey, m), m)
+    cells: collections.Counter = collections.Counter()
+    for cust, ms in months.items():
+        for m in ms:
+            cells[(first[cust], m - first[cust])] += 1
+    got = Q.QUERIES["retention_cohorts"](spark, sf_dir).collect()
+    release_persisted()
+    assert {(r.cohort_month, r.month_offset): r.n_active
+            for r in got} == dict(cells)
+    for r in got:
+        assert r.cohort_size == cells[(r.cohort_month, 0)]
+        assert r.n_active <= r.cohort_size
+        assert math.isclose(r.retention, r.n_active / r.cohort_size,
+                            rel_tol=0, abs_tol=1e-12)
+        if r.month_offset == 0:
+            assert r.retention == 1.0
+
+
+def test_token_length_exact_quantiles_match_python(spark, sf_dir):
+    """Each pXX must be the percentile_disc value: the smallest length
+    whose cumulative doc count reaches ceil(p·n/100) within its
+    source."""
+    rows = load_table(spark, sf_dir, "documents") \
+        .select("source", "text").collect()
+    by_src: dict = collections.defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(len(_py_tokens(r.text)))
+    got = Q.QUERIES["token_length_exact_quantiles"](spark, sf_dir) \
+        .collect()
+    release_persisted()
+    assert {r.source for r in got} == set(by_src)
+    for r in got:
+        lens = sorted(by_src[r.source])
+        assert r.n_docs == len(lens)
+        for p, val in ((50, r.p50_tok), (90, r.p90_tok), (99, r.p99_tok)):
+            idx = -(-len(lens) * p // 100)  # ceil
+            assert val == lens[idx - 1]

@@ -32,7 +32,7 @@ def _plan(df, mode: str = "formatted") -> str:
 # broadcast centroid table).
 # ann_ivfpq additionally scores corpus × broadcast(m·ksub codebook).
 _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-                 "activity_profile_topk",
+                 "activity_profile_topk", "knn_label_vote",
                  # 1-row scalar aggregate cross-joined into the plan
                  # (global totals / global average) — the standard
                  # scalar-subquery physical shape, O(n·1) work
@@ -43,6 +43,8 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
                  "unigram_lm_quality", "vocab_growth",
                  # 1-row global-total broadcast (TV-drift N)
                  "value_drift_by_day", "source_token_drift",
+                 # 1-row totals broadcast (coverage total_freq/n_vocab)
+                 "vocab_coverage_topk",
                  # 1-row totals broadcast (DSIR N_raw/N_tgt; bigram-LM
                  # distinct-vocab V)
                  "dsir_importance_weights", "bigram_lm_quality"}
