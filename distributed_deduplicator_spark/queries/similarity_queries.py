@@ -661,3 +661,117 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("label").alias("pred_label"), "n_votes",
                          F.when(F.col("label") == F.col("true_label"), 1)
                           .otherwise(0).cast("int").alias("hit")))
+
+
+_FP_SQL = (r"md5(trim(regexp_replace(regexp_replace(lower(text),"
+           r" '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))")
+
+@query("dedup_savings_by_source", oracle=rf"""
+WITH RECURSIVE
+base AS (SELECT doc_id, source, text, {_FP_SQL} AS fp,
+                len({_NORM_SQL}) AS n_tok
+         FROM documents),
+ex AS (SELECT doc_id, source, text, n_tok,
+              row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       FROM base),
+win AS (SELECT doc_id, source, text, n_tok FROM ex WHERE rn = 1),
+toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM win),
+grams AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+verdict AS (
+  SELECT w.source, w.n_tok,
+         CASE WHEN w.doc_id = COALESCE(cc.cluster_id, w.doc_id)
+              THEN 1 ELSE 0 END AS kept
+  FROM win w LEFT JOIN cc ON cc.id = w.doc_id),
+exagg AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_dup,
+                 CAST(sum(n_tok) AS BIGINT) AS tok_total
+          FROM ex GROUP BY source),
+vagg AS (SELECT source,
+                CAST(sum(1 - kept) AS BIGINT) AS n_near_dup,
+                CAST(sum(kept) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END)
+                     AS BIGINT) AS tok_kept
+         FROM verdict GROUP BY source)
+SELECT exagg.source, n_docs, n_exact_dup, n_near_dup, n_kept,
+       tok_total, tok_kept,
+       1.0 - CAST(tok_kept AS DOUBLE) / CAST(tok_total AS DOUBLE)
+         AS savings_frac
+FROM exagg JOIN vagg ON exagg.source = vagg.source
+""")
+def q_dedup_savings_by_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The dedup effectiveness report: per ingest source, how many
+    documents (and tokens) each dedup tier removes — tier 1 exact
+    content-fingerprint first-wins, tier 2 Jaccard keep-one over the
+    exact survivors — and the token savings fraction. This is the
+    number a curation run publishes to justify its dedup budget, and
+    the per-source breakdown localizes WHICH feed ships the
+    duplication. Fully value-checked: the near-dup tier rides the same
+    recursive-CTE closure oracle as `jaccard_keep_one`, restricted to
+    exact winners.
+
+    Plan: tier 1 is one fp-keyed window (first-wins, reference R8);
+    tier 2 reuses the prefix-filtered shingle equi-join + O(log n) CC
+    driver loop on the (strictly smaller) winner set; both rollups are
+    combinable integer sums on the source key. Tokens never travel —
+    only counts and ids."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    from distributed_deduplicator_spark.functions import text as TXT
+    base = d.select("doc_id", "source", "text",
+                    TXT.fingerprint("text").alias("fp"),
+                    TXT.token_count("text").cast("bigint").alias("n_tok"))
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    ex = base.withColumn("rn", rn)
+    win = ex.where(F.col("rn") == 1).select("doc_id", "source", "text",
+                                            "n_tok")
+    pairs = S.jaccard_similarity_join(win, "doc_id", "text", n=_NGRAM,
+                                      threshold=_JACCARD_THRESHOLD)
+    cc = S.connected_components(pairs)
+    verdict = (win.join(cc, win["doc_id"] == cc["id"], "left")
+                  .select(win["source"], win["n_tok"],
+                          F.when(win["doc_id"]
+                                 == F.coalesce(cc["cluster_id"],
+                                               win["doc_id"]), 1)
+                           .otherwise(0).alias("kept")))
+    exagg = (ex.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                     .cast("bigint").alias("n_exact_dup"),
+                    F.sum("n_tok").alias("tok_total")))
+    vagg = (verdict.groupBy("source")
+                   .agg(F.sum(1 - F.col("kept")).cast("bigint")
+                         .alias("n_near_dup"),
+                        F.sum("kept").cast("bigint").alias("n_kept"),
+                        F.sum(F.when(F.col("kept") == 1,
+                                     F.col("n_tok")).otherwise(0))
+                         .alias("tok_kept")))
+    return (exagg.join(vagg, "source")
+                 .select("source", "n_docs", "n_exact_dup", "n_near_dup",
+                         "n_kept", "tok_total", "tok_kept",
+                         (F.lit(1.0)
+                          - F.col("tok_kept").cast("double")
+                          / F.col("tok_total").cast("double"))
+                         .alias("savings_frac")))

@@ -577,3 +577,48 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("n_active").cast("double")
                         / F.col("cohort_size").cast("double"))
                        .alias("retention")))
+
+
+@query("event_transition_matrix", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+t AS (SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type),
+m AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n_trans, m.n_from,
+       CAST(t.n_trans AS DOUBLE) / CAST(m.n_from AS DOUBLE) AS prob
+FROM t JOIN m USING (prev_type)
+""")
+def q_event_transition_matrix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (prev_type → next_type) pair, the transition
+    count, the row margin, and the conditional probability — the
+    behavioral model behind next-action prediction, funnel design, and
+    bot detection (a user population whose transition rows collapse
+    onto one next-type is scripted traffic). Sequence order is total —
+    (ts, event_id) — so simultaneous events cannot flip lag results
+    across engines or runs.
+
+    Plan: one shuffle partitions users (the lag window), then a
+    combinable count onto a ≤|types|² key space; the margin join runs
+    on that tiny aggregate as a broadcast. The probability is one
+    double division of exact counts."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    t = (seq.where(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count("*").alias("n_trans")))
+    m = t.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return (t.join(F.broadcast(m), "prev_type")
+             .select("prev_type", "next_type", "n_trans", "n_from",
+                     (F.col("n_trans").cast("double")
+                      / F.col("n_from").cast("double")).alias("prob")))

@@ -441,3 +441,109 @@ def test_token_length_exact_quantiles_match_python(spark, sf_dir):
         for p, val in ((50, r.p50_tok), (90, r.p90_tok), (99, r.p99_tok)):
             idx = -(-len(lens) * p // 100)  # ceil
             assert val == lens[idx - 1]
+
+
+def test_event_transition_matrix_matches_python(spark, sf_dir):
+    """Transition counts must equal the Python rollup over per-user
+    (ts, event_id)-ordered sequences; margins are row sums and each
+    row's probabilities sum to 1."""
+    rows = load_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_id", "event_type").collect()
+    seqs: dict = collections.defaultdict(list)
+    for r in rows:
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans: collections.Counter = collections.Counter()
+    for evs in seqs.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    got = Q.QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    release_persisted()
+    assert {(r.prev_type, r.next_type): r.n_trans for r in got} == \
+        dict(trans)
+    by_prev: dict = collections.defaultdict(list)
+    for r in got:
+        by_prev[r.prev_type].append(r)
+    for rows_p in by_prev.values():
+        n_from = rows_p[0].n_from
+        assert sum(r.n_trans for r in rows_p) == n_from
+        assert all(r.n_from == n_from for r in rows_p)
+        assert math.isclose(sum(r.prob for r in rows_p), 1.0,
+                            rel_tol=0, abs_tol=1e-9)
+
+
+def test_dedup_savings_matches_python_reference(spark, sf_dir):
+    """Per-source tier counts must equal a pure-Python two-tier dedup:
+    md5-fingerprint first-wins, then exact-Jaccard union-find keep-one
+    over the winners; classes partition the docs and token accounting
+    is exact."""
+    import hashlib
+
+    rows = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text").collect()
+    rows.sort(key=lambda r: r.doc_id)
+
+    def norm(text):
+        return re.sub(r"\s+", " ",
+                      re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+
+    seen_fp: dict = {}
+    winners, exact_dup = [], []
+    for r in rows:
+        fp = hashlib.md5(norm(r.text).encode()).hexdigest()
+        if fp in seen_fp:
+            exact_dup.append(r)
+        else:
+            seen_fp[fp] = r.doc_id
+            winners.append(r)
+    sh = {r.doc_id: {" ".join(t)
+                     for t in zip(*[norm(r.text).split(" ")[i:]
+                                    for i in range(3)])}
+          for r in winners}
+    parent = {r.doc_id: r.doc_id for r in winners}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = [r.doc_id for r in winners]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.35:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    by_src: dict = collections.defaultdict(
+        lambda: {"n_docs": 0, "n_exact_dup": 0, "n_near_dup": 0,
+                 "n_kept": 0, "tok_total": 0, "tok_kept": 0})
+    ntok = {r.doc_id: len(norm(r.text).split(" ")) for r in rows}
+    for r in rows:
+        s = by_src[r.source]
+        s["n_docs"] += 1
+        s["tok_total"] += ntok[r.doc_id]
+    for r in exact_dup:
+        by_src[r.source]["n_exact_dup"] += 1
+    # min-id cluster root keeps (matches min-label CC + keep-one)
+    roots = {d: find(d) for d in ids}
+    for r in winners:
+        s = by_src[r.source]
+        if roots[r.doc_id] == r.doc_id:
+            s["n_kept"] += 1
+            s["tok_kept"] += ntok[r.doc_id]
+        else:
+            s["n_near_dup"] += 1
+    got = Q.QUERIES["dedup_savings_by_source"](spark, sf_dir).collect()
+    release_persisted()
+    assert {r.source for r in got} == set(by_src)
+    for r in got:
+        e = by_src[r.source]
+        assert (r.n_docs, r.n_exact_dup, r.n_near_dup, r.n_kept) == \
+            (e["n_docs"], e["n_exact_dup"], e["n_near_dup"], e["n_kept"])
+        assert r.n_docs == r.n_exact_dup + r.n_near_dup + r.n_kept
+        assert (r.tok_total, r.tok_kept) == (e["tok_total"], e["tok_kept"])
+        assert math.isclose(r.savings_frac,
+                            1.0 - e["tok_kept"] / e["tok_total"],
+                            rel_tol=0, abs_tol=1e-12)
