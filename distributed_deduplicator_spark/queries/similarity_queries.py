@@ -775,3 +775,78 @@ def q_dedup_savings_by_source(spark: SparkSession,
                           - F.col("tok_kept").cast("double")
                           / F.col("tok_total").cast("double"))
                          .alias("savings_frac")))
+
+
+@query("cluster_size_histogram", oracle=rf"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+membership AS (
+  SELECT COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM membership GROUP BY cluster_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM membership)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST(cluster_size * count(*) AS DOUBLE) / CAST(n_total AS DOUBLE)
+         AS doc_frac
+FROM csizes CROSS JOIN tot
+GROUP BY cluster_size, n_total
+""")
+def q_cluster_size_histogram(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution over the whole corpus
+    (singletons included): how many clusters of each size exist and
+    what fraction of documents they hold — the diagnostic that tells a
+    dedup review whether duplication is a long tail of pairs (cheap to
+    keep) or a few mega-clusters (template spam / mirrored sites, the
+    thing to blocklist upstream). Same exact-Jaccard closure as
+    `jaccard_dedup_clusters`, so the histogram carries its full
+    recursive-CTE value oracle.
+
+    Plan: after the closure, everything is aggregate-of-aggregate on
+    cluster ids (corpus → clusters → sizes → histogram, each step
+    combinable); the grand total rides a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = S.jaccard_similarity_join(d, "doc_id", "text", n=_NGRAM,
+                                      threshold=_JACCARD_THRESHOLD)
+    cc = S.connected_components(pairs)
+    member = (d.select("doc_id")
+               .join(cc, d["doc_id"] == cc["id"], "left")
+               .select(F.coalesce(cc["cluster_id"], d["doc_id"])
+                        .alias("cluster_id")))
+    csizes = member.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    tot = member.agg(F.count("*").alias("n_total"))
+    return (csizes.groupBy("cluster_size")
+                  .agg(F.count("*").alias("n_clusters"))
+                  .crossJoin(F.broadcast(tot))
+                  .select("cluster_size", "n_clusters",
+                          (F.col("cluster_size") * F.col("n_clusters"))
+                          .cast("bigint").alias("n_docs"),
+                          ((F.col("cluster_size") * F.col("n_clusters"))
+                           .cast("double")
+                           / F.col("n_total").cast("double"))
+                          .alias("doc_frac")))

@@ -622,3 +622,65 @@ def q_event_transition_matrix(spark: SparkSession,
              .select("prev_type", "next_type", "n_trans", "n_from",
                      (F.col("n_trans").cast("double")
                       / F.col("n_from").cast("double")).alias("prob")))
+
+
+_ANOMALY_Z = 3.0
+
+@query("event_rate_anomaly", oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, hour_ts),
+moments AS (
+  SELECT event_type,
+         count(*) AS n_hours,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM hourly GROUP BY event_type),
+scored AS (
+  SELECT h.event_type, h.hour_ts, h.n_events,
+         CAST(m.s1 AS DOUBLE) / m.n_hours AS mean_events,
+         (CAST(h.n_events AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n_hours)
+           / sqrt(CAST(m.n_hours * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                  / CAST(m.n_hours * (m.n_hours - 1) AS DOUBLE)) AS z
+  FROM hourly h JOIN moments m ON h.event_type = m.event_type
+  WHERE m.n_hours > 1)
+SELECT event_type, hour_ts, n_events,
+       round(mean_events, 6) AS mean_events, round(z, 6) AS z_score
+FROM scored WHERE z >= {_ANOMALY_Z}
+""")
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event-rate anomalies: hours whose count sits
+    ≥ 3 sample standard deviations above that type's hourly mean — the
+    traffic-spike / incident monitor over the same hourly rollup
+    `rolling_hour_stats` trends. The mean and variance come from EXACT
+    integer moments (Σc, Σc² as BIGINT — at 100 TB swap to DECIMAL
+    before Σc² can pass ~3e9·√hours), so the z-score is one fixed-order
+    double expression on identical inputs in both engines and the ≥3
+    cut cannot straddle.
+
+    Plan: one combinable (type, hour) count; the per-type moments are a
+    second combinable rollup on the tiny hourly table; the scoring join
+    broadcasts ≤|types| rows back onto it. Nothing after the first
+    aggregate scales with event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour_ts"))
+                .agg(F.count("*").alias("n_events")))
+    moments = (hourly.groupBy("event_type")
+                     .agg(F.count("*").alias("n_hours"),
+                          F.sum("n_events").alias("s1"),
+                          F.sum(F.col("n_events") * F.col("n_events"))
+                           .alias("s2")))
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = ((F.col("n_hours") * F.col("s2")
+            - F.col("s1") * F.col("s1")).cast("double")
+           / (F.col("n_hours") * (F.col("n_hours") - 1)).cast("double"))
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (hourly.join(F.broadcast(moments.where(F.col("n_hours") > 1)),
+                        "event_type")
+                  .withColumn("z", z)
+                  .where(F.col("z") >= _ANOMALY_Z)
+                  .select("event_type", "hour_ts", "n_events",
+                          F.round(mean, 6).alias("mean_events"),
+                          F.round("z", 6).alias("z_score")))

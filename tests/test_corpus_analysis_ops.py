@@ -547,3 +547,60 @@ def test_dedup_savings_matches_python_reference(spark, sf_dir):
         assert math.isclose(r.savings_frac,
                             1.0 - e["tok_kept"] / e["tok_total"],
                             rel_tol=0, abs_tol=1e-12)
+
+
+def test_cluster_size_histogram_consistency(spark, sf_dir):
+    """The histogram must be the exact size rollup of the closure's
+    membership: n_docs sums to the corpus, n_docs = size·n_clusters,
+    doc fractions sum to 1, and the per-size cluster counts equal the
+    rollup of jaccard_dedup_clusters plus untouched singletons."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    cc = Q.QUERIES["jaccard_dedup_clusters"](spark, sf_dir).collect()
+    release_persisted()
+    csize: collections.Counter = collections.Counter(
+        r.cluster_id for r in cc)
+    n_singletons = n_total - len(cc)
+    hist: collections.Counter = collections.Counter(csize.values())
+    hist[1] += n_singletons
+    got = Q.QUERIES["cluster_size_histogram"](spark, sf_dir).collect()
+    release_persisted()
+    assert {r.cluster_size: r.n_clusters for r in got} == dict(hist)
+    assert sum(r.n_docs for r in got) == n_total
+    for r in got:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert math.isclose(r.doc_frac, r.n_docs / n_total,
+                            rel_tol=0, abs_tol=1e-12)
+    assert math.isclose(sum(r.doc_frac for r in got), 1.0,
+                        rel_tol=0, abs_tol=1e-9)
+
+
+def test_event_rate_anomaly_matches_python(spark, sf_dir):
+    """Flagged hours must be exactly those >= 3 sample standard
+    deviations above their type's hourly mean, per a pure-Python
+    two-pass reference on the same hourly rollup."""
+    rows = load_table(spark, sf_dir, "events") \
+        .select("event_type", "ts").collect()
+    hourly: collections.Counter = collections.Counter(
+        (r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))
+        for r in rows)
+    by_type: dict = collections.defaultdict(dict)
+    for (t, h), c in hourly.items():
+        by_type[t][h] = c
+    expect = {}
+    for t, hs in by_type.items():
+        n = len(hs)
+        if n <= 1:
+            continue
+        s1 = sum(hs.values())
+        s2 = sum(c * c for c in hs.values())
+        mean = s1 / n
+        std = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+        for h, c in hs.items():
+            z = (c - mean) / std
+            if z >= 3.0:
+                expect[(t, h)] = (c, round(z, 6))
+    got = Q.QUERIES["event_rate_anomaly"](spark, sf_dir).collect()
+    release_persisted()
+    assert {(r.event_type, r.hour_ts): (r.n_events, r.z_score)
+            for r in got} == expect

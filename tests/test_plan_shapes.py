@@ -56,7 +56,7 @@ _STREAMING = {n for n in Q.QUERIES if n.startswith("stream_")}
 _ITERATIVE = {"near_dup_clusters", "jaccard_dedup_clusters",
               "jaccard_keep_one", "jaccard_keep_best",
               "semantic_dedup_keep_one", "soft_dedup_weights",
-              "dedup_savings_by_source"}
+              "dedup_savings_by_source", "cluster_size_histogram"}
 # Sink round-trips write at call time by design.
 _WRITES = {"parquet_roundtrip_agg"}
 _EXECUTES_ON_CALL = _STREAMING | _ITERATIVE | _WRITES
