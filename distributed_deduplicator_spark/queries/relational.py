@@ -2027,3 +2027,136 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.lit("ALL").alias("scope"),
                          F.hll_sketch_estimate("sk").alias("est_users")))
     return per_rows.unionByName(merged)
+
+
+_BASKET_TOPK = 100
+
+@query("basket_part_pairs_lift", oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM li),
+marg AS (SELECT l_partkey, count(*) AS c_part FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_both
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b),
+ranked AS (
+  SELECT part_a, part_b, n_both,
+         row_number() OVER (ORDER BY n_both DESC, part_a, part_b) AS rk
+  FROM pairs)
+SELECT r.part_a, r.part_b, r.n_both, ma.c_part AS n_a, mb.c_part AS n_b,
+       CAST(r.n_both AS DOUBLE) * n.n_orders
+         / (CAST(ma.c_part AS DOUBLE) * mb.c_part) AS lift
+FROM ranked r
+JOIN marg ma ON ma.l_partkey = r.part_a
+JOIN marg mb ON mb.l_partkey = r.part_b
+CROSS JOIN n
+WHERE r.rk <= {_BASKET_TOPK}
+""")
+def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-100 part pairs appearing in
+    the same order, with each pair's lift over independence — the
+    association-rules statistic behind recommendations and assortment
+    planning (and, for a corpus pipeline, the co-citation analogue).
+    The cut ranks by the EXACT integer pair count (ties by part keys),
+    never by the float lift, so the top-k set cannot straddle engines;
+    lift rides along as one double expression on exact counts.
+
+    Plan: the pair generation is a self-equi-join WITHIN the order key
+    — Σ|basket|² work with TPC-H-bounded baskets (≤7 items), the
+    canonical market-basket shape that never goes corpus-quadratic; the
+    pair count is map-side combinable; margins join onto the 100
+    survivors as broadcasts and the order total is a 1-row broadcast
+    (the waived scalar shape)."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    marg = li.groupBy("l_partkey").agg(F.count("*").alias("c_part"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+              .where(F.col("part_a") < F.col("part_b"))
+              .groupBy("part_a", "part_b")
+              .agg(F.count("*").alias("n_both")))
+    top = topk_global(pairs, [F.col("n_both").desc(), F.col("part_a"),
+                              F.col("part_b")], _BASKET_TOPK)
+    ma = marg.select(F.col("l_partkey").alias("part_a"),
+                     F.col("c_part").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"),
+                     F.col("c_part").alias("n_b"))
+    return (top.join(ma, "part_a").join(mb, "part_b")
+               .crossJoin(F.broadcast(n))
+               .select("part_a", "part_b", "n_both", "n_a", "n_b",
+                       (F.col("n_both").cast("double") * F.col("n_orders")
+                        / (F.col("n_a").cast("double") * F.col("n_b")))
+                       .alias("lift")))
+
+
+@query("open_orders_backlog", oracle="""
+WITH span AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS open_d,
+         CAST(max(l.l_shipdate) AS DATE) AS close_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate),
+deltas AS (
+  SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+    SELECT open_d AS d, 1 AS delta FROM span
+    UNION ALL
+    SELECT close_d + INTERVAL 1 DAY, -1 FROM span)
+  GROUP BY d),
+bounds AS (SELECT min(open_d) AS lo, max(close_d) AS hi FROM span),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                      AS DATE) AS day
+          FROM bounds)
+SELECT s.day, COALESCE(dl.delta, 0) AS day_delta,
+       CAST(sum(COALESCE(dl.delta, 0)) OVER (ORDER BY s.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+FROM spine s LEFT JOIN deltas dl ON dl.d = s.day
+""")
+def q_open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: for every calendar day, how many
+    orders are open (placed, not yet fully shipped) — the WIP /
+    inventory-in-flight series an operations review trends, and for a
+    pipeline the in-flight-work gauge (reference R12's horizon idea
+    read as a population count instead of a per-key gate).
+
+    The scale pattern is the point: instead of a day×order interval
+    join (days × open-orders blowup, the classic range-join trap),
+    each order contributes a +1 delta at open and a −1 the day after
+    close; the daily backlog is the running sum. Interval stabbing
+    becomes one corpus-scale combinable delta count plus a cumulative
+    window over the ≤|days| delta table — O(n) + O(days), never
+    O(n·days).
+
+    Plan: one join ships (orderkey, shipdate) only; the delta
+    groupBy is map-side combinable onto a ~2.5k-row key space; the
+    calendar spine explodes from a 1-row MIN/MAX aggregate (no driver
+    job); the cumsum window runs on the tiny dense series."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    span = (li.select("l_orderkey", "l_shipdate")
+              .join(o.select("o_orderkey", "o_orderdate"),
+                    li["l_orderkey"] == o["o_orderkey"])
+              .groupBy("o_orderkey",
+                       F.to_date("o_orderdate").alias("open_d"))
+              .agg(F.to_date(F.max("l_shipdate")).alias("close_d")))
+    deltas = (span.select(F.col("open_d").alias("d"),
+                          F.lit(1).alias("delta"))
+                  .unionByName(
+                      span.select(F.date_add("close_d", 1).alias("d"),
+                                  F.lit(-1).alias("delta")))
+                  .groupBy("d").agg(F.sum("delta").alias("delta")))
+    spine = (span.agg(F.min("open_d").alias("lo"),
+                      F.max("close_d").alias("hi"))
+                 .select(F.explode(F.sequence(
+                     "lo", "hi", F.expr("interval 1 day"))).alias("day")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (spine.join(F.broadcast(deltas),
+                       spine["day"] == deltas["d"], "left")
+                 .select("day",
+                         F.coalesce("delta", F.lit(0)).cast("bigint")
+                          .alias("day_delta"))
+                 .withColumn("n_open", F.sum("day_delta").over(w)))

@@ -604,3 +604,72 @@ def test_event_rate_anomaly_matches_python(spark, sf_dir):
     release_persisted()
     assert {(r.event_type, r.hour_ts): (r.n_events, r.z_score)
             for r in got} == expect
+
+
+def test_basket_part_pairs_lift_matches_python(spark, sf_dir):
+    """Pair counts, margins, and lift must equal the Python
+    market-basket rollup; the top-100 cut follows the exact-integer
+    (n_both desc, part_a, part_b) order."""
+    rows = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey").distinct().collect()
+    baskets: dict = collections.defaultdict(set)
+    for r in rows:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    marg: collections.Counter = collections.Counter()
+    pairs: collections.Counter = collections.Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        marg.update(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pairs[(a, b)] += 1
+    n_orders = len(baskets)
+    expected = sorted(pairs.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = Q.QUERIES["basket_part_pairs_lift"](spark, sf_dir).collect()
+    release_persisted()
+    assert sorted(((r.part_a, r.part_b), r.n_both) for r in got) == \
+        sorted(expected)
+    for r in got:
+        assert (r.n_a, r.n_b) == (marg[r.part_a], marg[r.part_b])
+        assert math.isclose(
+            r.lift, r.n_both * n_orders / (r.n_a * r.n_b),
+            rel_tol=0, abs_tol=1e-12)
+
+
+def test_open_orders_backlog_matches_python(spark, sf_dir):
+    """The running open count must equal the Python interval-stabbing
+    reference on every day of the dense spine, start at >= 0
+    everywhere, and end at 0 the day after the last close."""
+    import datetime
+
+    o = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate").collect()
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate").collect()
+    close: dict = {}
+    for r in li:
+        d = r.l_shipdate.date()
+        close[r.l_orderkey] = max(close.get(r.l_orderkey,
+                                            datetime.date.min), d)
+    spans = [(r.o_orderdate.date(), close[r.o_orderkey])
+             for r in o if r.o_orderkey in close]
+    lo = min(s for s, _ in spans)
+    hi = max(e for _, e in spans)
+    deltas: collections.Counter = collections.Counter()
+    for s, e in spans:
+        deltas[s] += 1
+        deltas[e + datetime.timedelta(days=1)] -= 1
+    got = sorted(Q.QUERIES["open_orders_backlog"](spark, sf_dir)
+                 .collect(), key=lambda r: r.day)
+    release_persisted()
+    assert got[0].day == lo and got[-1].day == hi
+    running = 0
+    day = lo
+    for r in got:
+        assert r.day == day
+        assert r.day_delta == deltas.get(day, 0)
+        running += deltas.get(day, 0)
+        assert r.n_open == running and running >= 0
+        day += datetime.timedelta(days=1)
+    assert running + deltas.get(hi + datetime.timedelta(days=1), 0) == 0
