@@ -2086,12 +2086,15 @@ def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("c_part").alias("n_a"))
     mb = marg.select(F.col("l_partkey").alias("part_b"),
                      F.col("c_part").alias("n_b"))
-    return (top.join(ma, "part_a").join(mb, "part_b")
-               .crossJoin(F.broadcast(n))
-               .select("part_a", "part_b", "n_both", "n_a", "n_b",
-                       (F.col("n_both").cast("double") * F.col("n_orders")
-                        / (F.col("n_a").cast("double") * F.col("n_b")))
-                       .alias("lift")))
+    # broadcast the 100-row survivor side into both margin joins —
+    # the part-cardinality margin table streams, never shuffles
+    j1 = ma.join(F.broadcast(top), "part_a")
+    j2 = mb.join(F.broadcast(j1), "part_b")
+    return (j2.crossJoin(F.broadcast(n))
+              .select("part_a", "part_b", "n_both", "n_a", "n_b",
+                      (F.col("n_both").cast("double") * F.col("n_orders")
+                       / (F.col("n_a").cast("double") * F.col("n_b")))
+                      .alias("lift")))
 
 
 @query("open_orders_backlog", oracle="""

@@ -26,6 +26,34 @@ _NORM_SQL = (r"string_split_regex(trim(regexp_replace(regexp_replace("
 _JACCARD_THRESHOLD = 0.35
 _NGRAM = 3
 
+# Shared recursive-closure CTE chain for every closure-oracled query
+# (expects a `toks(doc_id, t)` CTE in scope): exact 3-gram Jaccard
+# pairs -> symmetric edges -> reachability -> min-label components.
+# One definition so the ground-truth SQL cannot drift between the
+# queries it gates.
+_CLOSURE_SQL = rf"""grams AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+
 @query("jaccard_ngram_pairs", oracle=rf"""
 WITH toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
 grams AS (
@@ -198,28 +226,8 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("jaccard_dedup_clusters", oracle=rf"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-grams AS (
-  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
-  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
-        FROM toks)),
-sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b FROM common
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
-        >= {_JACCARD_THRESHOLD}),
-edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT u AS id, u AS r FROM edges
-  UNION
-  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
-SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+{_CLOSURE_SQL}
+SELECT id, cluster_id FROM cc
 """)
 def q_jaccard_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the EXACT Jaccard near-dup pairs — the
@@ -237,28 +245,7 @@ def q_jaccard_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("jaccard_keep_one", oracle=rf"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-grams AS (
-  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
-  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
-        FROM toks)),
-sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b FROM common
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
-        >= {_JACCARD_THRESHOLD}),
-edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT u AS id, u AS r FROM edges
-  UNION
-  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
-cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+{_CLOSURE_SQL}
 SELECT d.doc_id,
        COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS keep
@@ -376,28 +363,7 @@ _QUALITY_SQL = r"""
 @query("jaccard_keep_best", oracle=rf"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-grams AS (
-  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
-  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
-        FROM toks)),
-sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b FROM common
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
-        >= {_JACCARD_THRESHOLD}),
-edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT u AS id, u AS r FROM edges
-  UNION
-  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
-cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+{_CLOSURE_SQL},
 q AS (SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality FROM documents),
 labeled AS (
   SELECT d.doc_id,
@@ -523,28 +489,7 @@ def q_semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("soft_dedup_weights", oracle=rf"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-grams AS (
-  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
-  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
-        FROM toks)),
-sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b FROM common
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
-        >= {_JACCARD_THRESHOLD}),
-edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT u AS id, u AS r FROM edges
-  UNION
-  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
-cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+{_CLOSURE_SQL},
 docs AS (
   SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
@@ -644,9 +589,8 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < _KNN_NQUERIES)
     corpus = emb.where(F.col("vec_id") >= _KNN_NQUERIES)
     topk = S.cosine_topk_bruteforce(corpus, q, k=_KNN_K)
-    true_l = emb.where(F.col("vec_id") < _KNN_NQUERIES) \
-                .select(F.col("vec_id").alias("query_id"),
-                        F.col("label").alias("true_label"))
+    true_l = q.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("true_label"))
     cand = (labels.join(F.broadcast(topk.select("query_id", "neighbor_id")),
                         "neighbor_id")
                   .join(F.broadcast(true_l), "query_id"))
@@ -676,28 +620,7 @@ ex AS (SELECT doc_id, source, text, n_tok,
        FROM base),
 win AS (SELECT doc_id, source, text, n_tok FROM ex WHERE rn = 1),
 toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM win),
-grams AS (
-  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
-  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
-        FROM toks)),
-sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b FROM common
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
-        >= {_JACCARD_THRESHOLD}),
-edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT u AS id, u AS r FROM edges
-  UNION
-  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
-cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+{_CLOSURE_SQL},
 verdict AS (
   SELECT w.source, w.n_tok,
          CASE WHEN w.doc_id = COALESCE(cc.cluster_id, w.doc_id)
@@ -714,11 +637,13 @@ vagg AS (SELECT source,
                 CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END)
                      AS BIGINT) AS tok_kept
          FROM verdict GROUP BY source)
-SELECT exagg.source, n_docs, n_exact_dup, n_near_dup, n_kept,
-       tok_total, tok_kept,
-       1.0 - CAST(tok_kept AS DOUBLE) / CAST(tok_total AS DOUBLE)
-         AS savings_frac
-FROM exagg JOIN vagg ON exagg.source = vagg.source
+SELECT exagg.source, n_docs, n_exact_dup,
+       COALESCE(n_near_dup, 0) AS n_near_dup,
+       COALESCE(n_kept, 0) AS n_kept,
+       tok_total, COALESCE(tok_kept, 0) AS tok_kept,
+       1.0 - CAST(COALESCE(tok_kept, 0) AS DOUBLE)
+           / CAST(tok_total AS DOUBLE) AS savings_frac
+FROM exagg LEFT JOIN vagg ON exagg.source = vagg.source
 """)
 def q_dedup_savings_by_source(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -768,11 +693,23 @@ def q_dedup_savings_by_source(spark: SparkSession,
                         F.sum(F.when(F.col("kept") == 1,
                                      F.col("n_tok")).otherwise(0))
                          .alias("tok_kept")))
-    return (exagg.join(vagg, "source")
-                 .select("source", "n_docs", "n_exact_dup", "n_near_dup",
-                         "n_kept", "tok_total", "tok_kept",
+    # LEFT join + zero fills: a source whose every document is an
+    # exact duplicate of another source's (a pure mirror feed) has no
+    # tier-2 winners and thus no vagg row — exactly the feed this
+    # report exists to expose (savings_frac = 1.0), so it must not
+    # drop out of the result
+    return (exagg.join(vagg, "source", "left")
+                 .select("source", "n_docs", "n_exact_dup",
+                         F.coalesce("n_near_dup", F.lit(0))
+                          .cast("bigint").alias("n_near_dup"),
+                         F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                          .alias("n_kept"),
+                         "tok_total",
+                         F.coalesce("tok_kept", F.lit(0)).cast("bigint")
+                          .alias("tok_kept"),
                          (F.lit(1.0)
-                          - F.col("tok_kept").cast("double")
+                          - F.coalesce("tok_kept", F.lit(0))
+                             .cast("double")
                           / F.col("tok_total").cast("double"))
                          .alias("savings_frac")))
 
@@ -780,28 +717,7 @@ def q_dedup_savings_by_source(spark: SparkSession,
 @query("cluster_size_histogram", oracle=rf"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-grams AS (
-  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
-  FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {_NGRAM - 1}, 0))) AS i
-        FROM toks)),
-sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b FROM common
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)
-        >= {_JACCARD_THRESHOLD}),
-edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT u AS id, u AS r FROM edges
-  UNION
-  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
-cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+{_CLOSURE_SQL},
 membership AS (
   SELECT COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),

@@ -644,7 +644,7 @@ scored AS (
            / sqrt(CAST(m.n_hours * m.s2 - m.s1 * m.s1 AS DOUBLE)
                   / CAST(m.n_hours * (m.n_hours - 1) AS DOUBLE)) AS z
   FROM hourly h JOIN moments m ON h.event_type = m.event_type
-  WHERE m.n_hours > 1)
+  WHERE m.n_hours > 1 AND m.n_hours * m.s2 > m.s1 * m.s1)
 SELECT event_type, hour_ts, n_events,
        round(mean_events, 6) AS mean_events, round(z, 6) AS z_score
 FROM scored WHERE z >= {_ANOMALY_Z}
@@ -677,8 +677,15 @@ def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("s1") * F.col("s1")).cast("double")
            / (F.col("n_hours") * (F.col("n_hours") - 1)).cast("double"))
     z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
-    return (hourly.join(F.broadcast(moments.where(F.col("n_hours") > 1)),
-                        "event_type")
+    # n_hours > 1 guards the sample-variance denominator; the strict
+    # n·Σc² > (Σc)² guard drops zero-variance types (a perfectly
+    # regular heartbeat), whose z would otherwise be 0/0 = NaN — and
+    # both engines order NaN ABOVE every number, so NaN >= 3 would
+    # flag every hour of the one type that is never anomalous
+    usable = moments.where((F.col("n_hours") > 1)
+                           & (F.col("n_hours") * F.col("s2")
+                              > F.col("s1") * F.col("s1")))
+    return (hourly.join(F.broadcast(usable), "event_type")
                   .withColumn("z", z)
                   .where(F.col("z") >= _ANOMALY_Z)
                   .select("event_type", "hour_ts", "n_events",

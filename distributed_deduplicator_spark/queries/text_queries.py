@@ -42,23 +42,30 @@ def q_text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW = TXT.LANG_STOPWORDS
 
-@query("text_lang_id", oracle=rf"""
-WITH scores AS (
-  SELECT doc_id, lang AS labeled_lang,
+# DuckDB twin of _lang_pred (scoring CTE body + arg-max CASE), shared
+# by the text_lang_id and lang_confusion_matrix oracles so the kernel
+# cannot drift between them
+_LANG_SCORES_SQL = rf"""SELECT doc_id, lang AS labeled_lang,
          len(regexp_extract_all(lower(text), '\b({"|".join(_SW["en"])})\b')) AS hits_en,
          len(regexp_extract_all(lower(text), '\b({"|".join(_SW["de"])})\b')) AS hits_de,
          len(regexp_extract_all(lower(text), '\b({"|".join(_SW["fr"])})\b')) AS hits_fr,
          len(regexp_extract_all(lower(text), '\b({"|".join(_SW["es"])})\b')) AS hits_es,
          len(regexp_extract_all(lower(text), '\b({"|".join(_SW["zh"])})\b')) AS hits_zh
-  FROM documents)
-SELECT doc_id, labeled_lang, hits_en, hits_de, hits_fr, hits_es, hits_zh,
-       CASE greatest(hits_en, hits_de, hits_fr, hits_es, hits_zh)
+  FROM documents"""
+
+_LANG_PRED_CASE_SQL = """CASE greatest(hits_en, hits_de, hits_fr, hits_es, hits_zh)
             WHEN 0 THEN 'und'
             WHEN hits_en THEN 'en'
             WHEN hits_de THEN 'de'
             WHEN hits_fr THEN 'fr'
             WHEN hits_es THEN 'es'
-            ELSE 'zh' END AS pred_lang
+            ELSE 'zh' END"""
+
+@query("text_lang_id", oracle=rf"""
+WITH scores AS (
+  {_LANG_SCORES_SQL})
+SELECT doc_id, labeled_lang, hits_en, hits_de, hits_fr, hits_es, hits_zh,
+       {_LANG_PRED_CASE_SQL} AS pred_lang
 FROM scores
 """)
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,7 +859,7 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("dup_cover_frac")))
 
 
-_KNN_HITS = tuple(f"hits_{lg}" for lg in ("en", "de", "fr", "es", "zh"))
+_HIT_COLS = tuple(f"hits_{lg}" for lg in ("en", "de", "fr", "es", "zh"))
 
 
 def _lang_pred(d: DataFrame) -> DataFrame:
@@ -864,7 +871,7 @@ def _lang_pred(d: DataFrame) -> DataFrame:
             for lg in ("en", "de", "fr", "es", "zh")}
     scored = d.select(F.col("doc_id"), F.col("lang").alias("labeled_lang"),
                       *hits.values())
-    best = F.greatest(*[F.col(c) for c in _KNN_HITS])
+    best = F.greatest(*[F.col(c) for c in _HIT_COLS])
     pred = (F.when(best == 0, F.lit("und"))
              .when(F.col("hits_en") == best, F.lit("en"))
              .when(F.col("hits_de") == best, F.lit("de"))
@@ -876,22 +883,10 @@ def _lang_pred(d: DataFrame) -> DataFrame:
 
 @query("lang_confusion_matrix", oracle=rf"""
 WITH scores AS (
-  SELECT doc_id, lang AS labeled_lang,
-         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["en"])})\b')) AS hits_en,
-         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["de"])})\b')) AS hits_de,
-         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["fr"])})\b')) AS hits_fr,
-         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["es"])})\b')) AS hits_es,
-         len(regexp_extract_all(lower(text), '\b({"|".join(_SW["zh"])})\b')) AS hits_zh
-  FROM documents),
+  {_LANG_SCORES_SQL}),
 pred AS (
   SELECT labeled_lang,
-         CASE greatest(hits_en, hits_de, hits_fr, hits_es, hits_zh)
-              WHEN 0 THEN 'und'
-              WHEN hits_en THEN 'en'
-              WHEN hits_de THEN 'de'
-              WHEN hits_fr THEN 'fr'
-              WHEN hits_es THEN 'es'
-              ELSE 'zh' END AS pred_lang
+         {_LANG_PRED_CASE_SQL} AS pred_lang
   FROM scores),
 cm AS (SELECT labeled_lang, pred_lang, count(*) AS n_docs
        FROM pred GROUP BY labeled_lang, pred_lang),
@@ -995,7 +990,12 @@ def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_COVERAGE_CUTS)}, {stack_args}) AS (k, cum_freq)"))
     tot = counted.agg(F.sum("freq").alias("total_freq"),
                       F.count("*").alias("n_vocab"))
+    # total_freq IS NULL ⇔ the corpus has no bigrams at all; the
+    # global agg still emits one all-NULL row where the oracle's
+    # CROSS JOIN over the empty vocab emits zero — drop it so both
+    # engines agree on the degenerate corpus
     return (cut_rows.crossJoin(F.broadcast(tot))
+                    .where(F.col("total_freq").isNotNull())
                     .select("k", "cum_freq", "total_freq", "n_vocab",
                             (F.col("cum_freq").cast("double")
                              / F.col("total_freq").cast("double"))

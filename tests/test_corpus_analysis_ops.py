@@ -590,10 +590,10 @@ def test_event_rate_anomaly_matches_python(spark, sf_dir):
     expect = {}
     for t, hs in by_type.items():
         n = len(hs)
-        if n <= 1:
-            continue
         s1 = sum(hs.values())
         s2 = sum(c * c for c in hs.values())
+        if n <= 1 or n * s2 <= s1 * s1:  # zero variance: never anomalous
+            continue
         mean = s1 / n
         std = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
         for h, c in hs.items():
