@@ -766,3 +766,84 @@ def q_cluster_size_histogram(spark: SparkSession,
                            .cast("double")
                            / F.col("n_total").cast("double"))
                           .alias("doc_frac")))
+
+
+_SIMHIST_BUCKETS = 20
+_SIMHIST_DELTA = 37          # coprime id offset for the pairing derangement
+
+@query("embedding_similarity_histogram", oracle=f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id,
+         list_cosine_similarity(a.e, b.e) AS cosine
+  FROM d a
+  JOIN n ON TRUE
+  JOIN d b ON b.vec_id = (a.vec_id + {_SIMHIST_DELTA}) % n.n_vecs
+  WHERE a.vec_id <> b.vec_id),
+b AS (
+  SELECT least(greatest(CAST(floor((cosine + 1.0) * {_SIMHIST_BUCKETS}
+                                   / 2.0) AS BIGINT),
+                        0), {_SIMHIST_BUCKETS - 1}) AS bucket
+  FROM pairs),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM b)
+SELECT bucket,
+       -1.0 + bucket * (2.0 / {_SIMHIST_BUCKETS}) AS bucket_lo,
+       count(*) AS n_pairs_in_bucket, n_pairs,
+       CAST(count(*) AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS frac
+FROM b CROSS JOIN tot
+GROUP BY bucket, n_pairs
+""")
+def q_embedding_similarity_histogram(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Distribution of cosine similarity between deterministically
+    paired embeddings (each vector against the one {_SIMHIST_DELTA}
+    ids away, a fixed derangement): a 20-bucket histogram over [-1, 1]
+    — the embedding-space health profile that complements
+    `embedding_norm_stats` (a healthy random-ish corpus concentrates
+    near 0; a collapsed/anisotropic embedding run piles mass at the
+    high end, the failure mode that silently breaks every cosine
+    threshold downstream). The fixed-offset pairing is the
+    deterministic stand-in for random pair sampling — unbiased for
+    id-independent populations and exactly reproducible cross-engine.
+
+    Plan: ONE equi-join on the derived partner id (corpus scales as
+    O(n), never the n² of all-pairs sampling); cosine is a per-row
+    array fold (identical doubles both engines); the bucket floor is
+    exact on those doubles; the rollup is a combinable 20-key count
+    with the total on a 1-row broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count("*").alias("n_vecs"))
+    ed = emb.select("vec_id",
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("e"))
+    a = (ed.crossJoin(F.broadcast(n))
+           .select("vec_id", "e",
+                   ((F.col("vec_id") + _SIMHIST_DELTA) % F.col("n_vecs"))
+                   .alias("partner_id")))
+    bdf = ed.select(F.col("vec_id").alias("partner_id"),
+                    F.col("e").alias("e_b"))
+    dot = F.aggregate(F.zip_with("e", "e_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0),
+        lambda acc, v: acc + v))
+    cos = dot / (nrm(F.col("e")) * nrm(F.col("e_b")))
+    pairs = (a.join(bdf, "partner_id")
+              .where(F.col("vec_id") != F.col("partner_id"))
+              .select(cos.alias("cosine")))
+    bucket = F.least(
+        F.greatest(F.floor((F.col("cosine") + 1.0)
+                           * _SIMHIST_BUCKETS / 2.0).cast("bigint"),
+                   F.lit(0)),
+        F.lit(_SIMHIST_BUCKETS - 1)).alias("bucket")
+    b = pairs.select(bucket)
+    tot = b.agg(F.count("*").alias("n_pairs"))
+    return (b.groupBy("bucket").agg(F.count("*").alias("n_pairs_in_bucket"))
+             .crossJoin(F.broadcast(tot))
+             .select("bucket",
+                     (F.lit(-1.0) + F.col("bucket")
+                      * (2.0 / _SIMHIST_BUCKETS)).alias("bucket_lo"),
+                     "n_pairs_in_bucket", "n_pairs",
+                     (F.col("n_pairs_in_bucket").cast("double")
+                      / F.col("n_pairs").cast("double")).alias("frac")))

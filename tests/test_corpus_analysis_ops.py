@@ -673,3 +673,41 @@ def test_open_orders_backlog_matches_python(spark, sf_dir):
         assert r.n_open == running and running >= 0
         day += datetime.timedelta(days=1)
     assert running + deltas.get(hi + datetime.timedelta(days=1), 0) == 0
+
+
+def test_embedding_similarity_histogram_matches_python(spark, sf_dir):
+    """Bucket counts must equal the Python rollup over the same fixed
+    derangement (partner = (id + 37) mod n), fractions sum to 1, and
+    every pair lands in exactly one bucket."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
+    n = len(vecs)
+
+    def cos(a, b):
+        dot = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n1 += x * x
+            n2 += y * y
+        return dot / math.sqrt(n1 * n2)
+
+    hist: collections.Counter = collections.Counter()
+    n_pairs = 0
+    for vid, v in vecs.items():
+        pid = (vid + 37) % n
+        if pid == vid or pid not in vecs:
+            continue
+        c = cos(v, vecs[pid])
+        hist[min(max(int(math.floor((c + 1.0) * 20 / 2.0)), 0), 19)] += 1
+        n_pairs += 1
+    got = Q.QUERIES["embedding_similarity_histogram"](spark, sf_dir) \
+        .collect()
+    release_persisted()
+    assert {r.bucket: r.n_pairs_in_bucket for r in got} == dict(hist)
+    assert all(r.n_pairs == n_pairs for r in got)
+    assert math.isclose(sum(r.frac for r in got), 1.0,
+                        rel_tol=0, abs_tol=1e-9)
+    for r in got:
+        assert math.isclose(r.bucket_lo, -1.0 + r.bucket * 0.1,
+                            rel_tol=0, abs_tol=1e-12)

@@ -44,8 +44,10 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
                  # 1-row global-total broadcast (TV-drift N)
                  "value_drift_by_day", "source_token_drift",
                  # 1-row totals broadcast (coverage total_freq/n_vocab;
-                 # basket-lift n_orders)
+                 # basket-lift n_orders; similarity-histogram n_vecs +
+                 # n_pairs)
                  "vocab_coverage_topk", "basket_part_pairs_lift",
+                 "embedding_similarity_histogram",
                  # 1-row totals broadcast (DSIR N_raw/N_tgt; bigram-LM
                  # distinct-vocab V)
                  "dsir_importance_weights", "bigram_lm_quality"}
