@@ -2163,3 +2163,53 @@ def q_open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.coalesce("delta", F.lit(0)).cast("bigint")
                           .alias("day_delta"))
                  .withColumn("n_open", F.sum("day_delta").over(w)))
+
+
+_SKEW_TOPK = 20
+
+@query("join_key_skew_profile", oracle=f"""
+WITH c AS (SELECT l_partkey AS key, count(*) AS cnt
+           FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys FROM c),
+ranked AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key) AS rk
+  FROM c)
+SELECT r.rk, r.key, r.cnt, t.n_rows, t.n_keys,
+       CAST(r.cnt AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS frac,
+       CAST(r.cnt * t.n_keys AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+         AS x_mean
+FROM ranked r CROSS JOIN tot t
+WHERE r.rk <= {_SKEW_TOPK}
+""")
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for lineitem's part key: the 20 heaviest
+    keys with each one's row share and its multiple of the mean key
+    load — the diagnostic that decides HOW to join at 100 TB (a top key
+    at ~1× mean → plain shuffle join is fine; at 100-1000× mean → salt
+    that key or let AQE's skew-join split it, and this profile names
+    exactly which keys to salt). The same one-aggregate pattern
+    profiles any prospective join or groupBy key.
+
+    Plan: ONE map-side-combinable count over the fact table (key-space
+    sized state); the rank cut is TakeOrderedAndProject on that
+    aggregate — ranked by the exact integer count with key tie-break,
+    so the top-20 set is deterministic cross-engine; totals ride a
+    1-row broadcast. x_mean = cnt·n_keys/n_rows is one double
+    expression on exact BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("key")) \
+          .agg(F.count("*").alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("n_rows"),
+                F.count("*").alias("n_keys"))
+    top = topk_global(c, [F.col("cnt").desc(), F.col("key")], _SKEW_TOPK)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return (top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+               .crossJoin(F.broadcast(tot))
+               .select("rk", "key", "cnt", "n_rows", "n_keys",
+                       (F.col("cnt").cast("double")
+                        / F.col("n_rows").cast("double")).alias("frac"),
+                       ((F.col("cnt") * F.col("n_keys")).cast("double")
+                        / F.col("n_rows").cast("double"))
+                       .alias("x_mean")))

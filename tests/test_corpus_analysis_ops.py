@@ -711,3 +711,24 @@ def test_embedding_similarity_histogram_matches_python(spark, sf_dir):
     for r in got:
         assert math.isclose(r.bucket_lo, -1.0 + r.bucket * 0.1,
                             rel_tol=0, abs_tol=1e-12)
+
+
+def test_join_key_skew_profile_matches_python(spark, sf_dir):
+    """Top-20 keys, counts, shares, and the mean multiple must equal
+    the Python rollup under the (cnt desc, key) total order."""
+    rows = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey").collect()
+    cnt: collections.Counter = collections.Counter(
+        r.l_partkey for r in rows)
+    n_rows, n_keys = len(rows), len(cnt)
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(Q.QUERIES["join_key_skew_profile"](spark, sf_dir)
+                 .collect(), key=lambda r: r.rk)
+    release_persisted()
+    assert [(r.key, r.cnt) for r in got] == expect
+    for r in got:
+        assert (r.n_rows, r.n_keys) == (n_rows, n_keys)
+        assert math.isclose(r.frac, r.cnt / n_rows,
+                            rel_tol=0, abs_tol=1e-12)
+        assert math.isclose(r.x_mean, r.cnt * n_keys / n_rows,
+                            rel_tol=0, abs_tol=1e-9)

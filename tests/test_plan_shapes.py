@@ -48,6 +48,7 @@ _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
                  # n_pairs)
                  "vocab_coverage_topk", "basket_part_pairs_lift",
                  "embedding_similarity_histogram",
+                 "join_key_skew_profile",
                  # 1-row totals broadcast (DSIR N_raw/N_tgt; bigram-LM
                  # distinct-vocab V)
                  "dsir_importance_weights", "bigram_lm_quality"}
