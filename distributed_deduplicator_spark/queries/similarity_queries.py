@@ -769,18 +769,21 @@ def q_cluster_size_histogram(spark: SparkSession,
 
 
 _SIMHIST_BUCKETS = 20
-_SIMHIST_DELTA = 37          # coprime id offset for the pairing derangement
+_SIMHIST_PAIR_POP = 64       # target pairing-bucket population
 
 @query("embedding_similarity_histogram", oracle=f"""
 WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings),
 d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+seq AS (
+  SELECT e,
+         lag(e) OVER (
+           PARTITION BY vec_id % ((n.n_vecs + {_SIMHIST_PAIR_POP - 1})
+                                  // {_SIMHIST_PAIR_POP})
+           ORDER BY vec_id) AS e_prev
+  FROM d CROSS JOIN n),
 pairs AS (
-  SELECT a.vec_id,
-         list_cosine_similarity(a.e, b.e) AS cosine
-  FROM d a
-  JOIN n ON TRUE
-  JOIN d b ON b.vec_id = (a.vec_id + {_SIMHIST_DELTA}) % n.n_vecs
-  WHERE a.vec_id <> b.vec_id),
+  SELECT round(list_cosine_similarity(e, e_prev), 6) AS cosine
+  FROM seq WHERE e_prev IS NOT NULL),
 b AS (
   SELECT least(greatest(CAST(floor((cosine + 1.0) * {_SIMHIST_BUCKETS}
                                    / 2.0) AS BIGINT),
@@ -797,47 +800,48 @@ GROUP BY bucket, n_pairs
 def q_embedding_similarity_histogram(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """Distribution of cosine similarity between deterministically
-    paired embeddings (each vector against the one {_SIMHIST_DELTA}
-    ids away, a fixed derangement): a 20-bucket histogram over [-1, 1]
-    — the embedding-space health profile that complements
+    paired embeddings: a 20-bucket histogram over [-1, 1] — the
+    embedding-space health profile that complements
     `embedding_norm_stats` (a healthy random-ish corpus concentrates
     near 0; a collapsed/anisotropic embedding run piles mass at the
     high end, the failure mode that silently breaks every cosine
-    threshold downstream). The fixed-offset pairing is the
-    deterministic stand-in for random pair sampling — unbiased for
-    id-independent populations and exactly reproducible cross-engine.
+    threshold downstream).
 
-    Plan: ONE equi-join on the derived partner id (corpus scales as
-    O(n), never the n² of all-pairs sampling); cosine is a per-row
-    array fold (identical doubles both engines); the bucket floor is
-    exact on those doubles; the rollup is a combinable 20-key count
-    with the total on a 1-row broadcast."""
+    Pairing: vectors land in ``vec_id mod ceil(n/64)`` buckets
+    (~64-row populations at ANY corpus size) and each pairs with its
+    id-predecessor inside the bucket — a deterministic stand-in for
+    random pair sampling that is exactly reproducible cross-engine,
+    unbiased for id-independent populations, and makes NO density
+    assumption about the id space (the sf1 fixture's ids jump by 10^7
+    per shard and pair just as well). Adversarial all-ids-congruent
+    key sets would need a hash bucket instead; noted, not needed for
+    id-keyed corpora.
+
+    Plan: one shuffle partitions the pairing buckets (population ~64
+    regardless of n — the window never sees a corpus-scale
+    partition); cosine is the shared `operators.similarity.cosine`
+    fold, rounded to 6 decimals before the bucket cut (the same
+    ulp-absorbing discipline as every cosine threshold here); the
+    rollup is a combinable 20-key count with totals on 1-row
+    broadcasts."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.agg(F.count("*").alias("n_vecs"))
-    ed = emb.select("vec_id",
-                    F.transform("embedding",
-                                lambda x: x.cast("double")).alias("e"))
-    a = (ed.crossJoin(F.broadcast(n))
-           .select("vec_id", "e",
-                   ((F.col("vec_id") + _SIMHIST_DELTA) % F.col("n_vecs"))
-                   .alias("partner_id")))
-    bdf = ed.select(F.col("vec_id").alias("partner_id"),
-                    F.col("e").alias("e_b"))
-    dot = F.aggregate(F.zip_with("e", "e_b", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0),
-        lambda acc, v: acc + v))
-    cos = dot / (nrm(F.col("e")) * nrm(F.col("e_b")))
-    pairs = (a.join(bdf, "partner_id")
-              .where(F.col("vec_id") != F.col("partner_id"))
-              .select(cos.alias("cosine")))
+    from pyspark.sql import Window
+    npb = F.expr(
+        f"(n_vecs + {_SIMHIST_PAIR_POP - 1}) DIV {_SIMHIST_PAIR_POP}")
+    a = (emb.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(n))
+            .withColumn("pb", F.col("vec_id") % npb))
+    w = Window.partitionBy("pb").orderBy("vec_id")
+    paired = (a.withColumn("e_prev", F.lag("embedding").over(w))
+               .where(F.col("e_prev").isNotNull()))
+    cos6 = F.round(S.cosine(F.col("embedding"), F.col("e_prev")), 6)
     bucket = F.least(
-        F.greatest(F.floor((F.col("cosine") + 1.0)
+        F.greatest(F.floor((cos6 + 1.0)
                            * _SIMHIST_BUCKETS / 2.0).cast("bigint"),
                    F.lit(0)),
         F.lit(_SIMHIST_BUCKETS - 1)).alias("bucket")
-    b = pairs.select(bucket)
+    b = paired.select(bucket)
     tot = b.agg(F.count("*").alias("n_pairs"))
     return (b.groupBy("bucket").agg(F.count("*").alias("n_pairs_in_bucket"))
              .crossJoin(F.broadcast(tot))

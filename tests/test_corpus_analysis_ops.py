@@ -676,13 +676,15 @@ def test_open_orders_backlog_matches_python(spark, sf_dir):
 
 
 def test_embedding_similarity_histogram_matches_python(spark, sf_dir):
-    """Bucket counts must equal the Python rollup over the same fixed
-    derangement (partner = (id + 37) mod n), fractions sum to 1, and
-    every pair lands in exactly one bucket."""
+    """Bucket counts must equal the Python rollup over the same
+    bucketed pairing (vec_id mod ceil(n/64) buckets, each vector
+    paired with its id-predecessor in the bucket), fractions sum to 1,
+    and every pair lands in exactly one bucket."""
     emb = load_table(spark, sf_dir, "embeddings") \
         .select("vec_id", "embedding").collect()
     vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
     n = len(vecs)
+    npb = (n + 63) // 64
 
     def cos(a, b):
         dot = n1 = n2 = 0.0
@@ -692,15 +694,17 @@ def test_embedding_similarity_histogram_matches_python(spark, sf_dir):
             n2 += y * y
         return dot / math.sqrt(n1 * n2)
 
+    buckets: dict = collections.defaultdict(list)
+    for vid in sorted(vecs):
+        buckets[vid % npb].append(vid)
     hist: collections.Counter = collections.Counter()
     n_pairs = 0
-    for vid, v in vecs.items():
-        pid = (vid + 37) % n
-        if pid == vid or pid not in vecs:
-            continue
-        c = cos(v, vecs[pid])
-        hist[min(max(int(math.floor((c + 1.0) * 20 / 2.0)), 0), 19)] += 1
-        n_pairs += 1
+    for ids in buckets.values():
+        for prev, cur in zip(ids, ids[1:]):
+            c = round(cos(vecs[cur], vecs[prev]), 6)
+            hist[min(max(int(math.floor((c + 1.0) * 20 / 2.0)), 0),
+                     19)] += 1
+            n_pairs += 1
     got = Q.QUERIES["embedding_similarity_histogram"](spark, sf_dir) \
         .collect()
     release_persisted()
