@@ -168,3 +168,40 @@ def table_diff(a: DataFrame, b: DataFrame, keys: Sequence[str],
     return (j.withColumn("diff_status", status)
              .where(F.col("diff_status").isNotNull())
              .select(*keys, "diff_status"))
+
+
+def count_table_quantiles(df: DataFrame, keys: Sequence[str],
+                          value_col: str,
+                          pcts: Sequence[int]) -> DataFrame:
+    """EXACT per-group percentile_disc over a small-cardinality integer
+    measure, computed WITHOUT sorting the rows: a per-(group, value)
+    count table (combinable, tiny at any corpus size), a cumulative
+    window over that aggregate, and for each percentile p the smallest
+    value whose cumulative count reaches ceil(p·n/100) — the threshold
+    as exact integer arithmetic ((n·p + 99) div 100), so there is no
+    float percentile-position wobble for a cross-engine oracle to
+    disagree on.
+
+    This is the 100 TB quantile pattern for lengths, scores, bucketed
+    measures — anything with far fewer distinct values than rows.
+    Returns keys + n_rows + one ``p{p}`` BIGINT column per requested
+    percentile. Property-tested against sorted-list percentile_disc in
+    tests/test_property_dedup.py.
+    """
+    from pyspark.sql import Window
+    cnt = df.groupBy(*keys, value_col).agg(F.count("*").alias("_c"))
+    w_cum = (Window.partitionBy(*keys).orderBy(value_col)
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy(*keys)
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))
+    cum = cnt.select(*keys, value_col,
+                     F.sum("_c").over(w_cum).alias("_cum"),
+                     F.sum("_c").over(w_all).alias("_tot"))
+    aggs = [F.max("_tot").cast("bigint").alias("n_rows")]
+    for p in pcts:
+        thresh = F.expr(f"(_tot * {int(p)} + 99) DIV 100")
+        aggs.append(F.min(F.when(F.col("_cum") >= thresh,
+                                 F.col(value_col)))
+                     .cast("bigint").alias(f"p{int(p)}"))
+    return cum.groupBy(*keys).agg(*aggs)

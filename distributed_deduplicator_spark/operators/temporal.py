@@ -112,3 +112,42 @@ def asof_join(left: DataFrame, right: DataFrame,
     return (carried.where(F.col("_tag") == 1)
                    .select(*[F.col(f"_l.{c}").alias(c) for c in lcols],
                            *[F.col(f"_last_r.{c}").alias(c) for c in payload]))
+
+
+def interval_backlog(spans: DataFrame, open_col: str,
+                     close_col: str) -> DataFrame:
+    """Daily population count of open [open, close] date intervals —
+    interval stabbing by delta-encoding + prefix sum, the scalable
+    alternative to the day×interval range join.
+
+    Each interval contributes a +1 delta on its open date and a −1 the
+    day after its close; the running sum over the dense calendar spine
+    is the number of intervals covering each day. Work is one
+    corpus-scale combinable delta count (O(n)) plus a cumulative
+    window over the ≤|days| delta table — never O(n·days). The spine
+    explodes from a 1-row MIN/MAX aggregate, so construction launches
+    no job.
+
+    Returns (day, day_delta, n_open), one row per day from the first
+    open to the last close. Property-tested against brute-force
+    interval stabbing in tests/test_property_dedup.py.
+    """
+    span = spans.select(F.col(open_col).alias("_open"),
+                        F.col(close_col).alias("_close"))
+    deltas = (span.select(F.col("_open").alias("d"),
+                          F.lit(1).alias("delta"))
+                  .unionByName(
+                      span.select(F.date_add("_close", 1).alias("d"),
+                                  F.lit(-1).alias("delta")))
+                  .groupBy("d").agg(F.sum("delta").alias("delta")))
+    spine = (span.agg(F.min("_open").alias("lo"),
+                      F.max("_close").alias("hi"))
+                 .select(F.explode(F.sequence(
+                     "lo", "hi", F.expr("interval 1 day"))).alias("day")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (spine.join(F.broadcast(deltas),
+                       spine["day"] == deltas["d"], "left")
+                 .select("day",
+                         F.coalesce("delta", F.lit(0)).cast("bigint")
+                          .alias("day_delta"))
+                 .withColumn("n_open", F.sum("day_delta").over(w)))

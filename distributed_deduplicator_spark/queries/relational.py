@@ -2138,6 +2138,8 @@ def q_open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy is map-side combinable onto a ~2.5k-row key space; the
     calendar spine explodes from a 1-row MIN/MAX aggregate (no driver
     job); the cumsum window runs on the tiny dense series."""
+    from distributed_deduplicator_spark.operators.temporal import (
+        interval_backlog)
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     span = (li.select("l_orderkey", "l_shipdate")
@@ -2146,23 +2148,7 @@ def q_open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("o_orderkey",
                        F.to_date("o_orderdate").alias("open_d"))
               .agg(F.to_date(F.max("l_shipdate")).alias("close_d")))
-    deltas = (span.select(F.col("open_d").alias("d"),
-                          F.lit(1).alias("delta"))
-                  .unionByName(
-                      span.select(F.date_add("close_d", 1).alias("d"),
-                                  F.lit(-1).alias("delta")))
-                  .groupBy("d").agg(F.sum("delta").alias("delta")))
-    spine = (span.agg(F.min("open_d").alias("lo"),
-                      F.max("close_d").alias("hi"))
-                 .select(F.explode(F.sequence(
-                     "lo", "hi", F.expr("interval 1 day"))).alias("day")))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return (spine.join(F.broadcast(deltas),
-                       spine["day"] == deltas["d"], "left")
-                 .select("day",
-                         F.coalesce("delta", F.lit(0)).cast("bigint")
-                          .alias("day_delta"))
-                 .withColumn("n_open", F.sum("day_delta").over(w)))
+    return interval_backlog(span, "open_d", "close_d")
 
 
 _SKEW_TOPK = 20

@@ -1043,23 +1043,11 @@ def q_token_length_exact_quantiles(spark: SparkSession,
     small-cardinality measure (lengths, scores, buckets): one
     combinable count, windows over the aggregate, never a global sort
     of raw rows."""
-    from pyspark.sql import Window
+    from distributed_deduplicator_spark.operators.relational import (
+        count_table_quantiles)
     d = load_table(spark, sf_dir, "documents")
     n = d.select("source", TXT.token_count("text").alias("n_tok"))
-    cnt = n.groupBy("source", "n_tok").agg(F.count("*").alias("c"))
-    w_cum = (Window.partitionBy("source").orderBy("n_tok")
-                   .rowsBetween(Window.unboundedPreceding, 0))
-    w_all = (Window.partitionBy("source")
-                   .rowsBetween(Window.unboundedPreceding,
-                                Window.unboundedFollowing))
-    cum = cnt.select(
-        "source", "n_tok",
-        F.sum("c").over(w_cum).alias("cum_c"),
-        F.sum("c").over(w_all).alias("tot"))
-    aggs = [F.max("tot").cast("bigint").alias("n_docs")]
-    for p in _TLQ_PCTS:
-        thresh = F.expr(f"(tot * {p} + 99) DIV 100")
-        aggs.append(F.min(F.when(F.col("cum_c") >= thresh,
-                                 F.col("n_tok")))
-                     .cast("bigint").alias(f"p{p}_tok"))
-    return cum.groupBy("source").agg(*aggs)
+    out = count_table_quantiles(n, ["source"], "n_tok", _TLQ_PCTS)
+    return out.select(
+        "source", F.col("n_rows").alias("n_docs"),
+        *[F.col(f"p{p}").alias(f"p{p}_tok") for p in _TLQ_PCTS])

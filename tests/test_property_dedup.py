@@ -156,3 +156,67 @@ def test_interval_join_matches_model(spark, ps, ivs, bucket):
               for (ik, istart, d, ii) in ivs
               if pk == ik and istart <= s < istart + d}
     assert got == expect
+
+
+day_spans = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=60),   # open day offset
+              st.integers(min_value=0, max_value=30)),  # duration days
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(spans=day_spans)
+def test_interval_backlog_matches_bruteforce(spark, spans):
+    """Delta-encode + prefix-sum must equal brute-force stabbing (for
+    each day, count intervals with open <= day <= close) on every day
+    of the dense spine."""
+    from distributed_deduplicator_spark.operators.temporal import (
+        interval_backlog)
+    base = dt.date(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=o),
+             base + dt.timedelta(days=o + d)) for o, d in spans]
+    df = spark.createDataFrame(rows, ["open_d", "close_d"])
+    got = sorted(interval_backlog(df, "open_d", "close_d").collect(),
+                 key=lambda r: r.day)
+    lo = min(o for o, _ in rows)
+    hi = max(c for _, c in rows)
+    day = lo
+    for r in got:
+        assert r.day == day
+        assert r.n_open == sum(1 for o, c in rows if o <= day <= c)
+        day += dt.timedelta(days=1)
+    assert day == hi + dt.timedelta(days=1)
+
+
+qt_values = st.lists(
+    st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+              st.integers(min_value=0, max_value=40)),
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(vals=qt_values, pcts=st.sets(
+    st.integers(min_value=1, max_value=100), min_size=1, max_size=3))
+def test_count_table_quantiles_match_percentile_disc(spark, vals, pcts):
+    """The count-table quantile must equal sorted-list percentile_disc
+    (value at 1-based index ceil(p·n/100)) for every group and
+    percentile."""
+    from distributed_deduplicator_spark.operators.relational import (
+        count_table_quantiles)
+    pcts = sorted(pcts)
+    df = spark.createDataFrame(vals, ["g", "v"])
+    got = {r.g: r for r in
+           count_table_quantiles(df, ["g"], "v", pcts).collect()}
+    groups = {}
+    for g, v in vals:
+        groups.setdefault(g, []).append(v)
+    assert set(got) == set(groups)
+    for g, xs in groups.items():
+        xs.sort()
+        assert got[g].n_rows == len(xs)
+        for p in pcts:
+            idx = -(-len(xs) * p // 100)  # ceil, 1-based
+            assert getattr(got[g], f"p{p}") == xs[idx - 1], \
+                (g, p, xs, got[g])
