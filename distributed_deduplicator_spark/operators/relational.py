@@ -205,3 +205,25 @@ def count_table_quantiles(df: DataFrame, keys: Sequence[str],
                                  F.col(value_col)))
                      .cast("bigint").alias(f"p{int(p)}"))
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def basket_pairs(df: DataFrame, basket_col: str,
+                 item_col: str) -> DataFrame:
+    """Distinct co-occurring item pairs within each basket, counted
+    across baskets — the market-basket / co-citation primitive.
+
+    The pair generation is a self-equi-join WITHIN the basket key, so
+    the work is Σ|basket|² — bounded by basket size, never
+    corpus-quadratic — and the pair count is map-side combinable.
+    Returns (item_a, item_b, n_both) with item_a < item_b.
+    Property-tested against itertools.combinations in
+    tests/test_property_dedup.py.
+    """
+    li = df.select(F.col(basket_col).alias("_b"),
+                   F.col(item_col).alias("_i")).distinct()
+    a = li.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = li.select(F.col("_b"), F.col("_i").alias("item_b"))
+    return (a.join(b, "_b")
+             .where(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").alias("n_both")))

@@ -25,6 +25,7 @@ from pyspark.sql import Window
 
 from distributed_deduplicator_spark.functions.timeutil import ts_micros
 from distributed_deduplicator_spark.operators.relational import (
+    basket_pairs,
     join_dim, topk_per_group, topk_global)
 from distributed_deduplicator_spark.queries.registry import query
 from distributed_deduplicator_spark.sources import load_table
@@ -2074,12 +2075,9 @@ def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey").distinct()
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     marg = li.groupBy("l_partkey").agg(F.count("*").alias("c_part"))
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
-    pairs = (a.join(b, "l_orderkey")
-              .where(F.col("part_a") < F.col("part_b"))
-              .groupBy("part_a", "part_b")
-              .agg(F.count("*").alias("n_both")))
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey") \
+        .select(F.col("item_a").alias("part_a"),
+                F.col("item_b").alias("part_b"), "n_both")
     top = topk_global(pairs, [F.col("n_both").desc(), F.col("part_a"),
                               F.col("part_b")], _BASKET_TOPK)
     ma = marg.select(F.col("l_partkey").alias("part_a"),

@@ -220,3 +220,32 @@ def test_count_table_quantiles_match_percentile_disc(spark, vals, pcts):
             idx = -(-len(xs) * p // 100)  # ceil, 1-based
             assert getattr(got[g], f"p{p}") == xs[idx - 1], \
                 (g, p, xs, got[g])
+
+
+baskets_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8),    # basket id
+              st.integers(min_value=0, max_value=12)),  # item id
+    min_size=1, max_size=50)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=baskets_st)
+def test_basket_pairs_match_combinations(spark, rows):
+    """Pair counts must equal itertools.combinations over each
+    basket's distinct sorted items."""
+    import collections
+    import itertools
+
+    from distributed_deduplicator_spark.operators.relational import (
+        basket_pairs)
+    df = spark.createDataFrame(rows, ["b", "i"])
+    got = {(r.item_a, r.item_b): r.n_both
+           for r in basket_pairs(df, "b", "i").collect()}
+    baskets = collections.defaultdict(set)
+    for b, i in rows:
+        baskets[b].add(i)
+    want: collections.Counter = collections.Counter()
+    for items in baskets.values():
+        want.update(itertools.combinations(sorted(items), 2))
+    assert got == dict(want)
