@@ -208,19 +208,26 @@ def count_table_quantiles(df: DataFrame, keys: Sequence[str],
 
 
 def basket_pairs(df: DataFrame, basket_col: str,
-                 item_col: str) -> DataFrame:
+                 item_col: str, assume_distinct: bool = False) -> DataFrame:
     """Distinct co-occurring item pairs within each basket, counted
     across baskets — the market-basket / co-citation primitive.
 
     The pair generation is a self-equi-join WITHIN the basket key, so
     the work is Σ|basket|² — bounded by basket size, never
     corpus-quadratic — and the pair count is map-side combinable.
-    Returns (item_a, item_b, n_both) with item_a < item_b.
+    Returns (item_a, item_b, n_both) with item_a < item_b. Pass
+    ``assume_distinct=True`` when (basket, item) rows are already
+    deduplicated to skip the internal distinct (and let the caller's
+    exchange be reused). NULL contract: rows with a NULL basket or
+    item id never pair (the equi-join and the ``<`` filter both
+    propagate NULL) — pre-coalesce if NULLs must participate.
     Property-tested against itertools.combinations in
     tests/test_property_dedup.py.
     """
     li = df.select(F.col(basket_col).alias("_b"),
-                   F.col(item_col).alias("_i")).distinct()
+                   F.col(item_col).alias("_i"))
+    if not assume_distinct:
+        li = li.distinct()
     a = li.select(F.col("_b"), F.col("_i").alias("item_a"))
     b = li.select(F.col("_b"), F.col("_i").alias("item_b"))
     return (a.join(b, "_b")

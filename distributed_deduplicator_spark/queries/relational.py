@@ -2075,7 +2075,8 @@ def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey").distinct()
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     marg = li.groupBy("l_partkey").agg(F.count("*").alias("c_part"))
-    pairs = basket_pairs(li, "l_orderkey", "l_partkey") \
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey",
+                         assume_distinct=True) \
         .select(F.col("item_a").alias("part_a"),
                 F.col("item_b").alias("part_b"), "n_both")
     top = topk_global(pairs, [F.col("n_both").desc(), F.col("part_a"),
