@@ -567,6 +567,29 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def lsh_band_array(bands: int, rows: int) -> Column:
+    """``array<struct<band, bucket>>`` of LSH band keys over a ``sig``
+    column — THE single definition of the banding scheme. Within-batch
+    pair generation (:func:`minhash_lsh_pairs`) and the streaming
+    near-dup ledger's stored keys (streaming/neardup_stream.py) both
+    derive from this expression, so cross-boundary candidate joins can
+    never silently drift from within-batch semantics."""
+    return F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col("sig")[b * rows + r]
+                              for r in range(rows)]).alias("bucket"))
+        for b in range(bands)])
+
+
+def lsh_band_keys(sig: DataFrame, bands: int = 16,
+                  rows: int = 4) -> DataFrame:
+    """Exploded (id, band, bucket) band keys of a (id, sig) table."""
+    return (sig.select("id",
+                       F.explode(lsh_band_array(bands, rows)).alias("bb"))
+               .select("id", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
+
+
 def minhash_lsh_pairs(sig: DataFrame, bands: int = 16, rows: int = 4,
                       num_hashes: int | None = None,
                       max_bucket_size: int | None = None) -> DataFrame:
@@ -596,14 +619,7 @@ def minhash_lsh_pairs(sig: DataFrame, bands: int = 16, rows: int = 4,
         raise ValueError(
             f"bands*rows = {bands * rows} exceeds signature length "
             f"{num_hashes}")
-    bands_col = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                  .alias("bucket"))
-        for b in range(bands)])
-    exploded = (sig.select("id", F.explode(bands_col).alias("bb"))
-                   .select("id", F.col("bb.band").alias("band"),
-                           F.col("bb.bucket").alias("bucket")))
+    exploded = lsh_band_keys(sig, bands=bands, rows=rows)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         exploded = (exploded

@@ -91,6 +91,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_schema(spark: SparkSession, sf_dir: str,
+                 name: str) -> T.StructType:
+    """Scan schema of a fixture table from the session cache — at most
+    one footer read per (sf_dir, table) per session (the same cache
+    load_table fills). Streaming readers need an explicit schema; this
+    keeps them from paying a fresh footer job per call."""
+    key = (sf_dir, name)
+    if key not in _SCHEMA_CACHE:
+        load_table(spark, sf_dir, name)
+    return _SCHEMA_CACHE[key]
+
+
 def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a narrow source up to cluster parallelism.
 

@@ -28,13 +28,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_deduplicator_spark.sources import load_table
+from distributed_deduplicator_spark.sources.fixtures import table_schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file-source stream (schema from the
     batch reader, including the nanos→micros normalization)."""
     batch = load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # cached footer schema — a fresh spark.read.parquet(...).schema here
+    # would pay one needless footer job per call (8+ streaming queries
+    # per drive), the exact waste the fixtures schema cache exists for
+    raw_schema = table_schema(spark, sf_dir, "events")
     # file source wants a directory or glob, not a bare file path
     stream = (spark.readStream.schema(raw_schema)
               .parquet(f"{sf_dir}/events.parque[t]"))
@@ -64,7 +68,13 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
-    return spark.table(name)
+    # materialize and DROP the memory-sink table — otherwise every
+    # drained stream pins its full result on the driver for the
+    # session's lifetime (a full-registry drive runs 8+ of these)
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str,

@@ -11,6 +11,7 @@ log with SUCCESS→FAILED rewrites.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -62,13 +63,20 @@ def run_guarded_stream_ledger(winners: DataFrame, spark: SparkSession,
 
         # block runs executor-side in Arrow batches — the microbatch is
         # batch code, so the ledger write is an ordinary distributed
-        # parquet append (no driver collect)
+        # parquet write (no driver collect). Batch-id-versioned
+        # OVERWRITE, not a flat append: an epoch retry after a partial
+        # failure rewrites its own directory instead of appending
+        # duplicate ledger rows (the idempotent-sink discipline of
+        # streaming/sinks.py and neardup_stream.py)
         batch_df.mapInPandas(run, out_schema) \
-                .write.mode("append").parquet(out_dir)
+                .write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch={batch_id}"))
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (winners.writeStream.foreachBatch(sink)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # drop the discovered batch=N partition column — the ledger schema
+    # carries batch_id explicitly
+    return spark.read.parquet(out_dir).drop("batch")

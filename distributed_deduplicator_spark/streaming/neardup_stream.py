@@ -14,9 +14,13 @@ Design (scale-first):
   the hot path.
 - Cross-batch: candidates against the LEDGER by band equi-join.
   The ledger stores (id, signature, band keys) — num_hashes longs
-  per accepted doc, NEVER text or shingles, so ledger size is
-  O(accepted docs), its join ships fixed-width rows, and the band
-  join stays an equi-join at any history size.
+  plus 16 precomputed band buckets per accepted doc, NEVER text or
+  shingles, so ledger size is O(accepted docs), its join ships
+  fixed-width rows, the stored keys make the candidate join a pure
+  read (no per-batch rehash of the whole history), and the banding
+  scheme is the SAME expression within-batch joins use
+  (operators/similarity.lsh_band_array), so the two sides cannot
+  drift.
 - Verification is signature agreement (fraction of equal minhash
   components — the unbiased Jaccard estimator). Exact-Jaccard
   verification would require storing shingle sets in the ledger
@@ -42,6 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_deduplicator_spark.operators.similarity import (
+    lsh_band_array,
+    lsh_band_keys,
     minhash_lsh_pairs,
     minhash_signatures,
     shingles,
@@ -59,19 +65,6 @@ def _sig_agreement(a, b):
         F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y),
                         lambda v: v))
         / F.lit(float(_NUM_HASHES)))
-
-
-def _band_keys(sig_df: DataFrame) -> DataFrame:
-    """(id, band, band_hash) — one row per LSH band."""
-    bands_col = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[i]
-                         for i in range(b * _ROWS, (b + 1) * _ROWS)])
-            .alias("band_hash"))
-        for b in range(_BANDS)])
-    return (sig_df.select("id", F.explode(bands_col).alias("bk"))
-                  .select("id", "bk.band", "bk.band_hash"))
 
 
 def _earlier_ledger_paths(ledger_dir: str, batch_id: int) -> list[str]:
@@ -103,52 +96,73 @@ def process_batch(batch: DataFrame, ledger_dir: str, out_dir: str,
     incremental-batch pipelines with a caller-managed version number."""
     spark = batch.sparkSession
     sh = shingles(batch, "doc_id", "text", n=shingle_n)
-    sig = minhash_signatures(sh, num_hashes=_NUM_HASHES)
-
-    # -- within-batch: candidate pairs, verify, greedy first-wins by id
-    pairs = minhash_lsh_pairs(sig, bands=_BANDS, rows=_ROWS,
-                              num_hashes=_NUM_HASHES)
-    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb"))
-    intra_losers = (pairs.join(sa, "id_a").join(sb, "id_b")
-                    .where(_sig_agreement(F.col("_sa"), F.col("_sb"))
-                           >= _AGREE)
-                    .select(F.greatest("id_a", "id_b").alias("id"))
-                    .distinct())
-
-    # -- cross-batch: band collision against EARLIER batches' ledger
-    bk = _band_keys(sig)
-    cross_losers = None
-    earlier = _earlier_ledger_paths(ledger_dir, batch_id)
-    if earlier:
-        ledger = spark.read.parquet(*earlier)
-        lbk = _band_keys(ledger.select("id", "sig")) \
-            .select(F.col("id").alias("_lid"), "band", "band_hash")
-        cand = (bk.join(lbk, ["band", "band_hash"])
-                  .select("id", "_lid").distinct())
-        lsig = ledger.select(F.col("id").alias("_lid"),
-                             F.col("sig").alias("_ls"))
-        cross_losers = (cand.join(sig, "id").join(lsig, "_lid")
-                        .where(_sig_agreement(F.col("sig"), F.col("_ls"))
+    # every downstream branch (LSH self-join sides, band keys, both
+    # verify joins, verdicts, survivors) re-derives sig — persist the
+    # most expensive stage (tokenize + 64 MIN aggregates) once per
+    # microbatch and release it after both writes
+    sig = minhash_signatures(sh, num_hashes=_NUM_HASHES).persist()
+    try:
+        # -- within-batch: candidates, verify, greedy first-wins by id
+        pairs = minhash_lsh_pairs(sig, bands=_BANDS, rows=_ROWS,
+                                  num_hashes=_NUM_HASHES)
+        sa = sig.select(F.col("id").alias("id_a"),
+                        F.col("sig").alias("_sa"))
+        sb = sig.select(F.col("id").alias("id_b"),
+                        F.col("sig").alias("_sb"))
+        intra_losers = (pairs.join(sa, "id_a").join(sb, "id_b")
+                        .where(_sig_agreement(F.col("_sa"), F.col("_sb"))
                                >= _AGREE)
-                        .select("id").distinct())
+                        .select(F.greatest("id_a", "id_b").alias("id"))
+                        .distinct())
 
-    losers = (intra_losers.unionByName(cross_losers).distinct()
-              if cross_losers is not None else intra_losers)
+        # -- cross-batch: band collision against EARLIER batches'
+        # ledger, on the band keys STORED at accept time (immutable —
+        # recomputing them over the whole history every batch would be
+        # O(total history) redundant hashing per microbatch)
+        bk = lsh_band_keys(sig, bands=_BANDS, rows=_ROWS)
+        cross_losers = None
+        earlier = _earlier_ledger_paths(ledger_dir, batch_id)
+        if earlier:
+            ledger = spark.read.parquet(*earlier)
+            lbk = (ledger.select(F.col("id").alias("_lid"),
+                                 F.explode("bks").alias("bb"))
+                         .select("_lid", "bb.band", "bb.bucket"))
+            cand = (bk.join(lbk, ["band", "bucket"])
+                      .select("id", "_lid").distinct())
+            lsig = ledger.select(F.col("id").alias("_lid"),
+                                 F.col("sig").alias("_ls"))
+            cross_losers = (cand.join(sig, "id").join(lsig, "_lid")
+                            .where(_sig_agreement(F.col("sig"),
+                                                  F.col("_ls"))
+                                   >= _AGREE)
+                            .select("id").distinct())
 
-    verdicts = (sig.join(losers.withColumn("_dup", F.lit(True)),
-                         "id", "left")
-                .select(F.col("id").alias("doc_id"),
-                        F.when(F.col("_dup").isNotNull(),
-                               F.lit("DUPLICATE"))
-                         .otherwise(F.lit("SUCCESS")).alias("verdict")))
-    verdicts.write.mode("overwrite").parquet(
-        os.path.join(out_dir, f"batch={batch_id}"))
+        losers = (intra_losers.unionByName(cross_losers).distinct()
+                  if cross_losers is not None else intra_losers)
 
-    survivors = (sig.join(losers, "id", "left_anti")
-                   .select("id", "sig"))
-    survivors.write.mode("overwrite").parquet(
-        os.path.join(ledger_dir, f"batch={batch_id}"))
+        # verdicts are TOTAL over the batch's doc_ids: a doc shorter
+        # than the shingle width has no signature (explode drops it)
+        # and can never near-dup by this metric — it must still get an
+        # explicit SUCCESS row, not silently vanish from the table
+        all_ids = batch.select(F.col("doc_id").alias("id")).distinct()
+        verdicts = (all_ids.join(losers.withColumn("_dup", F.lit(True)),
+                                 "id", "left")
+                    .select(F.col("id").alias("doc_id"),
+                            F.when(F.col("_dup").isNotNull(),
+                                   F.lit("DUPLICATE"))
+                             .otherwise(F.lit("SUCCESS"))
+                             .alias("verdict")))
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+
+        survivors = (sig.join(losers, "id", "left_anti")
+                       .select("id", "sig",
+                               lsh_band_array(_BANDS, _ROWS)
+                               .alias("bks")))
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(ledger_dir, f"batch={batch_id}"))
+    finally:
+        sig.unpersist()
 
 
 def stream_minhash_neardup(spark: SparkSession, docs_glob: str,

@@ -63,19 +63,23 @@ def ttl_dedup_stateful(events: DataFrame, ttl_seconds: int,
             state.remove()
             return
         (last_us,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            verdicts = []
-            for t in pdf["ts"]:
-                t_us = int(t.value // 1000)  # pandas ns → µs
-                if last_us is None or t_us - last_us >= ttl_us:
-                    verdicts.append("SUCCESS")
-                    last_us = t_us
-                else:
-                    verdicts.append("DUPLICATE")
-            out = pdf[["user_id", "event_type", "ts", "event_id"]].copy()
-            out["verdict"] = verdicts
-            yield out
+        # A key's micro-batch rows arrive as MULTIPLE Arrow chunks when
+        # the group exceeds arrow.maxRecordsPerBatch; sorting per chunk
+        # would walk the recurrence out of (ts, event_id) order and
+        # emit wrong verdicts — concatenate first, sort ONCE.
+        pdf = pd.concat(list(pdfs), ignore_index=True) \
+                .sort_values(["ts", "event_id"], kind="mergesort")
+        verdicts = []
+        for t in pdf["ts"]:
+            t_us = int(t.value // 1000)  # pandas ns → µs
+            if last_us is None or t_us - last_us >= ttl_us:
+                verdicts.append("SUCCESS")
+                last_us = t_us
+            else:
+                verdicts.append("DUPLICATE")
+        out = pdf[["user_id", "event_type", "ts", "event_id"]].copy()
+        out["verdict"] = verdicts
+        yield out
         if last_us is not None:
             state.update((last_us,))
             if evict_state:
@@ -152,21 +156,22 @@ def ttl_dedup_tws(events: DataFrame, ttl_seconds: int,
         def handleInputRows(self, key, rows, timer_values: TimerValues):
             got = self._last.get()
             last_us = got[0] if got is not None else None
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"],
-                                      kind="mergesort")
-                verdicts = []
-                for t in pdf["ts"]:
-                    t_us = int(t.value // 1000)  # pandas ns → µs
-                    if last_us is None or t_us - last_us >= ttl_us:
-                        verdicts.append("SUCCESS")
-                        last_us = t_us
-                    else:
-                        verdicts.append("DUPLICATE")
-                out = pdf[["user_id", "event_type", "ts",
-                           "event_id"]].copy()
-                out["verdict"] = verdicts
-                yield out
+            # concat-then-sort: a multi-chunk group sorted per chunk
+            # walks the recurrence out of order (see ttl_dedup_stateful)
+            pdf = pd.concat(list(rows), ignore_index=True) \
+                    .sort_values(["ts", "event_id"], kind="mergesort")
+            verdicts = []
+            for t in pdf["ts"]:
+                t_us = int(t.value // 1000)  # pandas ns → µs
+                if last_us is None or t_us - last_us >= ttl_us:
+                    verdicts.append("SUCCESS")
+                    last_us = t_us
+                else:
+                    verdicts.append("DUPLICATE")
+            out = pdf[["user_id", "event_type", "ts",
+                       "event_id"]].copy()
+            out["verdict"] = verdicts
+            yield out
             if last_us is not None:
                 self._last.update((last_us,))
                 if evict_state:

@@ -184,3 +184,38 @@ def test_tws_builds_unlinked(spark, sf_dir):
                        evict_state=False)
     assert set(df.columns) == {"user_id", "event_type", "ts",
                                "event_id", "verdict"}
+
+
+def test_ttl_dedup_stateful_multichunk_group_order(spark, tmp_path):
+    """A key whose micro-batch rows span multiple Arrow chunks must
+    still walk the TTL recurrence in global (ts, event_id) order.
+    Regression: per-chunk sort_values emitted ts=0 as DUPLICATE when
+    rows arrived as chunks [20,21] then [0,1] (ttl=10s)."""
+    import datetime as dt
+
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        run_stream_to_df)
+    from distributed_deduplicator_spark.streaming.stateful import (
+        ttl_dedup_stateful)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, "click", base + dt.timedelta(seconds=s), eid)
+            for eid, s in enumerate([20, 21, 0, 1])]
+    src = str(tmp_path / "files")
+    spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts", "event_id"]) \
+        .coalesce(1).write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = run_stream_to_df(ttl_dedup_stateful(stream, 10,
+                                                  evict_state=False),
+                               spark, output_mode="append")
+        got = {r.event_id: r.verdict for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old)
+    # (ts order): s=0 SUCCESS, s=1 DUP, s=20 SUCCESS (20-0>=10), s=21 DUP
+    assert got == {2: "SUCCESS", 3: "DUPLICATE",
+                   0: "SUCCESS", 1: "DUPLICATE"}
