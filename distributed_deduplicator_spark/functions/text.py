@@ -7,6 +7,18 @@ deterministic ids via hashing replacing UUIDv4, :43).
 
 Every function returns a Column, so they compose into any query and
 keep Catalyst free to prune/push down around them.
+
+
+SCOPE — Latin-script kernel: normalize() keeps [a-z0-9] only, and every
+regex here uses Java's ASCII \\w/\\b. This is the deliberate,
+cross-engine-exact contract shared verbatim with the DuckDB oracle
+twins (_NORM_SQL) across the query registry — NOT a universal
+tokenizer. CJK and other non-Latin scripts normalize to '' (so
+fingerprints/quality scores are meaningless for them); a production
+multilingual pipeline plugs a segmenter in ahead of these kernels.
+Known cross-engine-consistent edges, relied on by the oracles: empty
+text tokenizes to [''] (token_count 1), and punct_ratio on empty text
+is NULL (0/0) in both engines.
 """
 
 from __future__ import annotations

@@ -12,6 +12,8 @@ in session.py. Nothing here collects to the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -35,7 +37,14 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 # dozens of needless driver→executor round trips per session (and the
 # only "work" a query build performs). Cache the raw schema per
 # (sf_dir, table) so every load after the first is pure planning.
-_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _path_mtime(path: str) -> float:
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -70,7 +79,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.optimizer.excludedRules",
                        f"{current_excluded},{_IFG}")
     path = f"{sf_dir}/{name}.parquet"
-    key = (sf_dir, name)
+    # mtime in the key: regenerating a fixture at the same path within
+    # one process must not force the STALE schema onto the new files
+    # (a cached nanos-long ts schema applied to regenerated us files
+    # would misread or error)
+    key = (sf_dir, name, _path_mtime(path))
     cached = _SCHEMA_CACHE.get(key)
     if cached is not None:
         df = spark.read.schema(cached).parquet(path)
@@ -97,7 +110,7 @@ def table_schema(spark: SparkSession, sf_dir: str,
     one footer read per (sf_dir, table) per session (the same cache
     load_table fills). Streaming readers need an explicit schema; this
     keeps them from paying a fresh footer job per call."""
-    key = (sf_dir, name)
+    key = (sf_dir, name, _path_mtime(f"{sf_dir}/{name}.parquet"))
     if key not in _SCHEMA_CACHE:
         load_table(spark, sf_dir, name)
     return _SCHEMA_CACHE[key]
@@ -118,12 +131,17 @@ def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     files = df.inputFiles()
-    # len(inputFiles) lower-bounds the scan's split count and costs a
-    # file-index lookup; df.rdd.getNumPartitions() is exact but compiles
-    # the plan to an RDD (~0.5-1.5 s of driver time per call). When the
-    # bound is pessimistic (few huge multi-row-group files) we shuffle
-    # to exactly cluster parallelism — neutral, never a slowdown.
-    current = len(files) if files else df.rdd.getNumPartitions()
+    # len(inputFiles) is cheap (a file-index lookup) but it is an UPPER
+    # bound on split count for many-small-files directories — Spark
+    # packs small files into shared FilePartitions, so 100 tiny files
+    # can scan as ~4 splits. It is exact for the single-file fixtures
+    # (the hot path, where the RDD compile's 0.5-1.5 s driver cost is
+    # worth avoiding); for multi-file inputs fall through to the exact
+    # df.rdd.getNumPartitions() so a packed scan still fans out.
+    if len(files) <= 1:
+        current = len(files) or df.rdd.getNumPartitions()
+    else:
+        current = df.rdd.getNumPartitions()
     if current < target:
         return df.repartition(target)
     return df

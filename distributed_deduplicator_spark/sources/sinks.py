@@ -78,9 +78,19 @@ def create_table_if_not_exists(spark: SparkSession, name: str,
     """Lazy table creation (R7, createTableIfNotExist,
     DeduplicationProvider.kt:226-236): register a parquet path as a
     catalog table on first use; no-op when it already exists."""
-    if not spark.catalog.tableExists(name):
-        df.write.mode("errorifexists").option("path", path) \
-          .saveAsTable(name)
+    if spark.catalog.tableExists(name):
+        return
+    import os
+    if os.path.isdir(path) and any(
+            not e.startswith((".", "_")) for e in os.listdir(path)):
+        # table missing from THIS session's catalog but the data
+        # already exists (in-memory catalog wiped between sessions):
+        # register the existing location instead of a CTAS, which
+        # refuses a non-empty path — re-runs stay a true no-op
+        spark.catalog.createTable(name, path=path, source="parquet")
+        return
+    df.write.mode("errorifexists").option("path", path) \
+      .saveAsTable(name)
 
 
 def write_range_partitioned(df: DataFrame, path: str,
@@ -137,10 +147,18 @@ def zorder_value(bounds: dict[str, tuple[float, float]],
     for d, (col, (lo, hi)) in enumerate(bounds.items()):
         if not hi > lo:
             raise ValueError(f"bounds for {col!r} must satisfy max > min")
-        # width_bucket: 1..n in range; clamp the right edge into bucket n
-        bucket = (F.least(F.width_bucket(F.col(col), F.lit(float(lo)),
-                                         F.lit(float(hi)), F.lit(2 ** bits)),
-                          F.lit(2 ** bits)) - F.lit(1)).cast("long")
+        # width_bucket: 1..n in range; clamp BOTH overflow buckets —
+        # the right edge (n+1) into bucket n, and below-range values
+        # (bucket 0, from stale/approximate stats) into bucket 1:
+        # unclamped, bucket-1 = -1 arithmetic-shifts to all-one bits
+        # and below-range rows would z-order into the MAX corner,
+        # stretching that file's footer range across the whole domain
+        bucket = (F.greatest(
+                      F.least(F.width_bucket(F.col(col), F.lit(float(lo)),
+                                             F.lit(float(hi)),
+                                             F.lit(2 ** bits)),
+                              F.lit(2 ** bits)),
+                      F.lit(1)) - F.lit(1)).cast("long")
         for i in range(bits):
             # bit i of this dim lands at interleaved position i*ndim + d
             terms.append(
@@ -170,6 +188,10 @@ def write_zorder(df: DataFrame, path: str,
     Verified by per-file footer-statistics pruning assertion on BOTH
     dimensions in tests/test_sinks_multimodal.py.
     """
+    if "_zval" in df.columns:
+        raise ValueError(
+            "input already has a '_zval' column; it would be silently "
+            "overwritten and dropped from the written output")
     z = zorder_value(bounds, bits=bits).alias("_zval")
     out = (df.withColumn("_zval", z)
              .repartitionByRange(n_partitions, "_zval")

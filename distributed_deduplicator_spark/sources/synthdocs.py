@@ -106,7 +106,11 @@ class SynthDocsReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         lo, hi = self.lo, max(self.lo, self.hi)
         if hi <= lo:
-            return []
+            # pushed filters pruned everything — but an EMPTY partition
+            # list makes PySpark substitute [None] and call read(None)
+            # (plan_data_source_read.py), crashing the job; one empty
+            # range yields the correct zero-row result
+            return [_IdRange(0, 0)]
         step = -(-self.n_docs // self.n_partitions)  # ceil over FULL space
         parts = []
         for s in range(0, self.n_docs, step):

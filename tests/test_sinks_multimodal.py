@@ -382,3 +382,55 @@ def test_zorder_value_rejects_overflowing_interleave(spark):
     with pytest.raises(ValueError, match="exceeds 63"):
         zorder_value(bounds, bits=12)   # 72 bit positions
     zorder_value(bounds, bits=10)       # 60 — fine
+
+
+def test_synthdocs_empty_filter_returns_zero_rows(spark):
+    """Filters that prune every id range must yield an empty result,
+    not a crash: PySpark substitutes [None] for an empty partition
+    list and calls read(None) (regression)."""
+    from distributed_deduplicator_spark.sources.synthdocs import (
+        register_synthdocs)
+    register_synthdocs(spark)
+    df = (spark.read.format("synthdocs")
+          .option("n_docs", "100").load())
+    assert df.filter("doc_id < 0").count() == 0
+    assert df.filter("doc_id >= 100").count() == 0
+    assert df.filter("doc_id > 90 AND doc_id < 10").count() == 0
+
+
+def test_zorder_value_clamps_out_of_range_both_sides(spark):
+    """Values outside (lo, hi) — stale/approximate stats — must clamp
+    into the edge buckets: a below-range value previously produced
+    bucket -1 (all-one shifted bits) and z-ordered into the MAX
+    corner."""
+    from distributed_deduplicator_spark.sources.sinks import zorder_value
+    bounds = {"x": (0.0, 100.0), "y": (0.0, 100.0)}
+    df = spark.createDataFrame(
+        [(-5.0, -5.0), (0.0, 0.0), (105.0, 105.0), (100.0, 100.0)],
+        ["x", "y"])
+    z = [r.z for r in
+         df.select(zorder_value(bounds, bits=8).alias("z")).collect()]
+    below, lo_edge, above, hi_edge = z
+    assert below == lo_edge            # below-range == lowest bucket
+    assert above == hi_edge            # above-range == highest bucket
+    assert below < above
+
+
+def test_create_table_if_not_exists_reregisters_existing_path(
+        spark, sf_dir, tmp_path):
+    """A second 'session' (catalog entry dropped, data still on disk)
+    must re-register the existing parquet location as a no-op instead
+    of crashing CTAS on a non-empty path."""
+    from distributed_deduplicator_spark.sources.sinks import (
+        create_table_if_not_exists)
+    d = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "tbl")
+    name = "t_ctine_rerun"
+    try:
+        create_table_if_not_exists(spark, name, d, path)
+        n1 = spark.table(name).count()
+        spark.sql(f"DROP TABLE {name}")      # catalog wiped, data stays
+        create_table_if_not_exists(spark, name, d, path)
+        assert spark.table(name).count() == n1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
