@@ -107,3 +107,13 @@ def fingerprint(col: Column | str) -> Column:
     (the exact-dup key; the reference's deterministic-id discipline
     applied to content instead of attempts)."""
     return F.md5(normalize(col))
+
+
+def dsir_bucket(col: Column | str) -> Column:
+    """DSIR hashed-unigram feature bucket: first 2 hex chars of the
+    token's md5 (256 buckets, DuckDB twin substr(md5(w),1,2)) — THE
+    featurization `dsir_importance_weights` and `source_token_drift`
+    both build on; one definition so their documented equivalence
+    cannot drift."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("binary")), 1, 2)

@@ -234,3 +234,47 @@ def basket_pairs(df: DataFrame, basket_col: str,
              .where(F.col("item_a") < F.col("item_b"))
              .groupBy("item_a", "item_b")
              .agg(F.count("*").alias("n_both")))
+
+
+def tv_drift_profile(counts: DataFrame, group_col: str,
+                     bucket_col: str, count_col: str) -> DataFrame:
+    """Per-group total-variation distance between each group's bucket
+    histogram and the whole-corpus one, on EXACT integer moments — the
+    drift monitor behind `value_drift_by_day` (groups = days) and
+    `source_token_drift` (groups = ingest sources), factored once so
+    the formula cannot diverge between them.
+
+    Grid-free: the Σ runs only over buckets the group actually has,
+    on |n_gb·N − n_glob·N_g| BIGINT cross-products, with the
+    1 − Σ p_glob remainder covering absent buckets — proved equal to
+    the textbook full-grid 0.5·Σ|p_g − p_glob| in
+    tests/test_corpus_analysis_ops.py. One fixed-order double
+    expression at the end keeps the cross-engine value hash. (BIGINT
+    products cap at ~3e9 rows/group × 3e9 total; past that, scale the
+    histogram to per-group doubles and round.)
+
+    Expects the pre-aggregated (group, bucket, count) table — persist
+    it in the caller if other consumers share it. Returns
+    (group, n_group, n_buckets, tv_drift); margins are re-aggregations
+    of the tiny input, totals a 1-row broadcast.
+    """
+    g, b, n = group_col, bucket_col, count_col
+    gb = counts.groupBy(b).agg(F.sum(n).alias("_n_gb"))
+    ng = counts.groupBy(g).agg(F.sum(n).alias("n_group"))
+    tot = gb.agg(F.sum("_n_gb").alias("_n_total"))
+    j = (counts.join(F.broadcast(gb), b)
+               .join(F.broadcast(ng), g)
+               .crossJoin(F.broadcast(tot)))
+    per = (j.groupBy(g, "n_group", "_n_total")
+            .agg(F.sum(F.abs(F.col(n) * F.col("_n_total")
+                             - F.col("_n_gb") * F.col("n_group")))
+                  .alias("_s_abs"),
+                 F.sum("_n_gb").alias("_t_glob"),
+                 F.count("*").alias("n_buckets")))
+    tv = (F.lit(0.5)
+          * (F.col("_s_abs").cast("double")
+             / (F.col("n_group") * F.col("_n_total")).cast("double")
+             + F.lit(1.0)
+             - F.col("_t_glob").cast("double")
+             / F.col("_n_total").cast("double")))
+    return per.select(g, "n_group", "n_buckets", tv.alias("tv_drift"))

@@ -373,7 +373,10 @@ def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_deduplicator_spark.functions import text as TXT
     d = load_table(spark, sf_dir, "documents")
     toks = F.col("_toks")
-    charsum = F.aggregate(toks, F.lit(0),
+    # BIGINT seed: an INT accumulator overflows past 2^31 characters
+    # per doc (ANSI mode aborts; the DuckDB oracle's list_sum is
+    # 128-bit) — same 0L discipline as blocklist_scrub_stats
+    charsum = F.aggregate(toks, F.lit(0).cast("bigint"),
                           lambda acc, x: acc + F.length(x))
     base = d.select(
         "n_chars", TXT.tokens("text").alias("_toks"))
@@ -566,9 +569,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (d.select("doc_id", "lang", TXT.tokens("text").alias("_toks"))
             .where(F.size("_toks") > 0)
             .select("doc_id", "lang", F.explode("_toks").alias("w"))
-            .select("doc_id", "lang",
-                    F.substring(F.md5(F.col("w").cast("binary")), 1, 2)
-                     .alias("b")))
+            .select("doc_id", "lang", TXT.dsir_bucket("w").alias("b")))
     # One pass over the token stream: (doc, bucket) occurrence counts.
     # Both the 256-row bucket stats AND the per-doc rollup derive from
     # this subtree, so persist it (lazy — construction stays job-free;
@@ -769,33 +770,17 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_deduplicator_spark.operators.similarity import (
         _tracked_persist)
     d = load_table(spark, sf_dir, "documents")
+    from distributed_deduplicator_spark.operators.relational import (
+        tv_drift_profile)
     tok = (d.select("source", TXT.tokens("text").alias("_toks"))
             .where(F.size("_toks") > 0)
             .select("source", F.explode("_toks").alias("w"))
-            .select("source",
-                    F.substring(F.md5(F.col("w").cast("binary")), 1, 2)
-                     .alias("b")))
+            .select("source", TXT.dsir_bucket("w").alias("b")))
     sb = _tracked_persist(
         tok.groupBy("source", "b").agg(F.count("*").alias("n_sb")))
-    gb = sb.groupBy("b").agg(F.sum("n_sb").alias("n_gb"))
-    ns = sb.groupBy("source").agg(F.sum("n_sb").alias("n_src"))
-    tot = gb.agg(F.sum("n_gb").alias("n_total"))
-    j = (sb.join(F.broadcast(gb), "b")
-           .join(F.broadcast(ns), "source")
-           .crossJoin(F.broadcast(tot)))
-    per = (j.groupBy("source", "n_src", "n_total")
-            .agg(F.sum(F.abs(F.col("n_sb") * F.col("n_total")
-                             - F.col("n_gb") * F.col("n_src")))
-                  .alias("s_abs"),
-                 F.sum("n_gb").alias("t_glob"),
-                 F.count("*").alias("n_buckets")))
-    tv = (F.lit(0.5)
-          * (F.col("s_abs").cast("double")
-             / (F.col("n_src") * F.col("n_total")).cast("double")
-             + F.lit(1.0)
-             - F.col("t_glob").cast("double")
-             / F.col("n_total").cast("double")))
-    return per.select("source", "n_src", "n_buckets", tv.alias("tv_drift"))
+    return (tv_drift_profile(sb, "source", "b", "n_sb")
+            .select("source", F.col("n_group").alias("n_src"),
+                    "n_buckets", "tv_drift"))
 
 
 _CURRICULUM_PHASES = 10

@@ -97,8 +97,13 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid's row count is bounded by the time span, not the data."""
     ev = load_table(spark, sf_dir, "events")
     bucket = F.window("ts", "15 minutes")["start"]
-    b = (ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
-           .agg(F.count("*").alias("n")))
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    # persisted: feeds both the bounds aggregate and the join-back —
+    # unpersisted, the corpus-wide count shuffles twice per execution
+    b = _tracked_persist(
+        ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
+          .agg(F.count("*").alias("n")))
     bounds = (b.groupBy("event_type")
                 .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi")))
     grid = bounds.select(
@@ -269,8 +274,14 @@ def q_activity_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = F.array(*[
         F.sum(F.when(hr == h, 1).otherwise(0)).cast("double")
         for h in range(_PROFILE_HOURS)])
-    prof = (e.groupBy("user_id")
-             .agg(profile.alias("profile")))
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    # persisted: prof feeds BOTH sides of the top-k (corpus scan and
+    # the %19-filtered query set); the pushed filter under the
+    # aggregate blocks exchange reuse, so unpersisted the 24-bin
+    # corpus aggregation — the dominant cost — runs twice
+    prof = _tracked_persist(e.groupBy("user_id")
+                             .agg(profile.alias("profile")))
     q = prof.where((F.col("user_id") % _PROFILE_QUERY_MOD == 0)
                    & (F.col("user_id") < _PROFILE_QUERY_CAP))
     out = S.cosine_topk_bruteforce(prof, q, k=_PROFILE_TOPK,
@@ -504,27 +515,13 @@ def q_value_drift_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.floor(F.col("value") / F.lit(_DRIFT_BUCKET_WIDTH))
          .cast("bigint").alias("bucket"))
+    from distributed_deduplicator_spark.operators.relational import (
+        tv_drift_profile)
     db = _tracked_persist(
         base.groupBy("day", "bucket").agg(F.count("*").alias("n_db")))
-    gb = db.groupBy("bucket").agg(F.sum("n_db").alias("n_gb"))
-    nd = db.groupBy("day").agg(F.sum("n_db").alias("n_day"))
-    tot = gb.agg(F.sum("n_gb").alias("n_total"))
-    j = (db.join(F.broadcast(gb), "bucket")
-           .join(F.broadcast(nd), "day")
-           .crossJoin(F.broadcast(tot)))
-    per = (j.groupBy("day", "n_day", "n_total")
-            .agg(F.sum(F.abs(F.col("n_db") * F.col("n_total")
-                             - F.col("n_gb") * F.col("n_day")))
-                  .alias("s_abs"),
-                 F.sum("n_gb").alias("t_glob"),
-                 F.count("*").alias("n_buckets")))
-    tv = (F.lit(0.5)
-          * (F.col("s_abs").cast("double")
-             / (F.col("n_day") * F.col("n_total")).cast("double")
-             + F.lit(1.0)
-             - F.col("t_glob").cast("double")
-             / F.col("n_total").cast("double")))
-    return per.select("day", "n_day", "n_buckets", tv.alias("tv_drift"))
+    return (tv_drift_profile(db, "day", "bucket", "n_db")
+            .select("day", F.col("n_group").alias("n_day"),
+                    "n_buckets", "tv_drift"))
 
 
 @query("retention_cohorts", oracle="""
