@@ -210,8 +210,17 @@ def dedup_incremental(batch: DataFrame, ledger: DataFrame,
     shuffles are on ``keys`` so AQE plans them back-to-back without a
     re-exchange.
     """
-    led = ledger.select(*keys).distinct() \
-                .withColumn("_blocked", F.lit(True))
+    # A ledger carrying a verdict column blocks only on its SUCCESS
+    # rows: compensated FAILED / transient RETRY rows leave the key
+    # re-claimable (reference R11 — the exact contract the docstring
+    # promises; arbitrate_ledger produces this 4-state shape). A bare
+    # key ledger (no verdict column) blocks on presence, as before.
+    led = ledger
+    if verdict_col in ledger.columns:
+        led = ledger.where(
+            F.col(verdict_col) == STATE_NAMES[STATE_SUCCESS])
+    led = led.select(*keys).distinct() \
+             .withColumn("_blocked", F.lit(True))
     joined = batch.join(led, on=list(keys), how="left")
     w = Window.partitionBy(*keys).orderBy(*_order_cols(order_by))
     rn = F.row_number().over(w)

@@ -298,7 +298,8 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
     return (df.withColumn("rk", F.row_number().over(w_order))
               .withColumn("n_stratum", F.count("*").over(w_all))
               .where(F.col("rk")
-                     <= F.ceil(F.lit(frac) * F.col("n_stratum"))))
+                     <= F.ceil(F.lit(frac) * F.col("n_stratum")
+                               - F.lit(1e-9))))
 
 
 def source_overlap_matrix(docs: DataFrame, group_col: str,
@@ -370,16 +371,21 @@ def quality_funnel(df: DataFrame,
         cum = cum & pred
         counts.append(F.sum(cum.cast("bigint")).alias(f"c{i}"))
     agg = df.agg(*counts)
-    pairs = ", ".join(
-        f"{i}, '{name}', c{i}, c{i - 1}"
-        for i, (name, _) in enumerate(stages, start=1))
-    return (agg.selectExpr(
-                f"stack({len(stages)}, {pairs}) "
-                "AS (stage_idx, stage, survivors, prev)")
-               .select(F.col("stage_idx").cast("bigint").alias("stage_idx"),
-                       F.col("stage"),
-                       F.col("survivors").cast("bigint").alias("survivors"),
-                       (F.col("prev") - F.col("survivors"))
+    # Column-literal unpivot, not a selectExpr string: a stage name
+    # containing a quote must stay a NAME, never SQL text
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("stage_idx"),
+                 F.lit(name).alias("stage"),
+                 F.col(f"c{i}").alias("survivors"),
+                 F.col(f"c{i - 1}").alias("prev"))
+        for i, (name, _) in enumerate(stages, start=1)])
+    return (agg.select(F.explode(rows).alias("_r"))
+               .select(F.col("_r.stage_idx").cast("bigint")
+                        .alias("stage_idx"),
+                       F.col("_r.stage").alias("stage"),
+                       F.col("_r.survivors").cast("bigint")
+                        .alias("survivors"),
+                       (F.col("_r.prev") - F.col("_r.survivors"))
                        .cast("bigint").alias("dropped")))
 
 

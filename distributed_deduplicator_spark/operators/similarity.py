@@ -189,6 +189,10 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
     """
     arr = shingle_array(df, id_col, text_col, n)
     if method == "allpairs":
+        # both self-join sides plus the two set_size attaches would
+        # re-run the shingle pipeline 4× — persist the linear per-doc
+        # table (same rationale as containment_join / minhash_near_dup)
+        arr = _tracked_persist(arr)
         sh = (arr.select("id", F.explode("shingles").alias("_s"))
                  .select("id", F.xxhash64("_s").alias("shingle")))
         a, b = sh.alias("a"), sh.alias("b")
@@ -250,8 +254,12 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
     # one row per doc — linear, spill-safe, the thing you'd persist at
     # any scale. Released by the caller via release_persisted().
     ordered = _tracked_persist(ordered)
+    # ε guards this ceil too: when s·τ is exactly integral the double
+    # product can round UP (0.55·100 = 55.000000000000004 → ceil 56),
+    # shortening the prefix by one and silently missing true pairs
     prefix_len = (F.col("set_size")
-                  - F.ceil(F.col("set_size") * F.lit(float(threshold))).cast("int")
+                  - F.ceil(F.col("set_size") * F.lit(float(threshold))
+                           - F.lit(1e-9)).cast("int")
                   + 1)
     prefixes = ordered.select(
         "id", "set_size",
@@ -282,8 +290,13 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
               + F.least(F.col("size_a") - F.col("_ia") - 1,
                         F.col("size_b") - F.col("_ib") - 1))
     # length filter: J ≥ τ requires τ·|A| ≤ |B| ≤ |A|/τ
-    cand = (cand.where((F.col("size_b") >= F.col("size_a") * threshold)
-                       & (F.col("size_a") >= F.col("size_b") * threshold))
+    # ε on the boundary: |B| exactly equal to τ·|A| must pass (J can
+    # equal τ), but the raw double product can round just above the
+    # exact integer and prune the pair before verification
+    cand = (cand.where((F.col("size_b")
+                        >= F.col("size_a") * threshold - F.lit(1e-9))
+                       & (F.col("size_a")
+                          >= F.col("size_b") * threshold - F.lit(1e-9)))
                 .where(ubound >= alpha)
                 .select("id_a", "id_b", "size_a", "size_b"))
     sets = ordered.select("id", F.col("ordered_shingles"))
@@ -345,10 +358,13 @@ def ivf_centroids(unit: DataFrame, nlist: int, dim: int,
 
     Returns (centroid_id, cunit array<double>).
     """
+    # id tie-break (same as pq_codebooks): an xxhash64 collision at the
+    # limit boundary would otherwise make the seed set and centroid
+    # numbering scheduling-dependent, breaking end-to-end determinism
     seeds = (unit.withColumn("_h", F.xxhash64(F.col("id")))
-                 .orderBy("_h").limit(nlist)
+                 .orderBy("_h", "id").limit(nlist)
                  .select(F.row_number().over(
-                     Window.orderBy("_h")).alias("centroid_id"),
+                     Window.orderBy("_h", "id")).alias("centroid_id"),
                          F.col("unit").alias("cunit")))
     if not refine:
         return seeds
@@ -660,8 +676,14 @@ def minhash_near_dup(df: DataFrame, id_col: str, text_col: str,
                              max_bucket_size=max_bucket_size)
 
     # verify with exact intersection on the full sets (array_intersect
-    # — no second explode-join)
-    sets = arr.select("id", "shingles", "set_size")
+    # — no second explode-join). Sets travel as 8-byte xxhash64
+    # bigints, not ~30-byte shingle strings — the same ~3× wire /
+    # intersect cut the Jaccard prefix path and the overlap matrix
+    # use, with the same accepted 2^-64-per-pair collision caveat
+    sets = arr.select(
+        "id",
+        F.transform("shingles", lambda x: F.xxhash64(x)).alias("shingles"),
+        "set_size")
     verified = (cand
                 .join(sets.select(F.col("id").alias("id_a"),
                                   F.col("shingles").alias("sh_a"),
@@ -732,8 +754,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     if algorithm != "label-propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}: expected "
                          "'label-propagation' or 'two-phase'")
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-                  .where(F.col("src") != F.col("dst")))
+    # Self-loops stay: they are no-ops for min-label propagation
+    # (min with your own label) but they carry self-pair-only nodes
+    # into the node set, so both algorithms cover the SAME ids — a
+    # filtered build silently dropped an id appearing only as (x, x)
+    # while the two-phase path kept it
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # undirected: propagate both ways. Symmetrize with a map-side
     # explode, NOT a self-union — a union evaluates the (often very
     # expensive) upstream pair pipeline once per branch when this
@@ -897,10 +923,18 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
     nchunks = max_hamming + 1
     width = 64 // nchunks
     sig = simhash64(df, id_col, text_col)
+
+    def piece(c):
+        shifted = F.shiftright(F.col("simhash"), c * width)
+        if width >= 64:
+            # max_hamming=0 → one 64-bit chunk: the full value IS the
+            # piece; a (1<<64)-1 literal would overflow LongType at
+            # plan build
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     chunks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"),
-                 F.shiftright(F.col("simhash"), c * width)
-                  .bitwiseAND(F.lit((1 << width) - 1)).alias("piece"))
+        F.struct(F.lit(c).alias("chunk"), piece(c).alias("piece"))
         for c in range(nchunks)])
     ex = (sig.select("id", "simhash", F.explode(chunks).alias("cc"))
              .select("id", "simhash", F.col("cc.chunk").alias("chunk"),

@@ -230,7 +230,7 @@ SELECT doc_id, lang, rk, n_stratum FROM (
            AS rk,
          count(*) OVER (PARTITION BY lang) AS n_stratum
   FROM documents)
-WHERE rk <= ceil({_SAMPLE_FRAC} * n_stratum)
+WHERE rk <= ceil({_SAMPLE_FRAC} * n_stratum - 1e-9)
 """)
 def q_stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 10% per-language sample (ceil(frac·|stratum|) rows, hash
