@@ -76,7 +76,21 @@ def guarded_process(df: DataFrame,
     The reference gets the same totality from its TIMEUUID clustering
     key (DeduplicationProvider.kt:230-233).
     """
-    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    reserved = {"result", "error", "_tb"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"guarded_process reserves output columns {sorted(reserved)}; "
+            f"rename the input's {sorted(clash)} first (they would be "
+            "silently overwritten)")
+    # hash expressions reject MapType (DATATYPE_MISMATCH.HASH_MAP_TYPE)
+    # — exclude map columns from the tie-break; the remaining columns
+    # still totalize any rows that differ outside their maps, and rows
+    # identical everywhere but a map value tie (the 2^-64-class edge
+    # the docstring already scopes out)
+    hashable = [f.name for f in df.schema.fields
+                if not isinstance(f.dataType, T.MapType)]
+    tiebreak = F.xxhash64(*[F.col(c) for c in hashable])
     arbitrated = dedup_first_wins(
         df.withColumn("_tb", tiebreak),
         keys, list(order_by) + ["_tb"]).drop("_tb")

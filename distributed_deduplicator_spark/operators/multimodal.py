@@ -160,6 +160,10 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64,
     1:1 row contract, output sizing — fully real and testable. Swap
     ``resizer`` for a codec-backed one in production.
     """
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError("target_w and target_h must be positive "
+                         "(non-positive dims would silently emit "
+                         "zero-byte payloads)")
     def default_resizer(payload: bytes, w: int, h: int) -> bytes:
         n = w * h
         seed = hashlib.sha256(payload).digest()
@@ -193,7 +197,7 @@ FRAME_SCHEMA = T.StructType([
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4,
-                  sampler: Callable[[bytes, int], list[bytes]] | None = None
+                  sampler: "Callable[[bytes, int], list[tuple[int, bytes]]] | None" = None
                   ) -> DataFrame:
     """Deterministic frame sampling for video payloads — the
     one-row-in, N-rows-out batch shape of every video pipeline.
@@ -202,14 +206,19 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     sampler slices the payload at n evenly-spaced offsets, which keeps
     the Spark side — explode fan-out, Arrow batch shapes, downstream
     per-frame feature joins — fully real and testable. Swap ``sampler``
-    for a codec-backed one in production.
+    for a codec-backed one in production: it returns
+    ``[(offset_bytes, frame_bytes), ...]`` so the emitted
+    ``frame_offset_bytes`` is ALWAYS the sampler's own position — a
+    keyframe sampler's offsets ride through instead of being
+    recomputed from the default's stride formula.
     """
-    def default_sampler(payload: bytes, n: int) -> list[bytes]:
+    def default_sampler(payload: bytes,
+                        n: int) -> "list[tuple[int, bytes]]":
         if not payload:
             return []
         step = max(len(payload) // n, 1)
-        return [payload[i * step:(i + 1) * step] for i in range(n)
-                if i * step < len(payload)]
+        return [(i * step, payload[i * step:(i + 1) * step])
+                for i in range(n) if i * step < len(payload)]
 
     fn = sampler or default_sampler
 
@@ -218,12 +227,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
             out = {"media_id": [], "frame_index": [],
                    "frame_offset_bytes": [], "frame_payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = fn(payload, n_frames)
-                step = max(len(payload) // n_frames, 1) if payload else 0
-                for i, fr in enumerate(frames):
+                for i, (off, fr) in enumerate(fn(payload, n_frames)):
                     out["media_id"].append(mid)
                     out["frame_index"].append(i)
-                    out["frame_offset_bytes"].append(i * step)
+                    out["frame_offset_bytes"].append(off)
                     out["frame_payload"].append(fr)
             yield pd.DataFrame(out)
 
@@ -258,6 +265,11 @@ def window_audio(media: DataFrame, window_bytes: int = 256,
     """
     if window_bytes <= 0 or hop_bytes <= 0:
         raise ValueError("window_bytes and hop_bytes must be positive")
+    if hop_bytes > window_bytes:
+        raise ValueError(
+            f"hop_bytes ({hop_bytes}) > window_bytes ({window_bytes}) "
+            "leaves inter-window gaps, breaking the every-byte-covered "
+            "fan-out contract; use hop_bytes <= window_bytes")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -287,7 +299,8 @@ def window_audio(media: DataFrame, window_bytes: int = 256,
 def feature_near_dup(features: DataFrame, threshold: float = 0.999,
                      id_col: str = "media_id",
                      vec_col: str = "feature",
-                     sign_pivot: float = 0.0) -> DataFrame:
+                     sign_pivot: float = 0.0,
+                     dim: int = _FEATURE_DIM) -> DataFrame:
     """Embedding-cosine near-dup over extracted features, sub-quadratic:
     bucket by the sign-quantization code of the unit vector (near-dup
     pairs at cosine ≥ ~0.999 share every sign bit unless a component
@@ -303,7 +316,10 @@ def feature_near_dup(features: DataFrame, threshold: float = 0.999,
     join degenerates to n²) pass a pivot near the component median so
     the code actually partitions the corpus."""
     from distributed_deduplicator_spark.operators import similarity as S
-    dim = _FEATURE_DIM
+    # dim must match the feature width: too small silently weakens the
+    # bucket partitioning (only the first `dim` signs code); too large
+    # hits ANSI INVALID_ARRAY_INDEX at runtime — pass it explicitly
+    # for non-default extractors
     u = S.unit_vectors(features, id_col=id_col, vec_col=vec_col)
     code = None
     for i in range(dim):

@@ -49,8 +49,8 @@ def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
     boundary = F.when(
         prev_us.isNull()
         | (ts_micros(ts_col) - prev_us > gap_us), 1).otherwise(0)
-    running = Window.partitionBy(*keys).orderBy(*order) \
-                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = w.rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow)
     return df.withColumn("_b", boundary) \
              .withColumn(session_col, F.sum("_b").over(running)) \
              .drop("_b")
@@ -93,6 +93,10 @@ def asof_join(left: DataFrame, right: DataFrame,
                          right.select(F.struct(*r_order, *[
                              c for c in payload if c not in r_order
                          ]).alias("_r")).schema["_r"].dataType).alias("_r")))
+    # NULL right_ts can never satisfy right_ts <= left_ts, but the
+    # ascending sort puts NULLS FIRST, so an unfiltered NULL-ts row
+    # would be carried into every left row of its key
+    right = right.where(F.col(right_ts).isNotNull())
     r = (right.select(F.col(right_key).alias("_k"),
                       F.col(right_ts).alias("_ts"),
                       F.lit(0).alias("_tag"),
@@ -134,6 +138,13 @@ def interval_backlog(spans: DataFrame, open_col: str,
     """
     span = spans.select(F.col(open_col).alias("_open"),
                         F.col(close_col).alias("_close"))
+    # NULL-boundary or inverted spans cannot delta-encode (+1 and -1
+    # would land out of order or never join the spine, silently
+    # corrupting the running count) — exclude them; callers wanting
+    # them counted must repair the bounds first
+    span = span.where(F.col("_open").isNotNull()
+                      & F.col("_close").isNotNull()
+                      & (F.col("_close") >= F.col("_open")))
     deltas = (span.select(F.col("_open").alias("d"),
                           F.lit(1).alias("delta"))
                   .unionByName(

@@ -2097,12 +2097,16 @@ def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("open_orders_backlog", oracle="""
-WITH span AS (
+WITH span0 AS (
   SELECT o.o_orderkey,
          CAST(o.o_orderdate AS DATE) AS open_d,
          CAST(max(l.l_shipdate) AS DATE) AS close_d
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
   GROUP BY o.o_orderkey, o.o_orderdate),
+span AS (
+  -- inverted spans (close < open) cover zero days under interval
+  -- stabbing; the operator excludes them for the same reason
+  SELECT * FROM span0 WHERE close_d >= open_d),
 deltas AS (
   SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
     SELECT open_d AS d, 1 AS delta FROM span

@@ -654,6 +654,9 @@ def test_open_orders_backlog_matches_python(spark, sf_dir):
                                             datetime.date.min), d)
     spans = [(r.o_orderdate.date(), close[r.o_orderkey])
              for r in o if r.o_orderkey in close]
+    # inverted spans cover zero days under interval stabbing — the
+    # operator (and oracle) exclude them
+    spans = [(s, e) for s, e in spans if e >= s]
     lo = min(s for s, _ in spans)
     hi = max(e for _, e in spans)
     deltas: collections.Counter = collections.Counter()
