@@ -117,3 +117,20 @@ def dsir_bucket(col: Column | str) -> Column:
     cannot drift."""
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(F.md5(c.cast("binary")), 1, 2)
+
+
+def bigrams(col: Column | str) -> Column:
+    """Adjacent-token bigram array ("w1 w2") over a token-array column
+    — empty for arrays shorter than 2 (never build the raw sequence on
+    a short array: sequence(1, 0) DESCENDS). THE shared kernel behind
+    every bigram query (top-bigrams, lift, novelty, Zipf, Heaps,
+    coverage), one definition so the derivation cannot drift between
+    them. DuckDB twin: list_transform(range(1, len(t)),
+    i -> t[i] || ' ' || t[i+1])."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(c) - 1),
+        lambda i: F.concat(F.element_at(c, i), F.lit(" "),
+                           F.element_at(c, i + 1)))
+    return F.when(F.size(c) >= 2, grams) \
+            .otherwise(F.array().cast("array<string>"))

@@ -124,7 +124,12 @@ def merge_agg_states(base: DataFrame, delta: DataFrame,
             return F.least(bc, dc)
         if strat == "max":
             return F.greatest(bc, dc)
-        return F.coalesce(bc, F.lit(0)) + F.coalesce(dc, F.lit(0))
+        # additive identity only when SOME side exists: a group whose
+        # state is NULL on both sides must merge to NULL (the full
+        # recompute's SUM over all-NULL values), not 0
+        return F.when(bc.isNull() & dc.isNull(), F.lit(None)) \
+                .otherwise(F.coalesce(bc, F.lit(0))
+                           + F.coalesce(dc, F.lit(0)))
 
     return joined.select(*keys, *[merge_one(c).alias(c)
                                   for c in state_cols])

@@ -907,8 +907,12 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
     l = _t(spark, sf_dir, "lineitem")
-    cond = (o["o_orderkey"] == l["l_orderkey"]) & \
-           (l["l_shipdate"] > F.date_add(o["o_orderdate"], 90))
+    # full-timestamp interval, not date_add (which truncates to DATE
+    # and would diverge from the oracle's + INTERVAL the moment orders
+    # carry a time of day)
+    cond = ((o["o_orderkey"] == l["l_orderkey"])
+            & (l["l_shipdate"]
+               > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")))
     return (o.join(l, cond, "left_semi")
              .groupBy("o_orderpriority")
              .agg(F.count("*").alias("n_orders")))
@@ -938,6 +942,24 @@ def q_custdist_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 
+
+
+def _hll_per_type_and_all(e: DataFrame, out_col: str) -> DataFrame:
+    """Per-event-type HLL distinct-user estimates plus an ALL row from
+    UNIONING the per-type sketches — the one sketch kernel behind both
+    `sketch_distinct_users` and `hll_sketch_rollup` (they differ only
+    in output column name and which accuracy gate covers them)."""
+    sk = (e.select("event_type", "user_id")
+           .groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    per = sk.select(F.col("event_type").alias(out_col),
+                    F.hll_sketch_estimate("sk").alias("est_users"))
+    merged = (sk.agg(F.hll_union_agg("sk").alias("sk"))
+                .select(F.lit("ALL").alias(out_col),
+                        F.hll_sketch_estimate("sk").alias("est_users")))
+    return per.unionByName(merged)
+
+
 @query("sketch_distinct_users")  # rows-only: DataSketches HLL binary
 def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch cardinality: per-event-type distinct users via
@@ -947,15 +969,8 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches combine associatively across files/days/regions, the
     pattern exact distinct cannot follow. Error gate vs exact counts in
     tests/test_relational_extra.py."""
-    e = _t(spark, sf_dir, "events")
-    sk = (e.groupBy("event_type")
-           .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    per = sk.select("event_type",
-                    F.hll_sketch_estimate("sk").alias("est_users"))
-    merged = (sk.agg(F.hll_union_agg("sk").alias("sk"))
-                .select(F.lit("ALL").alias("event_type"),
-                        F.hll_sketch_estimate("sk").alias("est_users")))
-    return per.unionByName(merged)
+    return _hll_per_type_and_all(
+        _t(spark, sf_dir, "events"), out_col="event_type")
 
 
 @query("kll_value_quantiles")  # rows-only: DataSketches KLL binary
@@ -1493,8 +1508,11 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n_events"),
                      F.sum("_v").alias("_sum_v")))
 
-    base = state(ev.where(F.col("event_id") % 2 == 0))
-    delta = state(ev.where(F.col("event_id") % 2 == 1))
+    # pmod, not %: Spark's % is sign-preserving, so a negative odd id
+    # (-3 % 2 == -1) would match NEITHER filter and silently vanish
+    # from the merged result while the full-recompute oracle keeps it
+    base = state(ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0))
+    delta = state(ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1))
     merged = merge_agg_states(base, delta,
                               ["user_id", "event_type"],
                               ["n_events", "_sum_v"])
@@ -1554,10 +1572,16 @@ def q_parquet_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver row proves the write/read path is lossless value-for-value,
     not just row-counted. Executes a job at call time by nature (the
     write), like the streaming family."""
+    import hashlib
+    import os
     import tempfile
 
     from distributed_deduplicator_spark.sources.sinks import write_parquet
-    base = tempfile.mkdtemp(prefix="roundtrip_")
+    # deterministic per-(sf_dir) path so overwrite actually overwrites:
+    # a fresh mkdtemp per call leaked one full events copy per
+    # invocation across multi-round drives/benches
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"ddspark_roundtrip_{tag}")
     ev = _t(spark, sf_dir, "events")
     write_parquet(ev, f"{base}/events", mode="overwrite",
                   target_partitions=4)
@@ -2018,16 +2042,8 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `tests/test_pipeline.py::test_hll_rollup_accuracy` (≤5% vs
     exact, and the merged estimate consistent with the per-type ones).
     """
-    e = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    per = (e.groupBy("event_type")
-            .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    per_rows = per.select(
-        F.col("event_type").alias("scope"),
-        F.hll_sketch_estimate("sk").alias("est_users"))
-    merged = (per.agg(F.hll_union_agg("sk").alias("sk"))
-                 .select(F.lit("ALL").alias("scope"),
-                         F.hll_sketch_estimate("sk").alias("est_users")))
-    return per_rows.unionByName(merged)
+    return _hll_per_type_and_all(
+        _t(spark, sf_dir, "events"), out_col="scope")
 
 
 _BASKET_TOPK = 100

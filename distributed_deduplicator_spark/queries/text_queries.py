@@ -1,10 +1,13 @@
 """Text-analysis queries over the documents fixture (SURVEY.md §7
 Phase 5 / the training-data-pipeline extension).
 
-Oracle notes: Spark regexes are Java, DuckDB's are RE2 — every pattern
-used here (`\\w`, `\\s`, `\\b`, alternation) behaves identically in
-both. Counts and lengths are integers; ratios are per-row double
-arithmetic (deterministic).
+Oracle notes: Spark regexes are Java, DuckDB's are RE2 — `\\w`, `\\b`
+and alternation behave identically in both; `\\s` does NOT (Java's
+includes vertical tab \\x0B, RE2's doesn't), so every oracle class
+that negates `\\s` over RAW text spells the \\x0b out explicitly.
+Patterns applied after normalize() are safe either way (the
+normalizer collapses all whitespace first). Counts and lengths are
+integers; ratios are per-row double arithmetic (deterministic).
 """
 
 from __future__ import annotations
@@ -142,13 +145,7 @@ def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_global)
     d = load_table(spark, sf_dir, "documents")
     base = d.select(TXT.tokens("text").alias("_toks"))
-    toks = F.col("_toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
-    grams = F.when(F.size(toks) >= 2, grams) \
-             .otherwise(F.array().cast("array<string>"))
-    counted = (base.select(F.explode(grams).alias("bigram"))
+    counted = (base.select(F.explode(TXT.bigrams("_toks")).alias("bigram"))
                    .groupBy("bigram").agg(F.count("*").alias("n")))
     return topk_global(counted, [F.col("n").desc(), F.col("bigram")], 20)
 
@@ -246,7 +243,6 @@ def q_frequent_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count in tests/test_relational_extra.py. Completes the
     sketch family next to HLL (agg_approx_distinct) and t-digest
     (text_length_quantiles)."""
-    from distributed_deduplicator_spark.functions import text as TXT
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(TXT.tokens("text")).alias("w"))
     freq = toks.freqItems(["w"], support=0.01)
@@ -262,8 +258,8 @@ SELECT doc_id, lang,
        length(text) AS n_chars_actual,
        len(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
            '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS n_words,
-       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
-       CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+       len(regexp_extract_all(text, '\w+|[^\w\s\x0b]')) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[^\w\s\x0b]', '', 'g'))
             AS DOUBLE) / length(text) AS punct_ratio
 FROM documents
 """)
@@ -320,13 +316,7 @@ def q_doc_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize tokens in their own projection so CollapseProject
     # can't inline the regex chain into the per-element lambda.
     t = d.select("doc_id", "lang", TXT.tokens("text").alias("_toks"))
-    grams = F.when(
-        F.size("_toks") >= 2,
-        F.expr("transform(sequence(1, size(_toks) - 1), "
-               "i -> concat(element_at(_toks, i), ' ', "
-               "element_at(_toks, i + 1)))")
-    ).otherwise(F.expr("array()"))
-    g = t.select("doc_id", "lang", grams.alias("_grams"))
+    g = t.select("doc_id", "lang", TXT.bigrams("_toks").alias("_grams"))
     n_grams = F.size("_grams")
     n_distinct = F.size(F.array_distinct("_grams"))
     dup_frac = F.when(
@@ -405,10 +395,7 @@ def q_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_all.select(F.explode("_toks").alias("w"))
              .groupBy("w").agg(F.count("*").alias("c")))
     bg_all = _tracked_persist(
-        t.select(F.explode(
-             F.expr("transform(sequence(1, size(_toks) - 1), "
-                    "i -> concat(element_at(_toks, i), ' ', "
-                    "element_at(_toks, i + 1)))")).alias("bigram"))
+        t.select(F.explode(TXT.bigrams("_toks")).alias("bigram"))
          .groupBy("bigram").agg(F.count("*").alias("n_pair")))
     # totals BEFORE the min-count filter (M counts every bigram
     # occurrence, matching the oracle's denominator)
@@ -526,10 +513,7 @@ def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", TXT.tokens("text").alias("_toks")) \
          .where(F.size("_toks") >= 2)
-    grams = F.array_distinct(
-        F.expr("transform(sequence(1, size(_toks) - 1), "
-               "i -> concat(element_at(_toks, i), ' ', "
-               "element_at(_toks, i + 1)))"))
+    grams = F.array_distinct(TXT.bigrams("_toks"))
     from distributed_deduplicator_spark.operators.similarity import (
         _tracked_persist)
     # (doc, distinct gram) is consumed by BOTH the first-occurrence
@@ -589,9 +573,7 @@ def q_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select(TXT.tokens("text").alias("_toks")) \
          .where(F.size("_toks") >= 2)
-    grams = F.expr("transform(sequence(1, size(_toks) - 1), "
-                   "i -> concat(element_at(_toks, i), ' ', "
-                   "element_at(_toks, i + 1)))")
+    grams = TXT.bigrams("_toks")
     counted = (t.select(F.explode(grams).alias("token"))
                 .groupBy("token").agg(F.count("*").alias("freq")))
     top = topk_global(counted, [F.col("freq").desc(), F.col("token")],
@@ -644,9 +626,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", TXT.tokens("text").alias("_toks")) \
          .where(F.size("_toks") >= 2)
-    grams = F.expr("transform(sequence(1, size(_toks) - 1), "
-                   "i -> concat(element_at(_toks, i), ' ', "
-                   "element_at(_toks, i + 1)))")
+    grams = TXT.bigrams("_toks")
     tok = t.select("doc_id", F.explode(grams).alias("w"))
     firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     width = d.agg((F.floor(F.max("doc_id") / _VOCAB_BUCKETS) + 1)
@@ -972,11 +952,14 @@ def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select(TXT.tokens("text").alias("_toks")) \
          .where(F.size("_toks") >= 2)
-    grams = F.expr("transform(sequence(1, size(_toks) - 1), "
-                   "i -> concat(element_at(_toks, i), ' ', "
-                   "element_at(_toks, i + 1)))")
-    counted = (t.select(F.explode(grams).alias("token"))
-                .groupBy("token").agg(F.count("*").alias("freq")))
+    grams = TXT.bigrams("_toks")
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    # persisted: feeds both the top-K cut and the grand totals —
+    # unpersisted, the corpus tokenizes and counts twice per run
+    counted = _tracked_persist(
+        t.select(F.explode(grams).alias("token"))
+         .groupBy("token").agg(F.count("*").alias("freq")))
     top = topk_global(counted, [F.col("freq").desc(), F.col("token")],
                       max(_COVERAGE_CUTS))
     w = Window.orderBy(F.col("freq").desc(), F.col("token"))
