@@ -125,9 +125,22 @@ def q_guarded_process(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", "event_id", "value")
 
     def block(row: dict) -> str:
-        if row["value"] < 0:
+        import math
+        v = row["value"]
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            # SQL semantics: a NULL value satisfies neither branch —
+            # verdict stays SUCCESS, result/error stay NULL (pandas
+            # would otherwise surface NaN and emit "uid:nan")
+            return None
+        if v < 0:
             raise ValueError("negative value")
-        return f"{row['user_id']}:{round(row['value'] * 2, 2)}"
+        # DuckDB round() is half-AWAY-from-zero; Python round() is
+        # half-to-even — align tie handling so an exactly-.xx5 double
+        # cannot flip the result string between engines
+        scaled = v * 2
+        r = math.copysign(math.floor(abs(scaled) * 100 + 0.5),
+                          scaled) / 100
+        return f"{row['user_id']}:{r}"
 
     return guarded_process(ev, ["user_id", "event_type"],
                            ["ts", "event_id"], block,
@@ -227,7 +240,7 @@ _FND_SIGNS = " AND ".join(
 WITH m AS (
   SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
   UNION ALL
-  SELECT doc_id + 100000, sha256(text) FROM documents WHERE doc_id < 10),
+  SELECT doc_id + 1099511627776, sha256(text) FROM documents WHERE doc_id < 10),
 f AS (SELECT media_id, {_F_COLS_SQL} FROM m),
 u AS (SELECT media_id, {_FND_UNIT}
       FROM (SELECT media_id, {_FND_NORM} AS nrm,
@@ -241,7 +254,9 @@ def q_multimodal_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over extracted media features:
     sign-quantization buckets + exact cosine verify (sub-quadratic;
     identical payloads always collide at cosine 1.0). The corpus is
-    salted with 10 re-ingested copies (media_id + 100000) — the
+    salted with 10 re-ingested copies (media_id + 2^40, an offset no
+    fixture id space reaches — a small fixed salt collided with real
+    ids on dense corpora) — the
     re-crawl scenario — whose pairs the operator must surface; asserted
     exactly in tests/test_sinks_multimodal.py. With the sha-derived
     double features the whole pipeline is SQL-expressible, so the
@@ -252,7 +267,8 @@ def q_multimodal_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.media_from_documents(docs)
     clones = (media.where(F.col("media_id") < 10)
-                   .withColumn("media_id", F.col("media_id") + 100000))
+                   .withColumn("media_id",
+                               F.col("media_id") + F.lit(1 << 40)))
     feats = MM.extract_features(media.unionByName(clones))
     pairs = MM.feature_near_dup(feats, threshold=0.999,
                                 sign_pivot=_FND_PIVOT)

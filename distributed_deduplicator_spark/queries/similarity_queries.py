@@ -347,15 +347,11 @@ def q_near_dup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.concat_ws(",", "methods").alias("methods")))
 
 
-_QUALITY_SQL = r"""
+_QUALITY_SQL = rf"""
 (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END
- + least(CAST(len(string_split_regex(trim(regexp_replace(
-       regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-       '\s+', ' ', 'g')), ' ')) AS DOUBLE) / 100.0, 1.0)
+ + least(CAST(len({_NORM_SQL}) AS DOUBLE) / 100.0, 1.0)
  + CASE WHEN CAST(length(text) AS DOUBLE)
-             / (len(string_split_regex(trim(regexp_replace(
-                 regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-                 '\s+', ' ', 'g')), ' ')) + 1) BETWEEN 3 AND 12
+             / (len({_NORM_SQL}) + 1) BETWEEN 3 AND 12
         THEN 1.0 ELSE 0.0 END) / 3.0
 """
 

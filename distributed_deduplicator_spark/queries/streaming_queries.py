@@ -50,9 +50,11 @@ walk AS (
   FROM ordered WHERE rn = 1
   UNION ALL
   SELECT o.user_id, o.event_type, o.ts, o.event_id, o.rn,
-         CASE WHEN epoch(o.ts) - epoch(w.last_accepted) >= {_TTL_SECONDS}
+         CASE WHEN epoch_us(o.ts) - epoch_us(w.last_accepted)
+                   >= {_TTL_SECONDS * 1_000_000}
               THEN o.ts ELSE w.last_accepted END,
-         epoch(o.ts) - epoch(w.last_accepted) >= {_TTL_SECONDS}
+         epoch_us(o.ts) - epoch_us(w.last_accepted)
+           >= {_TTL_SECONDS * 1_000_000}
   FROM ordered o
   JOIN walk w ON o.user_id = w.user_id AND o.event_type = w.event_type
              AND o.rn = w.rn + 1)
@@ -183,17 +185,27 @@ def q_stream_upsert_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline) as a streaming topology, and the result is fully
     oracle-checked against the batch latest-row-per-key SQL."""
     import os
+    import shutil
     import tempfile
 
     from distributed_deduplicator_spark.streaming.sinks import (
         read_ledger, run_upsert_ledger)
     base = tempfile.mkdtemp(prefix="upsert_ledger_")
-    ev = ST.events_stream(spark, sf_dir)
-    state = os.path.join(base, "state")
-    run_upsert_ledger(ev, ["user_id"], ["ts", "event_id"],
-                      base_dir=state,
-                      checkpoint_dir=os.path.join(base, "ckpt"))
-    return read_ledger(spark, state)
+    try:
+        ev = ST.events_stream(spark, sf_dir)
+        state = os.path.join(base, "state")
+        run_upsert_ledger(ev, ["user_id"], ["ts", "event_id"],
+                          base_dir=state,
+                          checkpoint_dir=os.path.join(base, "ckpt"))
+        # materialize before removing the backing files (the returned
+        # DF would otherwise read the dir lazily) — every drive/bench
+        # run was leaking an events-sized ledger + checkpoint under
+        # /tmp
+        led = read_ledger(spark, state)
+        rows, schema = led.collect(), led.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query("stream_minhash_neardup")  # rows-only: LSH banding + signature-
@@ -209,13 +221,18 @@ def q_stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Within-batch + cross-batch suppression both covered in
     tests/test_streaming_sinks.py (split-corpus replay, planted
     clones)."""
+    import shutil
     import tempfile
 
     from distributed_deduplicator_spark.streaming.neardup_stream import (
         stream_minhash_neardup)
     base = tempfile.mkdtemp(prefix="neardup_stream_")
-    out = stream_minhash_neardup(
-        spark, f"{sf_dir}/documents.parque[t]",
-        ledger_dir=f"{base}/ledger", out_dir=f"{base}/verdicts",
-        checkpoint_dir=f"{base}/ckpt")
-    return out.orderBy("doc_id")
+    try:
+        out = stream_minhash_neardup(
+            spark, f"{sf_dir}/documents.parque[t]",
+            ledger_dir=f"{base}/ledger", out_dir=f"{base}/verdicts",
+            checkpoint_dir=f"{base}/ckpt").orderBy("doc_id")
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

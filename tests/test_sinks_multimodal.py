@@ -121,8 +121,9 @@ def test_feature_neardup_finds_cloned_payloads(spark, sf_dir):
     from distributed_deduplicator_spark import queries as Q
     pairs = Q.QUERIES["multimodal_feature_neardup"](spark, sf_dir).collect()
     # every clone pairs with its original at cosine ~1.0
-    clone_pairs = {(r.id_a, r.id_b) for r in pairs if r.id_b >= 100000}
-    assert {(i, i + 100000) for i in range(10)} <= clone_pairs
+    salt = 1 << 40
+    clone_pairs = {(r.id_a, r.id_b) for r in pairs if r.id_b >= salt}
+    assert {(i, i + salt) for i in range(10)} <= clone_pairs
     assert all(r.cosine_r >= 0.999 for r in pairs)
 
 
