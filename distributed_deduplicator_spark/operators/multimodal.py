@@ -84,18 +84,63 @@ def _fake_decode_features(payload: bytes) -> list[float]:
             for i in range(_FEATURE_DIM)]
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — STUB: PIL/imageio are not installed in this
-    environment. The mapInPandas plumbing in extract_features is the
-    real, tested path; swap _fake_decode_features for a real decoder
-    when the codec libs exist."""
+def pil_available() -> bool:
+    """True when the optional PIL codec dependency is importable."""
     try:
         import PIL.Image  # type: ignore  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode behind the optional-PIL gate: returns a
+    ``PIL.Image`` when PIL is importable, raises NotImplementedError
+    otherwise. The mapInPandas plumbing in extract_features is real
+    and tested either way — only the codec itself is optional."""
+    try:
+        import PIL.Image  # type: ignore
     except ImportError as exc:
         raise NotImplementedError(
             "image decoding requires PIL; not available in this "
             "environment — use the deterministic fake extractor") from exc
-    raise NotImplementedError("wire PIL decode here when available")
+    import io
+    return PIL.Image.open(io.BytesIO(payload))
+
+
+def pil_image_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Codec-backed resizer (optional-PIL path): decode → grayscale →
+    resize to (w, h) → raw pixel bytes. SAME output contract as the
+    deterministic stub (`sha_resizer`): exactly w·h bytes per payload
+    — so either function slots into :func:`resize_media` unchanged
+    and RESIZED_SCHEMA/n_bytes semantics are identical on both paths
+    (shape-compatibility is property-tested in
+    tests/test_sinks_multimodal.py, with the PIL case skipped where
+    PIL is absent)."""
+    img = decode_image(payload)
+    return img.convert("L").resize((w, h)).tobytes()
+
+
+def pil_feature_extractor(payload: bytes) -> list[float]:
+    """Codec-backed feature extractor (optional-PIL path): decode →
+    grayscale → resize to a 1×_FEATURE_DIM strip → [0,1] floats. Same
+    output contract as `_fake_decode_features` (_FEATURE_DIM floats in
+    [0,1]), so it slots into :func:`extract_features` unchanged."""
+    img = decode_image(payload)
+    px = img.convert("L").resize((_FEATURE_DIM, 1)).tobytes()
+    return [b / 255.0 for b in px]
+
+
+def sha_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stub resizer: exactly w·h bytes re-derived from
+    the payload's sha256 — stable across runs/engines; the default
+    when PIL is absent (the fixtures' payloads are utf-8 text, not
+    decodable images, so oracle-checked queries ALWAYS use this path;
+    pass :func:`pil_image_resizer` explicitly for real image bytes)."""
+    n = w * h
+    seed = hashlib.sha256(payload).digest()
+    reps = (n + len(seed) - 1) // len(seed)
+    return (seed * reps)[:n]
 
 
 def extract_features(media: DataFrame,
@@ -152,25 +197,21 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64,
     """Batch resize of image payloads — the normalize-before-train pass
     (every vision pipeline resizes to a fixed input shape first).
 
-    Real resizing needs PIL (absent here — see :func:`decode_image`);
-    the default resizer deterministically re-derives exactly
-    ``target_w·target_h`` bytes from the payload's sha256 (stable
-    across runs/engines), which keeps the Spark side — Arrow batch
-    transfer in AND out of Python with binary columns both ways, the
-    1:1 row contract, output sizing — fully real and testable. Swap
-    ``resizer`` for a codec-backed one in production.
+    Real resizing needs PIL — wired and ready behind the optional-PIL
+    gate as :func:`pil_image_resizer` (same w·h-bytes output contract;
+    pass it as ``resizer`` where payloads are real image bytes and PIL
+    exists). The default :func:`sha_resizer` deterministically
+    re-derives exactly ``target_w·target_h`` bytes from the payload's
+    sha256 (stable across runs/engines), which keeps the Spark side —
+    Arrow batch transfer in AND out of Python with binary columns both
+    ways, the 1:1 row contract, output sizing — fully real and
+    testable on fixtures whose payloads are not decodable images.
     """
     if target_w <= 0 or target_h <= 0:
         raise ValueError("target_w and target_h must be positive "
                          "(non-positive dims would silently emit "
                          "zero-byte payloads)")
-    def default_resizer(payload: bytes, w: int, h: int) -> bytes:
-        n = w * h
-        seed = hashlib.sha256(payload).digest()
-        reps = (n + len(seed) - 1) // len(seed)
-        return (seed * reps)[:n]
-
-    fn = resizer or default_resizer
+    fn = resizer or sha_resizer
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -192,9 +192,15 @@ def count_table_quantiles(df: DataFrame, keys: Sequence[str],
     Returns keys + n_rows + one ``p{p}`` BIGINT column per requested
     percentile. Property-tested against sorted-list percentile_disc in
     tests/test_property_dedup.py.
+
+    NULL measures are excluded up front (matching percentile_disc,
+    which ignores NULLs): counting them into n_rows and the thresholds
+    while min(when(...)) skips their values would silently shift every
+    returned percentile. n_rows is therefore the NON-NULL row count.
     """
     from pyspark.sql import Window
-    cnt = df.groupBy(*keys, value_col).agg(F.count("*").alias("_c"))
+    cnt = (df.where(F.col(value_col).isNotNull())
+             .groupBy(*keys, value_col).agg(F.count("*").alias("_c")))
     w_cum = (Window.partitionBy(*keys).orderBy(value_col)
                    .rowsBetween(Window.unboundedPreceding, 0))
     w_all = (Window.partitionBy(*keys)

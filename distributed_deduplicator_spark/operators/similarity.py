@@ -26,12 +26,36 @@ from __future__ import annotations
 
 import math
 import random
+import warnings
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from distributed_deduplicator_spark.functions import text as TXT
 from distributed_deduplicator_spark.sources.fixtures import fanout
+
+
+def _corpus_size_for_sizing(emb: DataFrame, n: int | None,
+                            caller: str) -> int:
+    """Resolve the corpus row count an index-sizing decision needs.
+
+    Sizing an index is PLANNING business: callers must pass ``n`` from
+    catalog/file statistics (sources.table_row_count reads it from
+    parquet footers for free — every fixture caller does). The
+    count() fallback below is a full scan + synchronous driver action
+    before the query even builds; it stays only so ad-hoc exploration
+    on small data keeps working, and it WARNS loudly so it can never
+    hide in a production pipeline (tests/test_plan_shapes.py asserts
+    the warning fires)."""
+    if n is not None:
+        return n
+    warnings.warn(
+        f"{caller}: sizing the index with a full COUNT scan at "
+        "plan-build time because `n` was not passed — at scale, pass "
+        "`n` (or the sizing knob itself) from catalog/file statistics, "
+        "e.g. sources.table_row_count()",
+        ResourceWarning, stacklevel=3)
+    return emb.count()
 
 
 # ---------------------------------------------------------------------------
@@ -445,17 +469,16 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     assignment scan (n·nlist) and the probe work (n·nprobe·n/nlist)
     grow as n^1.5, balanced), with ``n`` the corpus row count from
     catalog/file statistics. Sizing an index from a stat is planning
-    business, so callers pass ``n``; the ``emb.count()`` fallback is a
-    full scan + synchronous driver action BEFORE the query even builds
-    — never acceptable at scale (the fixture loaders read it from
+    business, so callers pass ``n``; omitting it falls back to a
+    LOUDLY-WARNED count() scan (_corpus_size_for_sizing) — never
+    acceptable at scale (the fixture loaders read the count from
     parquet footers for free: sources.table_row_count). All
     deterministic — hash-seeded centroids, one sample-based Lloyd
     step, fixed tie-breaks.
     """
     if nlist is None:
-        if n is None:
-            n = emb.count()  # documented fallback; pass n at any scale
-        nlist = max(4, int(math.sqrt(max(n, 4))))
+        nlist = max(4, int(math.sqrt(max(
+            _corpus_size_for_sizing(emb, n, "ann_ivf_topk"), 4))))
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     # the centroid table (nlist×dim doubles) and the assignment table
     # (n×nprobe ids) each feed TWO consumers; without pinning them the
@@ -1053,9 +1076,8 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     ``cosine`` EXACT (from the re-rank pass). Deterministic end to end.
     """
     if nlist is None:
-        if n is None:
-            n = emb.count()  # documented fallback; pass n at any scale
-        nlist = max(4, int(math.sqrt(max(n, 4))))
+        nlist = max(4, int(math.sqrt(max(
+            _corpus_size_for_sizing(emb, n, "ann_ivfpq_topk"), 4))))
     rerank = rerank if rerank is not None else 4 * k
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     cents = _tracked_persist(ivf_centroids(u, nlist, dim))
@@ -1187,7 +1209,8 @@ def cosine_neardup_blocked(emb: DataFrame, block_col: str,
 
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           round_dp: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Brute force = broadcast the (bounded) query set against the full
@@ -1195,6 +1218,13 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
     corpus side stays partitioned and is scanned once; cost is
     O(|corpus| × |queries|) flops with no shuffle of the corpus. Use
     :func:`ann_lsh_topk` when the query set itself is the corpus.
+
+    ``round_dp``: rank by the cosine rounded to this many decimals
+    (tie-broken by neighbor_id) instead of the raw double. Callers
+    whose downstream result is compared across engines use 6 — the
+    repo-wide ulp-absorbing discipline — so a last-bit difference at
+    the rank-k boundary cannot flip which neighbor makes the cut.
+    The emitted ``cosine`` column stays the raw double either way.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("query_vec"))
@@ -1203,7 +1233,9 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
                .withColumn("cosine", cosine(F.col("query_vec"),
                                             F.col("neighbor_vec"))))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+    rank_key = (F.round("cosine", round_dp) if round_dp is not None
+                else F.col("cosine"))
+    w = Window.partitionBy("query_id").orderBy(rank_key.desc(),
                                                F.col("neighbor_id"))
     return (scored.withColumn("rk", F.row_number().over(w))
                   .where(F.col("rk") <= k)
@@ -1300,8 +1332,7 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10, num_tables: int = 8,
     (top-5 cosine ≈ 0.32) — the hardest case for LSH.
     """
     if num_planes is None:
-        if n is None:
-            n = emb.count()  # documented fallback; pass n at any scale
+        n = _corpus_size_for_sizing(emb, n, "ann_lsh_topk")
         num_planes = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
     u = unit_vectors(emb, id_col, vec_col)
     b = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col, dim,

@@ -47,62 +47,59 @@ from distributed_deduplicator_spark.queries import text_queries  # noqa: F401,E4
 from distributed_deduplicator_spark.queries import dedup_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 
-# Round-5 verification rotation (see VERIFIED.md for the cross-round
-# ledger). The first 50 names are pinned: the 22 queries that have
-# never had a driver correctness row in rounds 1-4 (added in round 4
-# after the r04 window was pinned, or displaced by it), then the 10
-# entries whose only driver evidence is round 1 (code untouched but
-# stale), then the 2 multimodal queries whose code changed this round
-# (r04's one red row — array-terminal ERR — flattened and given a full
-# value oracle; feature_neardup upgraded from rows-only to oracle),
-# then 16 oldest-evidence banked entries (r03 sketch rows-only, the
-# dedup family, oldest relational). Everything after the window keeps
-# module registration order. Update this list each round as the window
-# rotates; an unknown name fails import.
+# Round-6 verification rotation (see VERIFIED.md for the cross-round
+# ledger). The first 50 names are pinned: the 42 queries that have
+# never had a driver correctness row in rounds 1-5 (the round-5
+# registry additions: TPC-H tails, the corpus-analysis block, the two
+# bitmap/sketch rows-only entries), the one query ADDED in round 6
+# (`fuzzy_name_topk`, the scale valve on `fuzzy_name_pairs`), and the
+# 7 round-6 changed-code entries that fit (streaming wrappers moved
+# from driver-side collect() to distributed scratch-parquet
+# materialization; `parquet_roundtrip_agg`'s race-free scratch path;
+# `multimodal_resize`'s module-level stub resizer). Changed-code
+# entries that did NOT fit are displaced to the r07 queue with local
+# re-verification — see VERIFIED.md "Round-6 window" for the list.
+# Everything after the window keeps module registration order. Update
+# this list each round as the window rotates; an unknown name fails
+# import.
 _ROTATION_HEAD = [
-    # never driver-verified: round-4 TPC-H additions
-    "local_supplier_volume", "forecast_revenue", "market_share",
-    "product_profit_by_nation", "promo_revenue", "top_supplier_revenue",
-    "small_qty_order_revenue", "large_order_customers",
-    "sales_opportunity_by_nation",
-    # never driver-verified: relational
-    "incremental_rollup_merge", "table_diff_reconcile",
-    "parquet_roundtrip_agg", "late_shipment_counts", "variant_shred_stats",
-    # never driver-verified: text / temporal / similarity / pipeline /
-    # dedup / streaming
-    "doc_dup_ngram_stats", "bigram_lift_topk",
-    "funnel_conversion", "user_state_history",
-    "jaccard_keep_best", "chunk_sliding_windows",
-    "dedup_rate_by_hour", "stream_minhash_neardup",
-    # r01-only evidence (stale; code unchanged since r02)
-    "stream_dedup_watermark", "stream_ttl_dedup_stateful",
-    "text_fingerprint_dedup", "text_lang_id", "text_quality_filter",
-    "text_winnow_fingerprints", "minhash_near_dup", "simhash_fingerprints",
-    "ann_lsh_topk", "ann_ivf_topk",
-    # code changed in round 5: r04's red row fixed (scalar f0..f7 +
-    # sha-derived value oracle) and the neardup twin's oracle upgrade
-    "multimodal_features", "multimodal_feature_neardup",
-    # code changed in round 5 (sf1 perf rework, parity re-verified at
-    # sf0.001/0.01/0.1): hashed-shingle + positional-filter Jaccard
-    # join and its two closure consumers, the norm-precomputing
-    # blocked cosine, and the skinny-assignment IVF-PQ (ann_ivf_topk
-    # is already windowed above)
-    "jaccard_ngram_pairs", "jaccard_dedup_clusters", "jaccard_keep_one",
-    "embedding_cosine_neardup", "ann_ivfpq_topk",
-    # code changed in round 5: bounded-threshold levenshtein (same
-    # kept rows/values; displaces the kll rows-only re-check to r06)
-    "fuzzy_name_pairs",
-    # oldest banked evidence: r03 sketch rows-only re-checks
-    "agg_approx_distinct", "sketch_distinct_users",
-    # oldest banked evidence: dedup family (reference R4/R6/R8/R21) and
-    # relational core — the five swapped out for the changed-code
-    # entries above (unchanged code, banked r03) head the r06 queue
-    "dedup_first_wins", "dedup_arbitrate_ledger", "dedup_incremental",
-    "filter_project", "pricing_summary",
-    "agg_global", "join_star_revenue",
-    # code changed in round 5: query-user cap added for sf1 scale
-    # (output identical at driver-gate SFs, but changed code re-windows)
-    "activity_profile_topk",
+    # never driver-verified: round-5 TPC-H tails
+    "min_cost_supplier", "important_part_value", "parts_supplier_counts",
+    "promo_part_shippers", "suppliers_kept_waiting",
+    # never driver-verified: relational additions
+    "event_p99_exceeders", "unpivot_lineitem_measures",
+    "hll_sketch_rollup", "basket_part_pairs_lift", "open_orders_backlog",
+    "join_key_skew_profile",
+    # never driver-verified: corpus/text analysis block
+    "tfidf_top_terms", "ngram_novelty_scores", "zipf_rank_freq",
+    "vocab_growth", "token_simpson_diversity", "bpe_pair_counts",
+    "dup_span_stats", "lang_confusion_matrix", "vocab_coverage_topk",
+    "token_length_exact_quantiles",
+    # never driver-verified: pipeline additions
+    "cross_source_overlap", "corpus_filter_funnel", "decontaminate_bloom",
+    "unigram_lm_quality", "length_outlier_mad", "dsir_importance_weights",
+    "blocklist_scrub_stats", "bigram_lm_quality", "source_token_drift",
+    "curriculum_quality_bins",
+    # never driver-verified: similarity additions (knn_label_vote's
+    # rank key gained the 6dp cross-engine rounding this round)
+    "containment_ngram_pairs", "semantic_dedup_keep_one",
+    "soft_dedup_weights", "knn_label_vote", "dedup_savings_by_source",
+    "cluster_size_histogram", "embedding_similarity_histogram",
+    # never driver-verified: temporal additions
+    "value_drift_by_day", "retention_cohorts", "event_transition_matrix",
+    "event_rate_anomaly",
+    # NEW in round 6: per-left-row top-k valve on the fuzzy join
+    "fuzzy_name_topk",
+    # code changed in round 6 (collect()-free scratch materialization;
+    # parity re-verified at sf0.01 in-session): the three wrappers the
+    # round-5 verdict flagged, plus one append-mode and one
+    # complete-mode run_stream_to_df representative
+    "stream_dedup_watermark", "stream_upsert_ledger",
+    "stream_minhash_neardup", "stream_ttl_dedup_stateful",
+    "stream_windowed_counts",
+    # code changed in round 6: scratch-dir write path / stub-resizer
+    # module-level refactor
+    "parquet_roundtrip_agg", "multimodal_resize",
 ]
 
 

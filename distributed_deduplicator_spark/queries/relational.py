@@ -1572,20 +1572,16 @@ def q_parquet_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver row proves the write/read path is lossless value-for-value,
     not just row-counted. Executes a job at call time by nature (the
     write), like the streaming family."""
-    import hashlib
-    import os
-    import tempfile
-
+    from distributed_deduplicator_spark.scratch import scratch_dir
     from distributed_deduplicator_spark.sources.sinks import write_parquet
-    # deterministic per-(sf_dir) path so overwrite actually overwrites:
-    # a fresh mkdtemp per call leaked one full events copy per
-    # invocation across multi-round drives/benches
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"ddspark_roundtrip_{tag}")
+    # per-process session scratch (scratch.py): unique per call — no
+    # read-vs-overwrite race between concurrent drives or users on a
+    # shared host — and swept at interpreter exit, so repeated drives
+    # still don't accumulate events copies under /tmp
+    target = scratch_dir("roundtrip_events")
     ev = _t(spark, sf_dir, "events")
-    write_parquet(ev, f"{base}/events", mode="overwrite",
-                  target_partitions=4)
-    back = spark.read.parquet(f"{base}/events")
+    write_parquet(ev, target, mode="overwrite", target_partitions=4)
+    back = spark.read.parquet(target)
     return (back.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum(F.col("value").cast("decimal(18,2)"))

@@ -542,7 +542,8 @@ scored AS (
 ranked AS (
   SELECT query_id, true_label, label,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, neighbor_id) AS rank
+                            ORDER BY round(cosine, 6) DESC, neighbor_id)
+           AS rank
   FROM scored),
 votes AS (
   SELECT query_id, true_label, label, count(*) AS n_votes
@@ -567,9 +568,11 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling, or contamination problem) and the shape of
     retrieval-augmented labeling jobs.
 
-    Ties are total-ordered everywhere: neighbor rank by (cosine desc,
-    neighbor_id), vote winner by (n_votes desc, label) — deterministic
-    in both engines, so the result carries a full value oracle.
+    Ties are total-ordered everywhere: neighbor rank by (round(cosine,
+    6) desc, neighbor_id) — the 6dp rounding absorbs cross-engine ulp
+    noise at the rank-k boundary — vote winner by (n_votes desc,
+    label); deterministic in both engines, so the result carries a
+    full value oracle.
 
     Plan: the bounded query set broadcasts against one corpus scan
     (the waived brute-force BNLJ baseline — swap in `ann_ivf_topk`'s
@@ -584,7 +587,10 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("label"))
     q = emb.where(F.col("vec_id") < _KNN_NQUERIES)
     corpus = emb.where(F.col("vec_id") >= _KNN_NQUERIES)
-    topk = S.cosine_topk_bruteforce(corpus, q, k=_KNN_K)
+    # round_dp=6 before the rank cut (repo-wide cross-engine float
+    # discipline): a last-ulp cosine difference at the rank-10 boundary
+    # must not flip the vote between Spark and the DuckDB oracle
+    topk = S.cosine_topk_bruteforce(corpus, q, k=_KNN_K, round_dp=6)
     true_l = q.select(F.col("vec_id").alias("query_id"),
                       F.col("label").alias("true_label"))
     cand = (labels.join(F.broadcast(topk.select("query_id", "neighbor_id")),

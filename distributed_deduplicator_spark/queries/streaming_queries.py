@@ -188,6 +188,7 @@ def q_stream_upsert_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from distributed_deduplicator_spark.scratch import materialize
     from distributed_deduplicator_spark.streaming.sinks import (
         read_ledger, run_upsert_ledger)
     base = tempfile.mkdtemp(prefix="upsert_ledger_")
@@ -197,13 +198,12 @@ def q_stream_upsert_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_upsert_ledger(ev, ["user_id"], ["ts", "event_id"],
                           base_dir=state,
                           checkpoint_dir=os.path.join(base, "ckpt"))
-        # materialize before removing the backing files (the returned
-        # DF would otherwise read the dir lazily) — every drive/bench
-        # run was leaking an events-sized ledger + checkpoint under
-        # /tmp
-        led = read_ledger(spark, state)
-        rows, schema = led.collect(), led.schema
-        return spark.createDataFrame(rows, schema)
+        # compact the ledger's final state into session scratch with a
+        # distributed write (NOT collect(): the ledger is
+        # user-cardinality-sized — a driver OOM at 100 TB) so the
+        # working ledger + checkpoint can be deleted now; scratch is
+        # swept at interpreter exit (scratch.py)
+        return materialize(read_ledger(spark, state), "upsert_ledger")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -224,6 +224,7 @@ def q_stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from distributed_deduplicator_spark.scratch import materialize
     from distributed_deduplicator_spark.streaming.neardup_stream import (
         stream_minhash_neardup)
     base = tempfile.mkdtemp(prefix="neardup_stream_")
@@ -231,8 +232,10 @@ def q_stream_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = stream_minhash_neardup(
             spark, f"{sf_dir}/documents.parque[t]",
             ledger_dir=f"{base}/ledger", out_dir=f"{base}/verdicts",
-            checkpoint_dir=f"{base}/ckpt").orderBy("doc_id")
-        rows, schema = out.collect(), out.schema
-        return spark.createDataFrame(rows, schema)
+            checkpoint_dir=f"{base}/ckpt")
+        # compact the verdicts into session scratch with a distributed
+        # write (NOT collect(): verdicts are corpus-cardinality-sized)
+        # so the working ledger/checkpoint can be deleted now
+        return materialize(out, "neardup_verdicts").orderBy("doc_id")
     finally:
         shutil.rmtree(base, ignore_errors=True)

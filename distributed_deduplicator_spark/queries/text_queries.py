@@ -220,6 +220,93 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("id_a", "id_b", "name_a", "name_b", "edit_dist"))
 
 
+_FUZZY_TOPK = 3
+
+@query("fuzzy_name_topk", oracle=f"""
+WITH cand AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         a.p_name AS name_a, b.p_name AS name_b,
+         levenshtein(a.p_name, b.p_name) AS edit_dist
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand
+   AND a.p_partkey <> b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= {_LEV_MAX}
+  WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX})
+SELECT id_a, id_b, name_a, name_b, edit_dist, match_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+                                   ORDER BY edit_dist, id_b) AS match_rank
+      FROM cand)
+WHERE match_rank <= {_FUZZY_TOPK}
+""")
+def q_fuzzy_name_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale valve on `fuzzy_name_pairs`: each part's ≤3 CLOSEST
+    fuzzy matches (edit distance ≤ 4, same blocking) instead of the
+    full pair list. The full list is the right oracle object but the
+    wrong product at scale — it grows ~10× the input on this corpus
+    (10.8 M pairs at sf1) when the consumer almost always wants "the
+    best few matches per record". Output here is ≤ 3 rows per part,
+    O(n) at any scale.
+
+    Plan: identical banded blocking to the sibling (see
+    `fuzzy_name_pairs` for the exact-cover argument — kept verbatim
+    there since that query is the uncapped oracle twin), levenshtein
+    computed ONCE per unordered pair (id_a < id_b) with the bounded
+    threshold overload, mirrored to both directions by a column swap
+    (free — no second DP pass), then a per-id_a row_number cut.
+    Ranking keys (edit_dist, id_b) are exact integers — no
+    cross-engine float wobble — so the result carries a full value
+    oracle.
+
+    The probe side is fanned out to cluster parallelism BEFORE the
+    broadcast join: part scans as a handful of splits, the dim side
+    broadcasts, and broadcast joins inherit the probe side's
+    partitioning — without the fanout the whole Σ|block|² bounded-DP
+    stage (the dominant cost: ~80 M candidate pairs at sf1) runs on
+    ONE core (measured 82 s single-task at sf1; ~32-way after)."""
+    from pyspark.sql import Window
+
+    from distributed_deduplicator_spark.sources.fixtures import fanout
+    band_w = _LEV_MAX + 1
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name")
+    band = (F.length("p_name") / band_w).cast("long")
+    a = fanout(p).select(F.col("p_partkey").alias("id_a"),
+                 F.col("p_brand").alias("brand"),
+                 F.col("p_name").alias("name_a"),
+                 F.explode(F.array(band - 1, band, band + 1))
+                  .alias("probe_band"))
+    b = p.select(F.col("p_partkey").alias("id_b"),
+                 F.col("p_brand").alias("brand"),
+                 F.col("p_name").alias("name_b"),
+                 band.alias("probe_band"))
+    cand = a.join(b, on=["brand", "probe_band"]).where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= _LEV_MAX))
+    # drop the names before the rank shuffle: the window moves ~2×
+    # |pairs| rows — at (id, id, dist) width that's a quarter of the
+    # with-names shuffle — and only the ≤ k·n winners ever need their
+    # names re-attached (two skinny key joins at the end)
+    pairs = (cand.withColumn("edit_dist",
+                             F.levenshtein("name_a", "name_b", _LEV_MAX))
+                 .where(F.col("edit_dist") >= 0)
+                 .select("id_a", "id_b", "edit_dist"))
+    directed = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b"),
+                     "edit_dist"))
+    w = Window.partitionBy("id_a").orderBy("edit_dist", "id_b")
+    top = (directed.withColumn("match_rank",
+                               F.row_number().over(w).cast("bigint"))
+                   .where(F.col("match_rank") <= _FUZZY_TOPK))
+    na = p.select(F.col("p_partkey").alias("id_a"),
+                  F.col("p_name").alias("name_a"))
+    nb = p.select(F.col("p_partkey").alias("id_b"),
+                  F.col("p_name").alias("name_b"))
+    return (top.join(na, "id_a").join(nb, "id_b")
+               .select("id_a", "id_b", "name_a", "name_b",
+                       "edit_dist", "match_rank"))
+
+
 @query("text_winnow_fingerprints")  # rows-only: xxhash64 has no DuckDB twin
 def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram hash, sliding-window minima) document

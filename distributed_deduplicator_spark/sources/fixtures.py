@@ -89,6 +89,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.schema(cached).parquet(path)
     else:
         df = spark.read.parquet(path)
+        # evict superseded mtimes: keeps exactly ONE entry per
+        # (sf_dir, name), so the cache can't grow across fixture
+        # regenerations and table_schema can rely on uniqueness
+        for stale in [k for k in _SCHEMA_CACHE
+                      if k[0] == sf_dir and k[1] == name]:
+            del _SCHEMA_CACHE[stale]
         _SCHEMA_CACHE[key] = df.schema
     for c in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, T.LongType):
@@ -111,9 +117,16 @@ def table_schema(spark: SparkSession, sf_dir: str,
     load_table fills). Streaming readers need an explicit schema; this
     keeps them from paying a fresh footer job per call."""
     key = (sf_dir, name, _path_mtime(f"{sf_dir}/{name}.parquet"))
-    if key not in _SCHEMA_CACHE:
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is None:
         load_table(spark, sf_dir, name)
-    return _SCHEMA_CACHE[key]
+        # don't recompute the key: if the fixture was rewritten between
+        # our mtime probe and load_table's, the keys differ and a plain
+        # _SCHEMA_CACHE[key] would KeyError. load_table's eviction
+        # guarantees exactly one live entry per (sf_dir, name) — use it.
+        cached = next(schema for (d, n, _m), schema in _SCHEMA_CACHE.items()
+                      if d == sf_dir and n == name)
+    return cached
 
 
 def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -22,11 +22,11 @@ per key per batch.
 from __future__ import annotations
 
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from distributed_deduplicator_spark.scratch import scratch_dir
 from distributed_deduplicator_spark.sources import load_table
 from distributed_deduplicator_spark.sources.fixtures import table_schema
 
@@ -56,25 +56,38 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
                      output_mode: str = "append") -> DataFrame:
-    """Run a streaming DataFrame to completion (availableNow) into a
-    memory sink and return the materialized result as a batch DF —
-    the shape the driver's rows-only check needs."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
+    """Run a streaming DataFrame to completion (availableNow) into
+    session-scoped scratch parquet and return the lazy reader — the
+    batch shape the driver's checks need, with NO driver
+    materialization (the memory sink this replaced pinned — and a
+    later collect() round-tripped — the full result on the driver; a
+    drained dedup stream is attempt-cardinality-sized, a driver OOM at
+    100 TB). Append mode drains straight through the parquet file
+    sink; complete mode (the file sink rejects it) goes through a
+    foreachBatch overwrite, whose last micro-batch IS the complete
+    result. Both writes happen on executors at full parallelism; the
+    scratch root is swept at interpreter exit (scratch.py)."""
+    out = scratch_dir("stream_result")
+    # pre-create: a drain that schedules ZERO micro-batches (possible
+    # for an empty source in foreachBatch mode) would otherwise leave
+    # no directory for the read below to point at — an empty dir plus
+    # the explicit schema reads back as a valid zero-row result
+    import os
+    os.makedirs(out, exist_ok=True)
     with tempfile.TemporaryDirectory() as ckpt:
-        q = (stream_df.writeStream.format("memory")
-             .queryName(name)
-             .outputMode(output_mode)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True)
-             .start())
+        writer = (stream_df.writeStream
+                  .outputMode(output_mode)
+                  .option("checkpointLocation", ckpt)
+                  .trigger(availableNow=True))
+        if output_mode == "complete":
+            writer = writer.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("overwrite").parquet(out))
+        else:
+            writer = writer.format("parquet").option("path", out)
+        q = writer.start()
         q.awaitTermination()
-    # materialize and DROP the memory-sink table — otherwise every
-    # drained stream pins its full result on the driver for the
-    # session's lifetime (a full-registry drive runs 8+ of these)
-    sink = spark.table(name)
-    rows, schema = sink.collect(), sink.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    # explicit schema: zero-row drains have no footer to infer from
+    return spark.read.schema(stream_df.schema).parquet(out)
 
 
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str,

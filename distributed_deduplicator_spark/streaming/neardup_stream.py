@@ -124,6 +124,15 @@ def process_batch(batch: DataFrame, ledger_dir: str, out_dir: str,
         earlier = _earlier_ledger_paths(ledger_dir, batch_id)
         if earlier:
             ledger = spark.read.parquet(*earlier)
+            if "bks" not in ledger.columns:
+                # pre-r5 ledger format stored (id, sig) without the
+                # accept-time band keys; recompute them so caller-
+                # managed incremental pipelines pointed at an old
+                # ledger_dir keep working (one-time O(history) cost —
+                # rewrite the ledger in the new format to stop paying)
+                ledger = ledger.select(
+                    "id", "sig",
+                    lsh_band_array(_BANDS, _ROWS).alias("bks"))
             lbk = (ledger.select(F.col("id").alias("_lid"),
                                  F.explode("bks").alias("bb"))
                          .select("_lid", "bb.band", "bb.bucket"))

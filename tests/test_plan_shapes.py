@@ -264,6 +264,41 @@ def test_no_nested_or_decimal_terminals_executing_queries(spark, sf_dir):
     assert not offenders, f"nested/decimal terminals: {offenders}"
 
 
+def test_ann_sizing_without_n_warns(spark, sf_dir):
+    """Omitting `n` on the ANN builders falls back to a plan-build-time
+    COUNT scan — allowed for ad-hoc exploration but it must WARN so it
+    can never hide in a pipeline; passing `n` must stay silent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    import warnings as W
+    with pytest.warns(ResourceWarning, match="ann_ivf_topk"):
+        S.ann_ivf_topk(emb, k=2)
+    S.release_persisted()
+    with W.catch_warnings():
+        W.simplefilter("error", ResourceWarning)  # any warning → fail
+        S.ann_ivf_topk(emb, k=2, n=1000)
+    S.release_persisted()
+
+
+def test_streaming_results_are_file_backed_not_collected(spark, sf_dir):
+    """The streaming wrappers must return LAZY file-backed readers, not
+    driver-materialized rows: a collect() + createDataFrame round-trip
+    shows up as LocalRelation/LocalTableScan in the plan (all data on
+    the driver — an OOM at 100 TB), while the scratch-parquet pattern
+    (scratch.py) shows a parquet Relation/FileScan. Locks the round-6
+    fix that removed the three driver-side collects."""
+    checked = 0
+    for name in ["stream_dedup_watermark", "stream_upsert_ledger",
+                 "stream_minhash_neardup", "stream_windowed_counts"]:
+        df = Q.QUERIES[name](spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LocalRelation" not in optimized, name
+        physical = _plan(df, "simple")
+        assert "LocalTableScan" not in physical, name
+        assert "FileScan parquet" in physical or "BatchScan" in physical, name
+        checked += 1
+    assert checked == 4
+
+
 def test_rotation_head_pins_driver_window():
     """The driver verifies the FIRST 50 registry entries; the explicit
     rotation head must be exactly that window — present, deduplicated,

@@ -191,7 +191,8 @@ def test_interval_backlog_matches_bruteforce(spark, spans):
 
 qt_values = st.lists(
     st.tuples(st.sampled_from(["g1", "g2", "g3"]),
-              st.integers(min_value=0, max_value=40)),
+              st.one_of(st.none(),
+                        st.integers(min_value=0, max_value=40))),
     min_size=1, max_size=60)
 
 
@@ -202,16 +203,22 @@ qt_values = st.lists(
 def test_count_table_quantiles_match_percentile_disc(spark, vals, pcts):
     """The count-table quantile must equal sorted-list percentile_disc
     (value at 1-based index ceil(p·n/100)) for every group and
-    percentile."""
+    percentile. NULL measures are ignored entirely (percentile_disc
+    semantics): they count into neither n_rows nor the thresholds, and
+    an all-NULL group is absent from the output."""
     from distributed_deduplicator_spark.operators.relational import (
         count_table_quantiles)
     pcts = sorted(pcts)
-    df = spark.createDataFrame(vals, ["g", "v"])
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("g", T.StringType()),
+                           T.StructField("v", T.IntegerType())])
+    df = spark.createDataFrame(vals, schema)
     got = {r.g: r for r in
            count_table_quantiles(df, ["g"], "v", pcts).collect()}
     groups = {}
     for g, v in vals:
-        groups.setdefault(g, []).append(v)
+        if v is not None:
+            groups.setdefault(g, []).append(v)
     assert set(got) == set(groups)
     for g, xs in groups.items():
         xs.sort()

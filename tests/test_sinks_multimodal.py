@@ -435,3 +435,60 @@ def test_create_table_if_not_exists_reregisters_existing_path(
         assert spark.table(name).count() == n1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --- optional-PIL codec gate (operators/multimodal.py) ---------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(payload=st.binary(min_size=0, max_size=256),
+       w=st.integers(min_value=1, max_value=64),
+       h=st.integers(min_value=1, max_value=64))
+def test_sha_resizer_shape_contract(payload, w, h):
+    """The stub resizer's output contract — exactly w·h bytes for ANY
+    payload (including empty) — is what RESIZED_SCHEMA's n_bytes
+    semantics and the PIL twin both rely on."""
+    out = MM.sha_resizer(payload, w, h)
+    assert isinstance(out, bytes) and len(out) == w * h
+    assert out == MM.sha_resizer(payload, w, h)  # deterministic
+
+
+@pytest.mark.skipif(not MM.pil_available(), reason="PIL not installed")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(w=st.integers(min_value=1, max_value=32),
+       h=st.integers(min_value=1, max_value=32),
+       px=st.integers(min_value=0, max_value=255))
+def test_pil_resizer_shape_matches_stub(w, h, px):
+    """Where PIL exists, the codec-backed resizer must satisfy the SAME
+    shape contract as the stub (exactly w·h bytes), so either slots
+    into resize_media with identical schema and n_bytes."""
+    import io
+
+    import PIL.Image
+    src = PIL.Image.new("L", (8, 8), color=px)
+    buf = io.BytesIO()
+    src.save(buf, format="PNG")
+    payload = buf.getvalue()
+    out = MM.pil_image_resizer(payload, w, h)
+    assert len(out) == w * h == len(MM.sha_resizer(payload, w, h))
+    feats = MM.pil_feature_extractor(payload)
+    assert len(feats) == MM._FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in feats)
+
+
+@pytest.mark.skipif(MM.pil_available(), reason="PIL installed here")
+def test_pil_paths_fail_loud_without_pil():
+    """Without PIL the codec paths must raise NotImplementedError (the
+    documented capability gate) — never a bare ImportError from deep
+    inside an executor stack."""
+    with pytest.raises(NotImplementedError):
+        MM.pil_image_resizer(b"not-an-image", 4, 4)
+    with pytest.raises(NotImplementedError):
+        MM.pil_feature_extractor(b"not-an-image")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"not-an-image")

@@ -32,6 +32,104 @@ def norm(v):
     return f"{v:.9g}" if isinstance(v, float) else str(v)
 
 
+def quality_metrics(spark, sf_dir, qs) -> dict:
+    """Quality numbers for the ANN/near-dup rows-only queries, so the
+    drive artifact shows result QUALITY, not just row counts (the
+    pytest recall gates exist in tests/test_similarity.py — this
+    surfaces the same comparisons per drive):
+
+    - ann_*_topk: recall@k of (query, neighbor) edges vs the exact
+      brute-force cosine top-k over the same corpus;
+    - minhash_near_dup / near_dup_ensemble: precision+recall vs the
+      EXACT n-gram Jaccard join at the same threshold;
+    - simhash/winnow pair generators: F1 vs an independently-built
+      brute-force twin (expected 1.0 — these are exact-by-construction;
+      the twin guards the pigeonhole/banding candidate generation);
+    - near_dup_clusters: fraction of exact-Jaccard pairs landing in
+      the same cluster (co-cluster recall).
+
+    Driver-side set math on collected PAIR KEYS only (ids, never
+    payloads) — diagnostic tooling, not a registered query path.
+    """
+    from pyspark.sql import functions as F
+
+    from distributed_deduplicator_spark.operators import similarity as S
+    from distributed_deduplicator_spark.sources import load_table
+
+    out: dict[str, dict] = {}
+
+    def undirected(df):
+        return {(min(a, b), max(a, b))
+                for a, b in df.select("id_a", "id_b").collect()}
+
+    def pr(got: set, truth: set) -> dict:
+        inter = len(got & truth)
+        return {"precision": round(inter / len(got), 4) if got else None,
+                "recall": round(inter / len(truth), 4) if truth else None,
+                "n_got": len(got), "n_truth": len(truth)}
+
+    # --- ANN recall@k vs exact brute force (directed edges) ---------
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5  # _TOPK in queries/similarity_queries.py
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk_bruteforce(emb, emb, k=k)
+                       .select("query_id", "neighbor_id").collect()}
+    S.release_persisted()
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk"):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in qs[name](spark, sf_dir)
+                            .select("query_id", "neighbor_id").collect()}
+        out[name] = {f"recall_at_{k}":
+                     round(len(approx & exact) / len(exact), 4)}
+    S.release_persisted()
+
+    # --- near-dup pair generators vs exact twins ---------------------
+    d = load_table(spark, sf_dir, "documents")
+    thr, ngram = 0.35, 3  # _JACCARD_THRESHOLD/_NGRAM in the registry
+    exact_j = undirected(
+        S.jaccard_similarity_join(d, "doc_id", "text", n=ngram,
+                                  threshold=thr))
+    S.release_persisted()
+    out["minhash_near_dup"] = pr(
+        undirected(qs["minhash_near_dup"](spark, sf_dir)), exact_j)
+    out["near_dup_ensemble"] = pr(
+        undirected(qs["near_dup_ensemble"](spark, sf_dir)), exact_j)
+    S.release_persisted()
+
+    # simhash: brute-force hamming twin over the fingerprint table
+    fp = S.simhash64(d, "doc_id", "text")
+    fa = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("_fa"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("_fb"))
+    brute_sh = undirected(
+        fa.join(fb, F.col("id_a") < F.col("id_b"))
+          .where(F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))) <= 3))
+    got_sh = undirected(qs["simhash_near_dup_pairs"](spark, sf_dir))
+    out["simhash_near_dup_pairs"] = pr(got_sh, brute_sh)
+
+    # winnow: brute-force shared-fingerprint twin via array_intersect
+    wf = S.winnow_fingerprints(d, "doc_id", "text", k=5, window=4)
+    wa = wf.select(F.col("id").alias("id_a"),
+                   F.col("fingerprints").alias("_wa"))
+    wb = wf.select(F.col("id").alias("id_b"),
+                   F.col("fingerprints").alias("_wb"))
+    brute_wn = undirected(
+        wa.join(wb, F.col("id_a") < F.col("id_b"))
+          .where(F.size(F.array_intersect("_wa", "_wb")) >= 2))
+    got_wn = undirected(qs["winnow_near_dup_pairs"](spark, sf_dir))
+    out["winnow_near_dup_pairs"] = pr(got_wn, brute_wn)
+
+    # clusters: co-cluster recall of the exact-Jaccard pairs
+    labels = {r.id: r.cluster_id
+              for r in qs["near_dup_clusters"](spark, sf_dir).collect()}
+    same = sum(1 for a, b in exact_j
+               if labels.get(a) is not None and labels.get(a) == labels.get(b))
+    out["near_dup_clusters"] = {
+        "co_cluster_recall": round(same / len(exact_j), 4) if exact_j
+        else None, "n_exact_pairs": len(exact_j)}
+    S.release_persisted()
+    return out
+
+
 def main() -> None:
     sf_dir, out_path = sys.argv[1], sys.argv[2]
     use_engine = "--engine-session" in sys.argv[3:]
@@ -90,8 +188,13 @@ def main() -> None:
     counts = {}
     for r in results.values():
         counts[r["status"]] = counts.get(r["status"], 0) + 1
+    try:
+        quality = quality_metrics(spark, sf_dir, qs)
+    except Exception as exc:  # noqa: BLE001 — quality must not kill the drive
+        quality = {"ERR": f"{type(exc).__name__}: {exc}"[:500]}
+    print("quality:", json.dumps(quality), file=sys.stderr)
     payload = {"sf_dir": sf_dir, "engine_session": use_engine,
-               "summary": counts, "results": results}
+               "summary": counts, "quality": quality, "results": results}
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(counts))
