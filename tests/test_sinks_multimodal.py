@@ -492,3 +492,38 @@ def test_pil_paths_fail_loud_without_pil():
         MM.pil_feature_extractor(b"not-an-image")
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"not-an-image")
+
+
+def test_merge_upsert_rewrite_fallback(spark, sf_dir, tmp_path):
+    """merge_upsert must produce source-wins upsert semantics through
+    whichever path the catalog supports — on this container's plain
+    parquet tables, the staged rewrite (MERGE INTO raises unsupported
+    at analysis time and routes to the fallback)."""
+    from distributed_deduplicator_spark.sources.sinks import (
+        create_table_if_not_exists, merge_upsert)
+    name = "t_merge_upsert"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "s", "v"])
+    create_table_if_not_exists(spark, name, base, str(tmp_path / "tbl"))
+    try:
+        src = spark.createDataFrame(
+            [(2, "B", 99.0), (4, "d", 40.0)], ["k", "s", "v"])
+        route = merge_upsert(spark, name, src, ["k"])
+        assert route in ("merge_into", "rewrite")
+        got = {r.k: (r.s, r.v) for r in spark.table(name).collect()}
+        assert got == {1: ("a", 10.0), 2: ("B", 99.0),
+                       3: ("c", 30.0), 4: ("d", 40.0)}
+        # idempotent: re-merging the same source changes nothing
+        route2 = merge_upsert(spark, name, src, ["k"])
+        assert route2 == route
+        got2 = {r.k: (r.s, r.v) for r in spark.table(name).collect()}
+        assert got2 == got
+        # duplicate source keys must raise, like engine-native MERGE
+        dup = spark.createDataFrame(
+            [(5, "x", 1.0), (5, "y", 2.0)], ["k", "s", "v"])
+        with pytest.raises(ValueError, match="duplicate"):
+            merge_upsert(spark, name, dup, ["k"])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
