@@ -527,3 +527,38 @@ def test_merge_upsert_rewrite_fallback(spark, sf_dir, tmp_path):
             merge_upsert(spark, name, dup, ["k"])
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --- session scratch (scratch.py) -------------------------------------
+
+def test_scratch_materialize_roundtrip_and_sweep(spark, sf_dir):
+    """materialize() must execute via a distributed write and return a
+    LAZY file-backed reader (no LocalRelation), value-identical to its
+    input including zero-row inputs; dead-PID scratch roots must be
+    swept on first use."""
+    import os
+    import shutil
+    import tempfile
+
+    from distributed_deduplicator_spark import scratch as SC
+    d = load_table(spark, sf_dir, "region")
+    back = SC.materialize(d, "t")
+    assert "LocalRelation" not in back._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, d.collect()))
+    assert back.schema == d.schema
+    # zero-row input keeps schema and reads back empty
+    empty = SC.materialize(d.where(F.lit(False)), "empty")
+    assert empty.count() == 0 and empty.schema == d.schema
+    # a root left by a dead PID is swept on next scratch_root() use
+    dead = os.path.join(tempfile.gettempdir(),
+                        f"{SC._PREFIX}999999999_deadbeef")
+    os.makedirs(dead, exist_ok=True)
+    try:
+        SC._sweep_dead_roots(tempfile.gettempdir())
+        assert not os.path.isdir(dead)
+        # our own live root is never swept
+        assert os.path.isdir(SC.scratch_root())
+    finally:
+        shutil.rmtree(dead, ignore_errors=True)

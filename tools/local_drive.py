@@ -127,6 +127,71 @@ def quality_metrics(spark, sf_dir, qs) -> dict:
         "co_cluster_recall": round(same / len(exact_j), 4) if exact_j
         else None, "n_exact_pairs": len(exact_j)}
     S.release_persisted()
+
+    # --- sketch family: estimate error vs exact ----------------------
+    def max_rel_err(pairs):
+        return round(max((abs(a - e) / e) for a, e in pairs if e), 4)
+
+    rows = qs["agg_approx_distinct"](spark, sf_dir).collect()
+    out["agg_approx_distinct"] = {"max_rel_err": max_rel_err(
+        [(r.approx_parts, r.exact_parts) for r in rows])}
+
+    ev = load_table(spark, sf_dir, "events")
+    exact_users = {r.event_type: r.n for r in
+                   ev.groupBy("event_type")
+                     .agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact_users["ALL"] = ev.select("user_id").distinct().count()
+    for name, key in (("sketch_distinct_users", "event_type"),
+                      ("hll_sketch_rollup", "scope")):
+        rows = qs[name](spark, sf_dir).collect()
+        out[name] = {"max_rel_err": max_rel_err(
+            [(r.est_users, exact_users[getattr(r, key)]) for r in rows])}
+
+    # KLL quantiles vs exact percentile (per type and overall)
+    pcts = (0.25, 0.5, 0.75, 0.9)
+    exact_q = {r.event_type: [getattr(r, f"p{int(p*100)}") for p in pcts]
+               for r in ev.groupBy("event_type").agg(
+                   *[F.expr(f"percentile(value, {p})")
+                      .alias(f"p{int(p*100)}") for p in pcts]).collect()}
+    exact_q["ALL"] = list(ev.agg(
+        *[F.expr(f"percentile(value, {p})").alias(f"p{int(p*100)}")
+          for p in pcts]).collect()[0])
+    kll = qs["kll_value_quantiles"](spark, sf_dir).collect()
+    out["kll_value_quantiles"] = {"max_rel_err": max_rel_err(
+        [(getattr(r, f"p{int(p*100)}"), exact_q[r.event_type][i])
+         for r in kll for i, p in enumerate(pcts)])}
+
+    rows = qs["text_length_quantiles"](spark, sf_dir).collect()
+    out["text_length_quantiles"] = {"max_rel_err": max_rel_err(
+        [(r.approx_p50, r.exact_p50) for r in rows])}
+
+    # freqItems: superset guarantee — every true heavy hitter present
+    from distributed_deduplicator_spark.functions import text as TXT
+    toks = d.select(F.explode(TXT.tokens("text")).alias("w"))
+    n_tok = toks.count()
+    # strictly greater: freqItems' guarantee covers frequency > support·N
+    heavy = {r.w for r in toks.groupBy("w").count()
+                             .where(F.col("count") > 0.01 * n_tok)
+                             .collect()}
+    got_tokens = {r.token for r in
+                  qs["frequent_tokens_approx"](spark, sf_dir).collect()}
+    out["frequent_tokens_approx"] = {
+        "superset_holds": heavy <= got_tokens,
+        "n_true_heavy": len(heavy),
+        "n_reported": len(got_tokens)}
+
+    # bloom decontamination: no false negatives vs the exact operator,
+    # bounded false-positive overhang
+    exact_flagged = {r.doc_id for r in
+                     qs["benchmark_decontaminate"](spark, sf_dir)
+                       .select("doc_id").collect()}
+    bloom_flagged = {r.doc_id for r in
+                     qs["decontaminate_bloom"](spark, sf_dir)
+                       .select("doc_id").collect()}
+    out["decontaminate_bloom"] = {
+        "false_negatives": len(exact_flagged - bloom_flagged),
+        "false_positives": len(bloom_flagged - exact_flagged),
+        "n_exact_flagged": len(exact_flagged)}
     return out
 
 
