@@ -456,3 +456,47 @@ def bloom_ngram_decontaminate(docs: DataFrame, bench_ids: DataFrame,
     return (cur.where(F.coalesce(maybe, F.lit(False)))
                .groupBy("id")
                .agg(F.countDistinct("shingle").alias("n_maybe_shingles")))
+
+
+def pareto_front_2d(df: DataFrame, x_col: str, y_col: str,
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Rows on the 2-D Pareto front (skyline), maximizing both
+    criteria, optionally per group: a row survives iff NO other row in
+    its group is ≥ on both criteria and > on at least one. The
+    data-selection primitive behind "keep documents not dominated on
+    (quality, length)" curation cuts.
+
+    Dominance test as two window aggregates (no self-join, no n²):
+    over ``x`` ascending, a RANGE frame (1, +∞) yields max(y) among
+    rows with STRICTLY greater x — if that ≥ this row's y, something
+    both longer and at-least-as-good exists; among rows with EQUAL x,
+    max(y) > y catches same-x domination. Exact ties on both criteria
+    dominate nothing, so duplicate points all stay on the front —
+    textbook skyline semantics.
+
+    Scale shape: a windowed skyline over one global ordering would
+    serialize onto one task, so this runs the standard two-phase
+    distributed skyline — the SAME window pass first per (group,
+    input partition), which is exact pruning (a locally dominated row
+    is dominated by the same witness globally, and a global survivor
+    has no dominating witness anywhere, so local passes never drop
+    it), then once more over the union of local fronts. Skylines are
+    tiny relative to their inputs (they grow ~log n on independent
+    criteria), so the global pass sees survivors-per-partition rows,
+    not the corpus.
+    """
+    groups = list(group_cols or [])
+
+    def front(rows: DataFrame, parts: list[str]) -> DataFrame:
+        w_gt = (Window.partitionBy(*parts).orderBy(F.col(x_col).asc())
+                .rangeBetween(1, Window.unboundedFollowing))
+        w_eq = Window.partitionBy(*parts, x_col)
+        dominated = (
+            (F.max(y_col).over(w_gt) >= F.col(y_col))
+            | (F.max(y_col).over(w_eq) > F.col(y_col)))
+        return (rows.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
+                    .where(~F.col("_dom")).drop("_dom"))
+
+    local = front(df.withColumn("_pid", F.spark_partition_id()),
+                  groups + ["_pid"]).drop("_pid")
+    return front(local, groups)

@@ -861,3 +861,54 @@ def q_curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.sum("n_tok").alias("tok_total"),
                        F.round(F.min("q"), 6).alias("min_quality"),
                        F.round(F.max("q"), 6).alias("max_quality")))
+
+
+@query("pareto_quality_front", oracle=rf"""
+WITH toks AS (SELECT doc_id, source, {_NORM_SQL} AS t FROM documents),
+m AS (SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+      FROM toks WHERE len(t) > 0),
+r AS (SELECT doc_id, source, n_tok,
+             n_distinct / n_tok AS distinct_ratio, n_distinct
+      FROM m)
+SELECT doc_id, source, n_tok, distinct_ratio
+FROM r
+WHERE NOT EXISTS (
+  SELECT 1 FROM r s
+  WHERE s.source = r.source
+    AND s.n_tok >= r.n_tok
+    AND s.distinct_ratio >= r.distinct_ratio
+    AND (s.n_tok > r.n_tok OR s.distinct_ratio > r.distinct_ratio))
+""")
+def q_pareto_quality_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pareto front of documents maximizing BOTH length
+    (n_tok) and lexical quality (distinct-token ratio) — the
+    dominance-based selection cut: a doc is kept iff no same-source
+    doc is at least as long AND at least as diverse (strictly better
+    on one). Skyline selection avoids picking a single weighted score
+    for incomparable criteria — the standard move when curation
+    objectives conflict (longer docs repeat more).
+
+    The oracle is the textbook O(n²) NOT EXISTS dominance test; the
+    Spark side is `operators/pipeline.pareto_front_2d` — two window
+    aggregates (strict-greater-x RANGE frame + equal-x partition), run
+    per (source, input partition) then once over the union of local
+    fronts, so no task ever sees more than its partition plus the tiny
+    survivor set. Both criteria derive from the same integers in both
+    engines (ratio = one IEEE division of two BIGINTs), so dominance
+    comparisons and the emitted values are bit-identical — full value
+    oracle."""
+    from distributed_deduplicator_spark.functions import text as TXT
+    d = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    m = (d.select("doc_id", "source", toks.alias("_t"))
+          .where(F.size("_t") > 0)
+          .select("doc_id", "source",
+                  F.size("_t").cast("bigint").alias("n_tok"),
+                  F.size(F.array_distinct("_t")).cast("bigint")
+                   .alias("_nd")))
+    r = m.withColumn("distinct_ratio",
+                     F.col("_nd") / F.col("n_tok"))
+    return (P.pareto_front_2d(r, "n_tok", "distinct_ratio", ["source"])
+             .select("doc_id", "source", "n_tok", "distinct_ratio"))

@@ -4,6 +4,8 @@ behavior the oracle-parity test can't isolate."""
 
 import math
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from distributed_deduplicator_spark.operators import pipeline as P
@@ -183,3 +185,35 @@ def test_hll_rollup_accuracy(spark, sf_dir):
     for t, n in exact.items():
         assert abs(est[t] - n) <= max(1, 0.05 * n)
     assert abs(est["ALL"] - exact_all) <= max(1, 0.05 * exact_all)
+
+
+pareto_points = st.lists(
+    st.tuples(st.sampled_from(["g1", "g2"]),          # group
+              st.integers(min_value=0, max_value=8),  # x
+              st.integers(min_value=0, max_value=8)), # y
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pts=pareto_points, parts=st.integers(min_value=1, max_value=5))
+def test_pareto_front_matches_bruteforce(spark, pts, parts):
+    """pareto_front_2d must equal the O(n²) dominance definition per
+    group for ANY point set — including duplicate points (which
+    dominate nothing and all stay on the front) and any input
+    partitioning (the local prune must never drop a global survivor)."""
+    from distributed_deduplicator_spark.operators.pipeline import (
+        pareto_front_2d)
+    rows = [(i, g, x, y) for i, (g, x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "g", "x", "y"]) \
+              .repartition(parts)
+    got = {(r.id, r.g, r.x, r.y) for r in
+           pareto_front_2d(df, "x", "y", ["g"]).collect()}
+
+    def dominated(r, s):
+        return (s[1] == r[1] and s[2] >= r[2] and s[3] >= r[3]
+                and (s[2] > r[2] or s[3] > r[3]))
+
+    expect = {tuple(r) for r in rows
+              if not any(dominated(r, s) for s in rows if s != r)}
+    assert got == expect

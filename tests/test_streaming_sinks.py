@@ -219,3 +219,41 @@ def test_ttl_dedup_stateful_multichunk_group_order(spark, tmp_path):
     # (ts order): s=0 SUCCESS, s=1 DUP, s=20 SUCCESS (20-0>=10), s=21 DUP
     assert got == {2: "SUCCESS", 3: "DUPLICATE",
                    0: "SUCCESS", 1: "DUPLICATE"}
+
+
+def test_neardup_ledger_pre_bks_format_fallback(spark, sf_dir, tmp_path):
+    """ADVICE r5 (low): a ledger_dir written in the pre-r5 (id, sig)
+    format — no stored 'bks' band keys — must still arbitrate new
+    batches (band keys recomputed from the signatures) instead of
+    failing on explode('bks'). Cross-format suppression must match the
+    same replay over a current-format ledger."""
+    import os
+
+    from pyspark.sql import functions as F
+    from distributed_deduplicator_spark.sources import load_table
+    from distributed_deduplicator_spark.streaming.neardup_stream import (
+        process_batch)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+
+    def run(tag, strip_bks):
+        led = str(tmp_path / tag / "ledger")
+        out = str(tmp_path / tag / "verdicts")
+        process_batch(first, led, out, batch_id=0)
+        if strip_bks:
+            # rewrite batch 0's ledger in the legacy (id, sig) layout
+            v0 = os.path.join(led, "batch=0")
+            legacy = spark.read.parquet(v0).select("id", "sig")
+            legacy.write.mode("overwrite").parquet(v0 + ".legacy")
+            import shutil
+            shutil.rmtree(v0)
+            os.rename(v0 + ".legacy", v0)
+            assert "bks" not in spark.read.parquet(v0).columns
+        process_batch(second, led, out, batch_id=1)
+        return {r["doc_id"]: r["verdict"] for r in
+                spark.read.parquet(os.path.join(out, "batch=1"))
+                     .collect()}
+
+    assert run("legacy", strip_bks=True) == run("current", strip_bks=False)
