@@ -528,6 +528,71 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
                           F.col("rk").alias("rank"), "cosine"))
 
 
+def ivf_index_build(emb: DataFrame, index_dir: str,
+                    nlist: int | None = None, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n: int | None = None) -> None:
+    """Build and PERSIST an IVF-flat index: ``index_dir/centroids``
+    (centroid_id, cunit) and ``index_dir/members`` (id, list_id, unit
+    — each vector stored once, in its rank-1 list).
+
+    Index lifecycle is the piece the per-call ``ann_ivf_topk`` build
+    cannot give a serving system: at 100 TB you build (or
+    incrementally refresh) the index in one batch job and answer
+    every retrieval query against the stored artifact — exactly how
+    IVF deployments run. Centroids are the deterministic
+    hash-seed + Lloyd-step kernel (ivf_centroids), so a rebuilt index
+    over the same corpus is bit-identical, and parquet round-trips
+    doubles exactly — ``ann_ivf_query_index`` over the stored index
+    EQUALS the in-memory ``ann_ivf_topk`` row for row (gated in
+    tests/test_similarity.py)."""
+    if nlist is None:
+        nlist = max(4, int(math.sqrt(max(
+            _corpus_size_for_sizing(emb, n, "ivf_index_build"), 4))))
+    u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
+    cents = ivf_centroids(u, nlist, dim)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    # re-read what was WRITTEN so member assignment can never drift
+    # from what queries will later load
+    stored = emb.sparkSession.read.parquet(f"{index_dir}/centroids")
+    members = (ivf_assign(u, stored, dim, nprobe=1, keep_unit=True)
+               .select("id", F.col("centroid_id").alias("list_id"),
+                       "unit"))
+    members.write.mode("overwrite").parquet(f"{index_dir}/members")
+
+
+def ann_ivf_query_index(spark, index_dir: str, queries: DataFrame,
+                        k: int = 10, nprobe: int = 4, dim: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Top-k cosine retrieval against a PERSISTED IVF index
+    (:func:`ivf_index_build`): broadcast the stored centroids, assign
+    each query to its ``nprobe`` nearest lists, score with the same
+    cogrouped per-list float64 GEMM the in-memory path uses (each
+    stored member crosses the wire once per probed list — never per
+    candidate pair), then the exact skinny top-k window. The index is
+    scanned, never rebuilt — the build cost amortizes over every
+    query batch."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    members = spark.read.parquet(f"{index_dir}/members")
+    qu = unit_vectors(queries, id_col, vec_col)
+    probes = (ivf_assign(qu, cents, dim, nprobe=nprobe, keep_unit=True)
+              .select(F.col("centroid_id").alias("list_id"),
+                      F.col("id").alias("query_id"),
+                      F.col("unit").alias("qunit")))
+    scored = (members.groupBy("list_id")
+                     .cogroup(probes.groupBy("list_id"))
+                     .applyInPandas(
+                         _ivf_list_scorer(k),
+                         "query_id long, neighbor_id long, cosine double"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") <= k)
+                  .select("query_id", "neighbor_id",
+                          F.col("rk").alias("rank"), "cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Winnowing (rolling-hash document fingerprints)
 # ---------------------------------------------------------------------------

@@ -118,6 +118,66 @@ def asof_join(left: DataFrame, right: DataFrame,
                            *[F.col(f"_last_r.{c}").alias(c) for c in payload]))
 
 
+def asof_join_forward(left: DataFrame, right: DataFrame,
+                      left_key: str, right_key: str,
+                      left_ts: str, right_ts: str,
+                      payload: Sequence[str],
+                      right_order: Sequence[str] | None = None
+                      ) -> DataFrame:
+    """Forward as-of join: attach the EARLIEST right row with
+    ``right_ts >= left_ts`` per key (pandas merge_asof
+    direction='forward'); payload columns are null when no right row
+    follows the left row.
+
+    Same union-sort-carry plan as the backward :func:`asof_join` —
+    one shuffle, linear, no range join — with the window mirrored:
+    the carry runs over [currentRow, unboundedFollowing] taking the
+    FIRST right row, and at equal timestamps left rows sort before
+    right rows so ``>=`` includes the simultaneous right row.
+
+    Deterministic under ties: among right rows sharing the smallest
+    eligible ``right_ts``, the one SMALLEST by ``right_order``
+    (defaults to ``payload``) wins — the mirror image of backward's
+    greatest-wins; mirror it in any oracle.
+    """
+    r_order = list(right_order) if right_order else list(payload)
+    lcols = left.columns
+    l = (left.select(F.col(left_key).alias("_k"),
+                     F.col(left_ts).alias("_ts"),
+                     F.lit(1).alias("_tag"),
+                     F.struct(*lcols).alias("_l"),
+                     F.lit(None).cast(
+                         right.select(F.struct(*r_order, *[
+                             c for c in payload if c not in r_order
+                         ]).alias("_r")).schema["_r"].dataType).alias("_r")))
+    # NULL right_ts can never satisfy right_ts >= left_ts; drop before
+    # the sort (NULLS would sort last under asc and the forward carry
+    # would otherwise surface them for trailing left rows)
+    right = right.where(F.col(right_ts).isNotNull())
+    r = (right.select(F.col(right_key).alias("_k"),
+                      F.col(right_ts).alias("_ts"),
+                      F.lit(0).alias("_tag"),
+                      F.lit(None).cast(
+                          left.select(F.struct(*lcols).alias("_l"))
+                              .schema["_l"].dataType).alias("_l"),
+                      F.struct(*r_order, *[
+                          c for c in payload if c not in r_order
+                      ]).alias("_r")))
+    u = l.unionByName(r)
+    # At equal ts the LEFT row sorts first (tag desc: 1 before 0) so a
+    # simultaneous right row is inside the forward frame (`>=`); _r
+    # ascending makes first() pick the minimal right row under ties.
+    w = (Window.partitionBy("_k")
+               .orderBy("_ts", F.col("_tag").desc(), "_r")
+               .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    carried = u.withColumn("_next_r",
+                           F.first("_r", ignorenulls=True).over(w))
+    return (carried.where(F.col("_tag") == 1)
+                   .select(*[F.col(f"_l.{c}").alias(c) for c in lcols],
+                           *[F.col(f"_next_r.{c}").alias(c)
+                             for c in payload]))
+
+
 def interval_backlog(spans: DataFrame, open_col: str,
                      close_col: str) -> DataFrame:
     """Daily population count of open [open, close] date intervals —

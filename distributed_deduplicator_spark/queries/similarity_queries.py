@@ -307,6 +307,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n=table_row_count(sf_dir, "embeddings"))
 
 
+@query("ann_ivf_persisted_topk")  # rows-only: approximate by
+# construction; contract: EQUALS ann_ivf_topk row-for-row (the
+# deterministic centroids parquet-round-trip exactly) — equality gated
+# in tests/test_similarity.py, recall covered by ann_ivf_topk's gates
+def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index LIFECYCLE: build the index once into session
+    scratch (centroids + member lists as parquet —
+    `ivf_index_build`), then answer top-5 retrieval for the whole
+    corpus AGAINST THE STORED ARTIFACT (`ann_ivf_query_index`). This
+    is how IVF actually deploys at 100 TB — one indexing batch job,
+    every query batch thereafter scans the index instead of
+    rebuilding it. Executes the build job at call time by nature,
+    like the sink round-trips."""
+    from distributed_deduplicator_spark.scratch import scratch_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = scratch_dir("ivf_index")
+    S.ivf_index_build(emb, idx,
+                      n=table_row_count(sf_dir, "embeddings"))
+    return S.ann_ivf_query_index(spark, idx, emb, k=_TOPK, nprobe=4)
+
+
 @query("near_dup_ensemble")  # rows-only: consensus of approximate
 # voters has no SQL twin; the deterministic voters are
 # property-tested and MinHash recall is gate-tested

@@ -189,6 +189,44 @@ def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                         right_order=["o_orderkey"])
 
 
+@query("asof_join_forward_orders", oracle="""
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM o1
+  WHERE o1.o_custkey = e.user_id AND o1.o_orderdate >= e.ts
+  ORDER BY o1.o_orderdate, o1.o_orderkey
+  LIMIT 1) o ON TRUE
+""")
+def q_asof_join_forward_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'):
+    each event annotated with the customer's NEXT order at-or-after
+    the event time — the time-to-next-action primitive (conversion
+    lag, next-purchase attribution). Right side pre-reduced to one
+    row per (custkey, orderdate) exactly as the backward sibling, so
+    ties are deterministic; the join is the mirrored union-sort-carry
+    (operators/temporal.py asof_join_forward — one shuffle, linear,
+    never a range join). The oracle is a per-row LATERAL min —
+    quadratic and fine at the gate SF, which is exactly why the
+    carry-based plan is the one that ships."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id",
+                                                   "ts")
+    o = load_table(spark, sf_dir, "orders")
+    o1 = (o.groupBy("o_custkey", "o_orderdate")
+           .agg(F.max("o_orderkey").alias("o_orderkey"),
+                F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice")))
+    return TP.asof_join_forward(
+        e, o1, "user_id", "o_custkey", "ts", "o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        right_order=["o_orderkey"])
+
+
 _ROLL_US = 3600 * 1_000_000  # 1-hour rolling horizon, µs precision
 
 

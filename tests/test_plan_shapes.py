@@ -32,6 +32,7 @@ def _plan(df, mode: str = "formatted") -> str:
 # broadcast centroid table).
 # ann_ivfpq additionally scores corpus × broadcast(m·ksub codebook).
 _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+                 "ann_ivf_persisted_topk",
                  "activity_profile_topk", "knn_label_vote",
                  # 1-row scalar aggregate cross-joined into the plan
                  # (global totals / global average) — the standard
@@ -61,8 +62,8 @@ _ITERATIVE = {"near_dup_clusters", "jaccard_dedup_clusters",
               "jaccard_keep_one", "jaccard_keep_best",
               "semantic_dedup_keep_one", "soft_dedup_weights",
               "dedup_savings_by_source", "cluster_size_histogram"}
-# Sink round-trips write at call time by design.
-_WRITES = {"parquet_roundtrip_agg"}
+# Sink round-trips / index builds write at call time by design.
+_WRITES = {"parquet_roundtrip_agg", "ann_ivf_persisted_topk"}
 _EXECUTES_ON_CALL = _STREAMING | _ITERATIVE | _WRITES
 
 

@@ -382,3 +382,22 @@ def test_ivf_list_scorer_matches_numpy_bruteforce():
             ["cosine", "neighbor_id"], ascending=[False, True])
         # scorer emits k+1 minus self; its first k must equal brute force
         assert list(sub["neighbor_id"])[:k] == [i for _, i in want]
+
+
+def test_persisted_ivf_index_equals_in_memory(spark, emb, tmp_path):
+    """Querying the PERSISTED IVF index must reproduce the in-memory
+    ann_ivf_topk exactly — deterministic centroids + parquet's exact
+    double round-trip mean the lifecycle split (build job, then query
+    jobs) changes nothing about results."""
+    import distributed_deduplicator_spark.operators.similarity as S
+    n = emb.count()
+    mem = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 12))
+           for r in S.ann_ivf_topk(emb, k=5, nprobe=4, n=n).collect()}
+    S.release_persisted()
+    idx = str(tmp_path / "ivf")
+    S.ivf_index_build(emb, idx, n=n)
+    S.release_persisted()
+    got = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 12))
+           for r in S.ann_ivf_query_index(spark, idx, emb,
+                                          k=5, nprobe=4).collect()}
+    assert got == mem

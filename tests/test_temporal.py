@@ -71,6 +71,32 @@ def test_asof_join_basic_ties_and_nulls(spark):
                    4: (None, None), 5: (10, 1.0)}
 
 
+def test_asof_join_forward_basic_ties_and_nulls(spark):
+    """Forward mirror: earliest right row with rts >= ts; equal
+    timestamps match (`>=`); right-ts ties resolve to the SMALLEST
+    right_order (backward resolves to the greatest); keys with no
+    following right row yield nulls."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts(5)),     # next right is ts 20 → smallest rkey 20
+         (2, "k", _ts(20)),    # equal ts → `>=` matches, rkey 20 wins tie
+         (3, "k", _ts(21)),    # after the last right row → nulls
+         (4, "j", _ts(0)),     # key with no right rows → nulls
+         (5, "k", _ts(0))],    # equal to first right ts → matches 10
+        ["eid", "key", "ts"])
+    right = spark.createDataFrame(
+        [("k", _ts(0), 10, 1.0),
+         ("k", _ts(20), 20, 2.0),
+         ("k", _ts(20), 21, 2.5)],  # tie on ts: smallest rkey (20) wins
+        ["key", "rts", "rkey", "rval"])
+    out = {r.eid: (r.rkey, r.rval)
+           for r in TP.asof_join_forward(
+               left, right, "key", "key", "ts", "rts",
+               payload=["rkey", "rval"],
+               right_order=["rkey"]).collect()}
+    assert out == {1: (20, 2.0), 2: (20, 2.0), 3: (None, None),
+                   4: (None, None), 5: (10, 1.0)}
+
+
 # ---------------------------------------------------------------------------
 # Winnowing vs pure-Python reference
 # ---------------------------------------------------------------------------
