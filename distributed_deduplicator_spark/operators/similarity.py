@@ -561,6 +561,32 @@ def ivf_index_build(emb: DataFrame, index_dir: str,
     members.write.mode("overwrite").parquet(f"{index_dir}/members")
 
 
+def ivf_index_add(emb_new: DataFrame, index_dir: str, dim: int = 64,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> None:
+    """Incrementally index a NEW batch of vectors into an existing
+    persisted IVF index (:func:`ivf_index_build`): assign each new
+    vector to its nearest STORED centroid and append to the member
+    lists — centroids are never retrained per batch (standard IVF
+    practice: train once on a representative sample, index forever;
+    rebuild wholesale when drift warrants it). This is the daily
+    embedding-batch refresh job at 100 TB — one broadcast of the
+    stored centroids, one linear assignment pass, one appended
+    parquet write; the existing members are never read or rewritten.
+
+    Queries over the refreshed index are identical to an index whose
+    member pass had seen old ∪ new with the SAME centroids (gated in
+    tests/test_similarity.py). Caller owns id uniqueness across
+    batches, like any append sink."""
+    spark = emb_new.sparkSession
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    u = unit_vectors(emb_new, id_col, vec_col)
+    members = (ivf_assign(u, cents, dim, nprobe=1, keep_unit=True)
+               .select("id", F.col("centroid_id").alias("list_id"),
+                       "unit"))
+    members.write.mode("append").parquet(f"{index_dir}/members")
+
+
 def ann_ivf_query_index(spark, index_dir: str, queries: DataFrame,
                         k: int = 10, nprobe: int = 4, dim: int = 64,
                         id_col: str = "vec_id",

@@ -178,6 +178,77 @@ def asof_join_forward(left: DataFrame, right: DataFrame,
                              for c in payload]))
 
 
+def asof_join_nearest(left: DataFrame, right: DataFrame,
+                      left_key: str, right_key: str,
+                      left_ts: str, right_ts: str,
+                      payload: Sequence[str],
+                      right_order: Sequence[str] | None = None
+                      ) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'):
+    attach the right row whose ``right_ts`` is closest to ``left_ts``
+    in either direction; on an exact distance tie the PRECEDING row
+    wins (pandas' tie rule). Null payload when the key has no right
+    rows at all.
+
+    One union + ONE sort serves both directions: the backward
+    candidate is last(right) over [unbounded, current] and the
+    forward candidate first(right) over [current, unbounded] — two
+    frames over the same (ts, tag, order) sort, so Spark sorts once
+    and the whole join stays one shuffle, linear, never a range join.
+    A right row at exactly equal ts sorts into the BACKWARD frame
+    (distance 0, and backward wins distance ties anyway, so the
+    forward frame missing it is semantically invisible).
+
+    Tie discipline among right rows sharing one timestamp: the
+    backward candidate is maximal by ``right_order``, the forward
+    candidate minimal — each side consistent with its directional
+    sibling (:func:`asof_join` / :func:`asof_join_forward`); mirror
+    all of this in any oracle.
+    """
+    r_order = list(right_order) if right_order else list(payload)
+    lcols = left.columns
+    rstruct = F.struct(
+        F.col(right_ts).alias("_rts"),
+        F.struct(*r_order, *[c for c in payload if c not in r_order])
+         .alias("_rp"))
+    l = (left.select(F.col(left_key).alias("_k"),
+                     F.col(left_ts).alias("_ts"),
+                     F.lit(1).alias("_tag"),
+                     F.struct(*lcols).alias("_l"),
+                     F.lit(None).cast(
+                         right.select(rstruct.alias("_rr"))
+                              .schema["_rr"].dataType).alias("_rr")))
+    right = right.where(F.col(right_ts).isNotNull())
+    r = (right.select(F.col(right_key).alias("_k"),
+                      F.col(right_ts).alias("_ts"),
+                      F.lit(0).alias("_tag"),
+                      F.lit(None).cast(
+                          left.select(F.struct(*lcols).alias("_l"))
+                              .schema["_l"].dataType).alias("_l"),
+                      rstruct.alias("_rr")))
+    u = l.unionByName(r)
+    order = [F.col("_ts").asc(), F.col("_tag").asc(), F.col("_rr").asc()]
+    w_back = (Window.partitionBy("_k").orderBy(*order)
+                    .rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))
+    w_fwd = (Window.partitionBy("_k").orderBy(*order)
+                   .rowsBetween(Window.currentRow,
+                                Window.unboundedFollowing))
+    carried = (u.withColumn("_b", F.last("_rr", ignorenulls=True)
+                                    .over(w_back))
+                .withColumn("_f", F.first("_rr", ignorenulls=True)
+                                    .over(w_fwd))
+                .where(F.col("_tag") == 1))
+    d_back = ts_micros(F.col("_ts")) - ts_micros(F.col("_b._rts"))
+    d_fwd = ts_micros(F.col("_f._rts")) - ts_micros(F.col("_ts"))
+    take_back = F.col("_b").isNotNull() & (
+        F.col("_f").isNull() | (d_back <= d_fwd))
+    chosen = F.when(take_back, F.col("_b._rp"))               .otherwise(F.col("_f._rp"))
+    return carried.select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[chosen.getField(c).alias(c) for c in payload])
+
+
 def interval_backlog(spans: DataFrame, open_col: str,
                      close_col: str) -> DataFrame:
     """Daily population count of open [open, close] date intervals —

@@ -227,6 +227,45 @@ def q_asof_join_forward_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_order=["o_orderkey"])
 
 
+@query("asof_join_nearest_orders", oracle="""
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM o1
+  WHERE o1.o_custkey = e.user_id
+  ORDER BY abs(epoch_us(o1.o_orderdate) - epoch_us(e.ts)),
+           (o1.o_orderdate > e.ts)
+  LIMIT 1) o ON TRUE
+""")
+def q_asof_join_nearest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'):
+    each event annotated with the customer's CLOSEST order in either
+    time direction, preceding order winning exact distance ties —
+    the event-to-decision alignment primitive. Right side pre-reduced
+    to one row per (custkey, orderdate), so a distance can match at
+    most one row per side and the (distance, is-after) oracle sort is
+    total. The Spark side is ONE union-sort-carry: both directional
+    candidates come from two window frames over the same sort
+    (operators/temporal.py asof_join_nearest — one shuffle, linear),
+    with the choice made on exact integer µs distances."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id",
+                                                   "ts")
+    o = load_table(spark, sf_dir, "orders")
+    o1 = (o.groupBy("o_custkey", "o_orderdate")
+           .agg(F.max("o_orderkey").alias("o_orderkey"),
+                F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice")))
+    return TP.asof_join_nearest(
+        e, o1, "user_id", "o_custkey", "ts", "o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        right_order=["o_orderkey"])
+
+
 _ROLL_US = 3600 * 1_000_000  # 1-hour rolling horizon, µs precision
 
 

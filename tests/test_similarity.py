@@ -401,3 +401,35 @@ def test_persisted_ivf_index_equals_in_memory(spark, emb, tmp_path):
            for r in S.ann_ivf_query_index(spark, idx, emb,
                                           k=5, nprobe=4).collect()}
     assert got == mem
+
+
+def test_ivf_index_add_equals_one_shot_members(spark, emb, tmp_path):
+    """build(old) + add(new) must equal an index whose member pass saw
+    old ∪ new against the SAME stored centroids: incremental refresh
+    changes where vectors are APPENDED, never how anything is
+    assigned, so queries over the refreshed index match the
+    reference construction exactly."""
+    import distributed_deduplicator_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    S.ivf_index_build(old, idx, n=old.count())
+    S.release_persisted()
+    S.ivf_index_add(new, idx)
+    got = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 12))
+           for r in S.ann_ivf_query_index(spark, idx, emb,
+                                          k=5, nprobe=4).collect()}
+    # reference: same centroids (trained on `old`), members = old ∪ new
+    cents = spark.read.parquet(f"{idx}/centroids")
+    u = S.unit_vectors(emb)
+    ref_members = (S.ivf_assign(u, cents, 64, nprobe=1, keep_unit=True)
+                   .select("id", F.col("centroid_id").alias("list_id"),
+                           "unit"))
+    ref_idx = str(tmp_path / "ivf_ref")
+    cents.write.parquet(f"{ref_idx}/centroids")
+    ref_members.write.parquet(f"{ref_idx}/members")
+    expect = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 12))
+              for r in S.ann_ivf_query_index(spark, ref_idx, emb,
+                                             k=5, nprobe=4).collect()}
+    assert got == expect and got

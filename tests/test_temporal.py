@@ -245,3 +245,28 @@ def test_funnel_fold_matches_bruteforce(spark):
         F.count(F.col("_st")["t3"]).alias("n3")).collect()[0]
     assert (got["n1"], got["n2"], got["n3"]) == \
         (expect[1], expect[2], expect[3])
+
+
+def test_asof_join_nearest_ties_and_directions(spark):
+    """Nearest: closest right row either direction; exact distance tie
+    → the PRECEDING row wins (pandas rule); equal-ts right row is
+    distance 0 via the backward frame; no right rows → nulls."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts(4)),    # 4 from r0, 16 from r20 → backward r0
+         (2, "k", _ts(15)),   # 15 from r0, 5 from r20 → forward r20
+         (3, "k", _ts(10)),   # 10 from both → tie → backward r0
+         (4, "k", _ts(20)),   # exact hit → distance 0 → rkey ties → 21
+         (5, "j", _ts(0))],   # no right rows → nulls
+        ["eid", "key", "ts"])
+    right = spark.createDataFrame(
+        [("k", _ts(0), 10, 1.0),
+         ("k", _ts(20), 20, 2.0),
+         ("k", _ts(20), 21, 2.5)],  # same-ts pair: backward side takes max
+        ["key", "rts", "rkey", "rval"])
+    out = {r.eid: (r.rkey, r.rval)
+           for r in TP.asof_join_nearest(
+               left, right, "key", "key", "ts", "rts",
+               payload=["rkey", "rval"],
+               right_order=["rkey"]).collect()}
+    assert out == {1: (10, 1.0), 2: (20, 2.0), 3: (10, 1.0),
+                   4: (21, 2.5), 5: (None, None)}
