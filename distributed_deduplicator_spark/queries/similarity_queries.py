@@ -208,6 +208,61 @@ def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     threshold=_COS_THRESHOLD)
 
 
+_SEMDECON_MOD = 97   # vec_id % 97 == 0 plays the benchmark embedding set
+_SEMDECON_TAU = 0.25  # flag threshold on the 6-dp rounded cosine
+
+@query("semantic_decontaminate", oracle=f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+bench AS (SELECT * FROM d WHERE vec_id % {_SEMDECON_MOD} = 0),
+train AS (SELECT * FROM d WHERE vec_id % {_SEMDECON_MOD} <> 0),
+hits AS (
+  SELECT t.vec_id,
+         round(list_cosine_similarity(t.e, b.e), 6) AS c
+  FROM train t CROSS JOIN bench b)
+SELECT vec_id,
+       CAST(count(CASE WHEN c >= {_SEMDECON_TAU} THEN 1 END) AS BIGINT)
+         AS n_bench_hits,
+       max(c) AS max_cosine_r
+FROM hits GROUP BY vec_id
+HAVING count(CASE WHEN c >= {_SEMDECON_TAU} THEN 1 END) > 0
+""")
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space member
+    of the decontamination family (`benchmark_decontaminate` /
+    `decontaminate_bloom` catch verbatim n-gram overlap; this catches
+    paraphrases those miss): every train vector whose cosine to ANY
+    benchmark vector reaches the threshold, with the hit count and the
+    max cosine as the audit columns.
+
+    Scale shape: the benchmark set is the SMALL side by construction
+    (eval suites are thousands of rows; the corpus is the 100 TB
+    side), so it broadcasts and the corpus streams map-side through
+    one scan — n_train × n_bench JVM-fold cosines, no shuffle until
+    the per-id aggregate, which is combinable. Threshold and max both
+    operate on the 6-dp rounded cosine (repo float discipline), so
+    the flag set and values are engine-exact — full value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = (emb.where(F.col("vec_id") % _SEMDECON_MOD == 0)
+                .select(F.col("vec_id").alias("_bid"),
+                        F.col("embedding").alias("_be")))
+    from distributed_deduplicator_spark.sources.fixtures import fanout
+    # fan the single-split fixture scan out so the n_train × n_bench
+    # cosine stage runs at cluster parallelism (no-op at real scale,
+    # where the corpus scans as thousands of splits)
+    train = fanout(emb.where(F.col("vec_id") % _SEMDECON_MOD != 0)
+                      .select("vec_id", F.col("embedding").alias("_te")))
+    scored = (train.crossJoin(F.broadcast(bench))
+                   .select("vec_id",
+                           F.round(S.cosine(F.col("_te"), F.col("_be")), 6)
+                            .alias("_c")))
+    return (scored.groupBy("vec_id")
+                  .agg(F.sum(F.when(F.col("_c") >= _SEMDECON_TAU, 1))
+                        .cast("bigint").alias("n_bench_hits"),
+                       F.max("_c").alias("max_cosine_r"))
+                  .where(F.col("n_bench_hits") > 0))
+
+
 @query("near_dup_clusters")  # rows-only: iterative — not SQL-expressible
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs → dedup clusters

@@ -33,6 +33,8 @@ def _plan(df, mode: str = "formatted") -> str:
 # ann_ivfpq additionally scores corpus × broadcast(m·ksub codebook).
 _BNLJ_ALLOWED = {"cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
                  "ann_ivf_persisted_topk",
+                 # bounded benchmark set broadcast × corpus scan
+                 "semantic_decontaminate",
                  "activity_profile_topk", "knn_label_vote",
                  # 1-row scalar aggregate cross-joined into the plan
                  # (global totals / global average) — the standard
