@@ -192,6 +192,47 @@ def quality_metrics(spark, sf_dir, qs) -> dict:
         "false_negatives": len(exact_flagged - bloom_flagged),
         "false_positives": len(bloom_flagged - exact_flagged),
         "n_exact_flagged": len(exact_flagged)}
+
+    # --- remaining rows-only entries: contract/invariant checks ------
+    # persisted IVF index must EQUAL the in-memory path row-for-row
+    # (deterministic centroids + exact parquet double round-trip)
+    def topk_set(df):
+        return {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+                for r in df.collect()}
+    mem = topk_set(qs["ann_ivf_topk"](spark, sf_dir))
+    per = topk_set(qs["ann_ivf_persisted_topk"](spark, sf_dir))
+    out["ann_ivf_persisted_topk"] = {"equals_in_memory": per == mem,
+                                     "n_rows": len(per)}
+    S.release_persisted()
+
+    # watermarked stream dedup: exactly one survivor per live key, and
+    # the key set equals the batch key set
+    kept = qs["stream_dedup_watermark"](spark, sf_dir) \
+        .groupBy("user_id", "event_type").count().collect()
+    batch_keys = ev.select("user_id", "event_type").distinct().count()
+    out["stream_dedup_watermark"] = {
+        "one_row_per_key": all(r["count"] == 1 for r in kept),
+        "keyset_matches_batch": len(kept) == batch_keys}
+
+    # single-batch streaming near-dup drain ≡ batch greedy first-wins:
+    # losers are exactly the greater ids of the batch pair list
+    sv = {r.doc_id: r.verdict for r in
+          qs["stream_minhash_neardup"](spark, sf_dir).collect()}
+    batch_pairs = S.minhash_near_dup(d, "doc_id", "text",
+                                     threshold=0.35).collect()
+    S.release_persisted()
+    losers = {max(p.id_a, p.id_b) for p in batch_pairs}
+    out["stream_minhash_neardup"] = {
+        "verdicts_match_batch_first_wins": all(
+            (v == "DUPLICATE") == (k in losers) for k, v in sv.items()),
+        "n_docs": len(sv)}
+
+    # deterministic fingerprint tables: exactly one row per document
+    # (value-exactness is pytest-gated vs pure-Python references)
+    n_docs = d.count()
+    for name in ("simhash_fingerprints", "text_winnow_fingerprints"):
+        out[name] = {"one_row_per_doc":
+                     qs[name](spark, sf_dir).count() == n_docs}
     return out
 
 
