@@ -466,13 +466,18 @@ def pareto_front_2d(df: DataFrame, x_col: str, y_col: str,
     data-selection primitive behind "keep documents not dominated on
     (quality, length)" curation cuts.
 
-    Dominance test as two window aggregates (no self-join, no n²):
-    over ``x`` ascending, a RANGE frame (1, +∞) yields max(y) among
-    rows with STRICTLY greater x — if that ≥ this row's y, something
-    both longer and at-least-as-good exists; among rows with EQUAL x,
-    max(y) > y catches same-x domination. Exact ties on both criteria
-    dominate nothing, so duplicate points all stay on the front —
-    textbook skyline semantics.
+    Dominance test without a self-join and without any n² work, exact
+    for ANY ordered x type (integers, doubles, timestamps — a RANGE
+    frame (1, +∞) would silently be wrong for fractional x, where
+    "strictly greater" ≠ "≥ x+1"): first a per-(group, x) max(y)
+    aggregate (combinable, ≤ one row per distinct x), then over that
+    aggregate a strict-suffix running max ordered by x DESC — max(y)
+    among strictly greater x — joined back on (group, x). A row is
+    dominated iff that strict-greater max ≥ its y (something farther
+    right is at least as good) or its own x-group's max > y (same-x
+    domination). Exact ties on both criteria dominate nothing, so
+    duplicate points all stay on the front — textbook skyline
+    semantics.
 
     Scale shape: a windowed skyline over one global ordering would
     serialize onto one task, so this runs the standard two-phase
@@ -488,14 +493,15 @@ def pareto_front_2d(df: DataFrame, x_col: str, y_col: str,
     groups = list(group_cols or [])
 
     def front(rows: DataFrame, parts: list[str]) -> DataFrame:
-        w_gt = (Window.partitionBy(*parts).orderBy(F.col(x_col).asc())
-                .rangeBetween(1, Window.unboundedFollowing))
-        w_eq = Window.partitionBy(*parts, x_col)
-        dominated = (
-            (F.max(y_col).over(w_gt) >= F.col(y_col))
-            | (F.max(y_col).over(w_eq) > F.col(y_col)))
-        return (rows.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
-                    .where(~F.col("_dom")).drop("_dom"))
+        gx = rows.groupBy(*parts, x_col).agg(F.max(y_col).alias("_xy"))
+        w_gt = (Window.partitionBy(*parts).orderBy(F.col(x_col).desc())
+                .rowsBetween(Window.unboundedPreceding, -1))
+        gx = gx.withColumn("_gt_y", F.max("_xy").over(w_gt))
+        j = rows.join(gx, [*parts, x_col])
+        dominated = ((F.col("_gt_y") >= F.col(y_col))
+                     | (F.col("_xy") > F.col(y_col)))
+        return (j.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
+                 .where(~F.col("_dom")).drop("_dom", "_xy", "_gt_y"))
 
     local = front(df.withColumn("_pid", F.spark_partition_id()),
                   groups + ["_pid"]).drop("_pid")

@@ -170,8 +170,15 @@ def asof_join_forward(left: DataFrame, right: DataFrame,
     w = (Window.partitionBy("_k")
                .orderBy("_ts", F.col("_tag").desc(), "_r")
                .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    carried = u.withColumn("_next_r",
-                           F.first("_r", ignorenulls=True).over(w))
+    # NULL left_ts can satisfy no `right_ts >= left_ts` predicate, but
+    # it sorts FIRST under asc, putting every right row inside its
+    # forward frame — mask the carry to null for those rows (they keep
+    # their left-join presence with null payload, matching the
+    # backward sibling, where nulls-first means nothing precedes them)
+    carried = u.withColumn(
+        "_next_r",
+        F.when(F.col("_ts").isNotNull(),
+               F.first("_r", ignorenulls=True).over(w)))
     return (carried.where(F.col("_tag") == 1)
                    .select(*[F.col(f"_l.{c}").alias(c) for c in lcols],
                            *[F.col(f"_next_r.{c}").alias(c)
@@ -243,7 +250,12 @@ def asof_join_nearest(left: DataFrame, right: DataFrame,
     d_fwd = ts_micros(F.col("_f._rts")) - ts_micros(F.col("_ts"))
     take_back = F.col("_b").isNotNull() & (
         F.col("_f").isNull() | (d_back <= d_fwd))
-    chosen = F.when(take_back, F.col("_b._rp"))               .otherwise(F.col("_f._rp"))
+    # NULL left_ts has no distance to anything → both branches skipped
+    # → null payload (the nulls-first sort would otherwise hand such
+    # rows the key's earliest right row through the forward frame)
+    chosen = (F.when(F.col("_ts").isNotNull() & take_back,
+                     F.col("_b._rp"))
+               .when(F.col("_ts").isNotNull(), F.col("_f._rp")))
     return carried.select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
         *[chosen.getField(c).alias(c) for c in payload])

@@ -51,17 +51,21 @@ from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 # ledger). The first 50 names are pinned: the 42 queries that have
 # never had a driver correctness row in rounds 1-5 (the round-5
 # registry additions: TPC-H tails, the corpus-analysis block, the two
-# bitmap/sketch rows-only entries), the one query ADDED in round 6
-# (`fuzzy_name_topk`, the scale valve on `fuzzy_name_pairs`), and the
-# 7 round-6 changed-code entries that fit (streaming wrappers moved
+# bitmap/sketch rows-only entries), the FIRST query added in round 6
+# (`fuzzy_name_topk`, the scale valve on `fuzzy_name_pairs` —
+# windowed because it landed before the head was pinned), and the 7
+# round-6 changed-code entries that fit (streaming wrappers moved
 # from driver-side collect() to distributed scratch-parquet
 # materialization; `parquet_roundtrip_agg`'s race-free scratch path;
 # `multimodal_resize`'s module-level stub resizer). Changed-code
-# entries that did NOT fit are displaced to the r07 queue with local
-# re-verification — see VERIFIED.md "Round-6 window" for the list.
-# Everything after the window keeps module registration order. Update
-# this list each round as the window rotates; an unknown name fails
-# import.
+# entries that did NOT fit, plus the FIVE further queries added after
+# the head was pinned (`pareto_quality_front`,
+# `ann_ivf_persisted_topk`, `asof_join_forward_orders`,
+# `asof_join_nearest_orders`, `semantic_decontaminate` — all
+# registered after slot 50, locally verified, r07-queued), are listed
+# in VERIFIED.md "Round-6 window" / its r07 queue. Everything after
+# the window keeps module registration order. Update this list each
+# round as the window rotates; an unknown name fails import.
 _ROTATION_HEAD = [
     # never driver-verified: round-5 TPC-H tails
     "min_cost_supplier", "important_part_value", "parts_supplier_counts",

@@ -1572,13 +1572,18 @@ def q_parquet_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver row proves the write/read path is lossless value-for-value,
     not just row-counted. Executes a job at call time by nature (the
     write), like the streaming family."""
-    from distributed_deduplicator_spark.scratch import scratch_dir
+    import hashlib
+
+    from distributed_deduplicator_spark.scratch import scratch_path
     from distributed_deduplicator_spark.sources.sinks import write_parquet
-    # per-process session scratch (scratch.py): unique per call — no
+    # per-process session scratch (scratch.py): process-scoped, so no
     # read-vs-overwrite race between concurrent drives or users on a
-    # shared host — and swept at interpreter exit, so repeated drives
-    # still don't accumulate events copies under /tmp
-    target = scratch_dir("roundtrip_events")
+    # shared host, and swept at interpreter exit; STABLE per sf_dir
+    # within the process, so repeated invocations in one long session
+    # (bench loops, multi-round drives) overwrite one copy instead of
+    # accumulating one per call
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    target = scratch_path(f"roundtrip_events_{tag}")
     ev = _t(spark, sf_dir, "events")
     write_parquet(ev, target, mode="overwrite", target_partitions=4)
     back = spark.read.parquet(target)

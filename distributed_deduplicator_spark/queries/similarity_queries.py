@@ -375,9 +375,15 @@ def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every query batch thereafter scans the index instead of
     rebuilding it. Executes the build job at call time by nature,
     like the sink round-trips."""
-    from distributed_deduplicator_spark.scratch import scratch_dir
+    import hashlib
+
+    from distributed_deduplicator_spark.scratch import scratch_path
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = scratch_dir("ivf_index")
+    # stable per-(process, sf_dir) path: the build's overwrite writes
+    # replace the previous index on repeated invocations in one
+    # session instead of leaking one index copy per call
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = scratch_path(f"ivf_index_{tag}")
     S.ivf_index_build(emb, idx,
                       n=table_row_count(sf_dir, "embeddings"))
     return S.ann_ivf_query_index(spark, idx, emb, k=_TOPK, nprobe=4)

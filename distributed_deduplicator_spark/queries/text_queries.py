@@ -286,10 +286,19 @@ def q_fuzzy_name_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |pairs| rows — at (id, id, dist) width that's a quarter of the
     # with-names shuffle — and only the ≤ k·n winners ever need their
     # names re-attached (two skinny key joins at the end)
-    pairs = (cand.withColumn("edit_dist",
-                             F.levenshtein("name_a", "name_b", _LEV_MAX))
-                 .where(F.col("edit_dist") >= 0)
-                 .select("id_a", "id_b", "edit_dist"))
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    # persist BEFORE the self-union mirror: both union branches embed
+    # this subtree, and without the pin each branch re-runs the banded
+    # join + bounded DP — the query's dominant cost — once (measured:
+    # the DP stage executed as 2×32 tasks). The pin is what makes the
+    # docstring's "ONE DP per unordered pair" true in the executed
+    # plan; released by the registry hook like every similarity pin.
+    pairs = _tracked_persist(
+        cand.withColumn("edit_dist",
+                        F.levenshtein("name_a", "name_b", _LEV_MAX))
+            .where(F.col("edit_dist") >= 0)
+            .select("id_a", "id_b", "edit_dist"))
     directed = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"),
                      F.col("id_a").alias("id_b"),

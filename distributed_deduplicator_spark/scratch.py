@@ -72,8 +72,23 @@ def scratch_root() -> str:
 
 def scratch_dir(name: str) -> str:
     """A fresh, unique subdirectory path under the scratch root (not
-    created — Spark writers want a nonexistent target)."""
+    created — Spark writers want a nonexistent target). One new dir
+    per call: use :func:`scratch_path` instead when the caller
+    overwrites the same logical artifact repeatedly, or a long-lived
+    session accumulates one copy per invocation until exit."""
     return os.path.join(scratch_root(), f"{name}_{uuid.uuid4().hex[:8]}")
+
+
+def scratch_path(name: str) -> str:
+    """A STABLE per-process subdirectory path for ``name``: repeated
+    calls return the same path, so mode=overwrite writers replace
+    their previous output instead of leaking one copy per invocation
+    across a long session (bench loops, notebooks, multi-drive
+    processes). Still process-scoped — no cross-user or concurrent-
+    process collisions — and swept at interpreter exit. Callers must
+    re-read AFTER each overwrite; a DataFrame returned from an
+    earlier call lazily points at replaced files."""
+    return os.path.join(scratch_root(), name)
 
 
 def materialize(df: DataFrame, name: str = "result") -> DataFrame:

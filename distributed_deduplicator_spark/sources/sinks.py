@@ -143,11 +143,22 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
             WHEN NOT MATCHED THEN INSERT *
         """)
         return "merge_into"
-    except Exception as exc:  # noqa: BLE001 — route on capability only
-        msg = str(exc)
-        if not ("MERGE INTO TABLE is not supported" in msg
-                or "does not support" in msg
-                or "UNSUPPORTED_FEATURE" in msg):
+    except Exception as exc:  # route ONLY on the missing-capability
+        # error condition — any other MERGE failure must surface, not
+        # silently fall through to a full table rewrite
+        cond_name = ""
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, probe, None)
+            if fn is not None:
+                try:
+                    cond_name = fn() or ""
+                    break
+                except Exception:  # noqa: BLE001 — probe only
+                    pass
+        unsupported = (
+            cond_name.startswith("UNSUPPORTED_FEATURE")
+            or "MERGE INTO TABLE is not supported" in str(exc))
+        if not unsupported:
             raise
     finally:
         spark.catalog.dropTempView(view)
@@ -157,7 +168,16 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
             f"merge_upsert rewrite: source columns {sorted(source.columns)}"
             f" != target columns {sorted(target.columns)}")
     from distributed_deduplicator_spark.scratch import materialize
-    kept = target.join(source.select(*key_list), key_list, "left_anti")
+    # null-SAFE anti join so NULL keys merge exactly like the MERGE
+    # path's `<=>` condition (a null-unsafe anti join would keep the
+    # target's NULL-key row AND insert the source's — two rows where
+    # MERGE produces one)
+    src_keys = source.select(*key_list)
+    anti_cond = None
+    for k in key_list:
+        term = target[k].eqNullSafe(src_keys[k])
+        anti_cond = term if anti_cond is None else (anti_cond & term)
+    kept = target.join(src_keys, anti_cond, "left_anti")
     merged = materialize(
         kept.unionByName(source.select(*target.columns)), "merge_upsert")
     merged.write.mode("overwrite").insertInto(target_table)

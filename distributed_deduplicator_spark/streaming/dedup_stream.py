@@ -66,7 +66,13 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
     sink; complete mode (the file sink rejects it) goes through a
     foreachBatch overwrite, whose last micro-batch IS the complete
     result. Both writes happen on executors at full parallelism; the
-    scratch root is swept at interpreter exit (scratch.py)."""
+    scratch root is swept at interpreter exit (scratch.py). Update
+    mode (the file sink rejects it too) also goes through
+    foreachBatch, APPENDING each micro-batch's changed rows — the
+    drained table then holds every emitted update, exactly the
+    replaced memory sink's update-mode contract."""
+    if output_mode not in ("append", "complete", "update"):
+        raise ValueError(f"unsupported output_mode: {output_mode!r}")
     out = scratch_dir("stream_result")
     # pre-create: a drain that schedules ZERO micro-batches (possible
     # for an empty source in foreachBatch mode) would otherwise leave
@@ -82,6 +88,9 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
         if output_mode == "complete":
             writer = writer.foreachBatch(
                 lambda bdf, _bid: bdf.write.mode("overwrite").parquet(out))
+        elif output_mode == "update":
+            writer = writer.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out))
         else:
             writer = writer.format("parquet").option("path", out)
         q = writer.start()

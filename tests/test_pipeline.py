@@ -187,10 +187,14 @@ def test_hll_rollup_accuracy(spark, sf_dir):
     assert abs(est["ALL"] - exact_all) <= max(1, 0.05 * exact_all)
 
 
+# x draws from halves (e.g. 1.5): fractional gaps are exactly the
+# case an integer-offset RANGE frame would get wrong — "strictly
+# greater than 1.0" must see 1.5, not start at 2.0
 pareto_points = st.lists(
-    st.tuples(st.sampled_from(["g1", "g2"]),          # group
-              st.integers(min_value=0, max_value=8),  # x
-              st.integers(min_value=0, max_value=8)), # y
+    st.tuples(st.sampled_from(["g1", "g2"]),              # group
+              st.integers(min_value=0, max_value=16)
+                .map(lambda v: v / 2.0),                  # x (halves)
+              st.integers(min_value=0, max_value=8)),     # y
     min_size=1, max_size=40)
 
 
@@ -200,11 +204,13 @@ pareto_points = st.lists(
 def test_pareto_front_matches_bruteforce(spark, pts, parts):
     """pareto_front_2d must equal the O(n²) dominance definition per
     group for ANY point set — including duplicate points (which
-    dominate nothing and all stay on the front) and any input
-    partitioning (the local prune must never drop a global survivor)."""
+    dominate nothing and all stay on the front), FRACTIONAL x values
+    (the strict-greater test must not assume integer gaps), and any
+    input partitioning (the local prune must never drop a global
+    survivor)."""
     from distributed_deduplicator_spark.operators.pipeline import (
         pareto_front_2d)
-    rows = [(i, g, x, y) for i, (g, x, y) in enumerate(pts)]
+    rows = [(i, g, float(x), y) for i, (g, x, y) in enumerate(pts)]
     df = spark.createDataFrame(rows, ["id", "g", "x", "y"]) \
               .repartition(parts)
     got = {(r.id, r.g, r.x, r.y) for r in

@@ -562,3 +562,27 @@ def test_scratch_materialize_roundtrip_and_sweep(spark, sf_dir):
         assert os.path.isdir(SC.scratch_root())
     finally:
         shutil.rmtree(dead, ignore_errors=True)
+
+
+def test_merge_upsert_null_keys_match_merge_semantics(spark, tmp_path):
+    """NULL-key rows must merge like the MERGE path's null-safe `<=>`
+    condition: a source NULL-key row REPLACES the target's NULL-key
+    row (one row out), never coexists with it."""
+    from pyspark.sql import types as T
+
+    from distributed_deduplicator_spark.sources.sinks import (
+        create_table_if_not_exists, merge_upsert)
+    name = "t_merge_nullkey"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    base = spark.createDataFrame([(1, "a"), (None, "old")], schema)
+    create_table_if_not_exists(spark, name, base, str(tmp_path / "t"))
+    try:
+        src = spark.createDataFrame([(None, "new"), (2, "b")], schema)
+        merge_upsert(spark, name, src, ["k"])
+        got = {r.k: r.v for r in spark.table(name).collect()}
+        assert got == {1: "a", None: "new", 2: "b"}
+        assert spark.table(name).count() == 3  # NOT 4: null replaced
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -257,3 +257,39 @@ def test_neardup_ledger_pre_bks_format_fallback(spark, sf_dir, tmp_path):
                      .collect()}
 
     assert run("legacy", strip_bks=True) == run("current", strip_bks=False)
+
+
+def test_run_stream_to_df_update_mode(spark, sf_dir, tmp_path):
+    """Update mode must drain through the foreachBatch append route
+    (the parquet file sink rejects it): over a multi-batch source the
+    drained table holds every batch's emitted updates — so the LATEST
+    emission per key equals the complete-mode final answer — and an
+    unknown mode fails loud."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from distributed_deduplicator_spark.sources import load_table
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        run_stream_to_df)
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "files")
+    ev.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def agg_stream():
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(src))
+        return s.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    upd = run_stream_to_df(agg_stream(), spark, output_mode="update")
+    # multi-batch: more emitted rows than final groups
+    finals = {r.event_type: r.n
+              for r in ev.groupBy("event_type")
+                         .agg(F.count("*").alias("n")).collect()}
+    assert upd.count() > len(finals)
+    last = {r.event_type: r.n
+            for r in upd.groupBy("event_type")
+                        .agg(F.max("n").alias("n")).collect()}
+    assert last == finals
+    with _pytest.raises(ValueError, match="output_mode"):
+        run_stream_to_df(agg_stream(), spark, output_mode="bogus")

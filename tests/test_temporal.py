@@ -270,3 +270,26 @@ def test_asof_join_nearest_ties_and_directions(spark):
                right_order=["rkey"]).collect()}
     assert out == {1: (10, 1.0), 2: (20, 2.0), 3: (10, 1.0),
                    4: (21, 2.5), 5: (None, None)}
+
+
+def test_asof_forward_and_nearest_null_left_ts(spark):
+    """NULL left_ts satisfies no time predicate: forward and nearest
+    must yield null payload for such rows (keeping their left-join
+    presence) — nulls-first sorting must not hand them the key's
+    earliest right row through the forward frame."""
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("eid", T.LongType()),
+                           T.StructField("key", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    left = spark.createDataFrame(
+        [(1, "k", None), (2, "k", _ts(5))], schema)
+    right = spark.createDataFrame(
+        [("k", _ts(10), 10, 1.0)], ["key", "rts", "rkey", "rval"])
+    fwd = {r.eid: r.rkey for r in TP.asof_join_forward(
+        left, right, "key", "key", "ts", "rts",
+        payload=["rkey", "rval"]).collect()}
+    assert fwd == {1: None, 2: 10}
+    near = {r.eid: r.rkey for r in TP.asof_join_nearest(
+        left, right, "key", "key", "ts", "rts",
+        payload=["rkey", "rval"]).collect()}
+    assert near == {1: None, 2: 10}
