@@ -491,6 +491,11 @@ def pareto_front_2d(df: DataFrame, x_col: str, y_col: str,
     not the corpus.
     """
     groups = list(group_cols or [])
+    # rows with a NULL criterion are excluded up front: they cannot be
+    # ordered against anything, and leaving them in would silently
+    # drop NULL-x rows (the join-back key) while passing NULL-y rows
+    # onto the front (max() skips them, so nothing ever dominates them)
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
 
     def front(rows: DataFrame, parts: list[str]) -> DataFrame:
         gx = rows.groupBy(*parts, x_col).agg(F.max(y_col).alias("_xy"))

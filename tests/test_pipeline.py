@@ -223,3 +223,23 @@ def test_pareto_front_matches_bruteforce(spark, pts, parts):
     expect = {tuple(r) for r in rows
               if not any(dominated(r, s) for s in rows if s != r)}
     assert got == expect
+
+
+def test_pareto_front_excludes_null_criteria(spark):
+    """Rows with a NULL criterion are excluded (they cannot be
+    ordered): a NULL-y row must not ride onto the front just because
+    max() skips it, and a NULL-x row must not vanish into the
+    join-back silently — both are dropped by contract."""
+    from pyspark.sql import types as T
+
+    from distributed_deduplicator_spark.operators.pipeline import (
+        pareto_front_2d)
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("g", T.StringType()),
+                           T.StructField("x", T.DoubleType()),
+                           T.StructField("y", T.LongType())])
+    df = spark.createDataFrame(
+        [(1, "g", 1.0, 5), (2, "g", 2.0, 3),
+         (3, "g", None, 9), (4, "g", 9.0, None)], schema)
+    got = {r.id for r in pareto_front_2d(df, "x", "y", ["g"]).collect()}
+    assert got == {1, 2}  # both on the front; NULL rows excluded
