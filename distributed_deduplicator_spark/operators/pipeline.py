@@ -482,13 +482,19 @@ def pareto_front_2d(df: DataFrame, x_col: str, y_col: str,
     Scale shape: a windowed skyline over one global ordering would
     serialize onto one task, so this runs the standard two-phase
     distributed skyline — the SAME window pass first per (group,
-    input partition), which is exact pruning (a locally dominated row
-    is dominated by the same witness globally, and a global survivor
-    has no dominating witness anywhere, so local passes never drop
-    it), then once more over the union of local fronts. Skylines are
-    tiny relative to their inputs (they grow ~log n on independent
-    criteria), so the global pass sees survivors-per-partition rows,
-    not the corpus.
+    bucket), which is exact pruning (a locally dominated row is
+    dominated by the same witness globally, and a global survivor has
+    no dominating witness anywhere, so local passes never drop it),
+    then once more over the union of local fronts. Skylines are tiny
+    relative to their inputs (they grow ~log n on independent
+    criteria), so the global pass sees survivors-per-bucket rows, not
+    the corpus. The bucket key is a DETERMINISTIC hash of
+    (group, x, y) — not spark_partition_id(), which can differ
+    between the two evaluations of the scan subtree feeding the
+    local pass's self-join (AQE replan, task retry after a
+    round-robin repartition) and would then silently drop rows from
+    the inner join. The window pass shuffles on its partition key
+    either way, so the deterministic key costs nothing extra.
     """
     groups = list(group_cols or [])
     # rows with a NULL criterion are excluded up front: they cannot be
@@ -508,6 +514,14 @@ def pareto_front_2d(df: DataFrame, x_col: str, y_col: str,
         return (j.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
                  .where(~F.col("_dom")).drop("_dom", "_xy", "_gt_y"))
 
-    local = front(df.withColumn("_pid", F.spark_partition_id()),
-                  groups + ["_pid"]).drop("_pid")
+    try:
+        n_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_buckets = 200
+    bkt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in (*groups, x_col, y_col)]),
+        F.lit(max(n_buckets, 1)))
+    local = front(df.withColumn("_bkt", bkt),
+                  groups + ["_bkt"]).drop("_bkt")
     return front(local, groups)

@@ -891,11 +891,12 @@ def q_pareto_quality_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     objectives conflict (longer docs repeat more).
 
     The oracle is the textbook O(n²) NOT EXISTS dominance test; the
-    Spark side is `operators/pipeline.pareto_front_2d` — two window
-    aggregates (strict-greater-x RANGE frame + equal-x partition), run
-    per (source, input partition) then once over the union of local
-    fronts, so no task ever sees more than its partition plus the tiny
-    survivor set. Both criteria derive from the same integers in both
+    Spark side is `operators/pipeline.pareto_front_2d` — a per-x
+    max(y) aggregate plus a strict-suffix ROWS frame over it (max(y)
+    among strictly greater x; a RANGE frame would be wrong for
+    fractional x), run per (source, deterministic hash bucket) then
+    once over the union of local fronts, so no task ever sees more
+    than its bucket plus the tiny survivor set. Both criteria derive from the same integers in both
     engines (ratio = one IEEE division of two BIGINTs), so dominance
     comparisons and the emitted values are bit-identical — full value
     oracle."""

@@ -113,11 +113,20 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
       time; the fallback derives the same final state as a set
       operation — target rows whose key has no source match
       (LEFT ANTI join, keys only through the shuffle) unioned with the
-      full source — staged through the session scratch (a distributed
-      write; nothing passes the driver) and written back OVERWRITE.
-      This is exactly the versioned-ledger merge the streaming sink
-      proves (streaming/sinks.py upsert_merge_fn), minus the version
-      chain a one-shot batch upsert doesn't need.
+      full source. For an UNPARTITIONED table the merged result is
+      staged to a SIBLING directory of the table location and swapped
+      in with ``ALTER TABLE … SET LOCATION`` — a single catalog
+      operation, so a failure at any point before the swap leaves the
+      old data fully intact (the old directory is deleted best-effort
+      after the swap; a crash between swap and delete orphans bytes,
+      never rows). Partitioned tables fall back to a scratch-staged
+      ``insertInto(overwrite)``, which is NOT atomic: a failure
+      between the committer's truncate and commit can leave the table
+      partial — the documented price of plain file formats; use a
+      row-level format (Delta/Iceberg) for transactional partitioned
+      upserts. This mirrors the versioned-ledger merge the streaming
+      sink proves (streaming/sinks.py upsert_merge_fn), minus the
+      version chain a one-shot batch upsert doesn't need.
 
     Duplicate keys in the source raise (both engines' MERGE semantics:
     a multi-match is an error, never a silent nondeterministic pick).
@@ -133,7 +142,11 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
             f"merge_upsert: source has duplicate rows for keys "
             f"{key_list} — MERGE requires at most one source row per "
             "target row (Delta/Iceberg raise the same)")
-    view = f"_merge_src_{abs(hash(target_table)) % 10**8}"
+    # uuid per CALL: a name derived from the table would let two
+    # concurrent merge_upserts (same table, or a hash collision)
+    # createOrReplaceTempView over each other mid-MERGE
+    import uuid
+    view = f"_merge_src_{uuid.uuid4().hex}"
     source.createOrReplaceTempView(view)
     cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key_list)
     try:
@@ -167,7 +180,6 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
         raise ValueError(
             f"merge_upsert rewrite: source columns {sorted(source.columns)}"
             f" != target columns {sorted(target.columns)}")
-    from distributed_deduplicator_spark.scratch import materialize
     # null-SAFE anti join so NULL keys merge exactly like the MERGE
     # path's `<=>` condition (a null-unsafe anti join would keep the
     # target's NULL-key row AND insert the source's — two rows where
@@ -178,9 +190,39 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
         term = target[k].eqNullSafe(src_keys[k])
         anti_cond = term if anti_cond is None else (anti_cond & term)
     kept = target.join(src_keys, anti_cond, "left_anti")
-    merged = materialize(
-        kept.unionByName(source.select(*target.columns)), "merge_upsert")
-    merged.write.mode("overwrite").insertInto(target_table)
+    merged = kept.unionByName(source.select(*target.columns))
+
+    partitioned = any(
+        getattr(c, "isPartition", False)
+        for c in spark.catalog.listColumns(target_table))
+    loc = None
+    if not partitioned:
+        for row in spark.sql(
+                f"DESCRIBE FORMATTED {target_table}").collect():
+            if (row.col_name or "").strip().lower() == "location":
+                loc = (row.data_type or "").strip()
+                break
+    if loc:
+        # atomic swap: stage the merged table beside the current
+        # location, point the catalog at it in ONE operation, then
+        # clean up the old directory (best-effort — a crash here
+        # orphans bytes, never loses rows)
+        new_loc = f"{loc.rstrip('/')}-merge-{uuid.uuid4().hex[:12]}"
+        merged.write.mode("errorifexists").parquet(new_loc)
+        spark.sql(f"ALTER TABLE {target_table} SET LOCATION '{new_loc}'")
+        spark.catalog.refreshTable(target_table)
+        try:
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path(loc)
+            fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jvm_path, True)
+        except Exception:  # noqa: BLE001 — cleanup only
+            pass
+        return "rewrite"
+    # partitioned (or location unresolvable): scratch-staged overwrite
+    # — correct end state, but not atomic (see docstring)
+    from distributed_deduplicator_spark.scratch import materialize
+    staged = materialize(merged, "merge_upsert")
+    staged.write.mode("overwrite").insertInto(target_table)
     return "rewrite"
 
 

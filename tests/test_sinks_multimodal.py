@@ -564,6 +564,62 @@ def test_scratch_materialize_roundtrip_and_sweep(spark, sf_dir):
         shutil.rmtree(dead, ignore_errors=True)
 
 
+def test_merge_upsert_partitioned_table_fallback(spark, tmp_path):
+    """A PARTITIONED plain-format table cannot take the atomic
+    location-swap (partition metadata lives per-directory), so the
+    rewrite must route through the scratch-staged insertInto overwrite
+    and still produce source-wins end state across partitions."""
+    from distributed_deduplicator_spark.sources.sinks import merge_upsert
+    name = "t_merge_part"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "x"), (3, 30.0, "y")],
+        ["k", "v", "p"])
+    (base.write.mode("errorifexists")
+         .option("path", str(tmp_path / "tp"))
+         .partitionBy("p").saveAsTable(name))
+    try:
+        src = spark.createDataFrame(
+            [(2, 99.0, "y"), (4, 40.0, "z")], ["k", "v", "p"])
+        route = merge_upsert(spark, name, src, ["k"])
+        assert route == "rewrite"
+        got = {r.k: (r.v, r.p) for r in spark.table(name).collect()}
+        assert got == {1: (10.0, "x"), 2: (99.0, "y"),
+                       3: (30.0, "y"), 4: (40.0, "z")}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_merge_upsert_swap_leaves_no_partial_state(spark, tmp_path):
+    """The unpartitioned rewrite must swap locations atomically: after
+    a merge the table reads the NEW directory, and a merge that fails
+    BEFORE the swap (duplicate-source guard) leaves the target
+    byte-identical."""
+    from distributed_deduplicator_spark.sources.sinks import (
+        create_table_if_not_exists, merge_upsert)
+    name = "t_merge_swap"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    create_table_if_not_exists(spark, name, base, str(tmp_path / "ts"))
+    try:
+        before = {r.k: r.v for r in spark.table(name).collect()}
+        dup = spark.createDataFrame([(9, "x"), (9, "y")], ["k", "v"])
+        import pytest as _pt
+        with _pt.raises(ValueError, match="duplicate"):
+            merge_upsert(spark, name, dup, ["k"])
+        assert {r.k: r.v for r in spark.table(name).collect()} == before
+        merge_upsert(spark, name,
+                     spark.createDataFrame([(2, "B")], ["k", "v"]), ["k"])
+        loc = next((r.data_type or "").strip() for r in
+                   spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+                   if (r.col_name or "").strip().lower() == "location")
+        assert "-merge-" in loc  # swapped to the staged sibling dir
+        assert {r.k: r.v for r in spark.table(name).collect()} == \
+            {1: "a", 2: "B"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_merge_upsert_null_keys_match_merge_semantics(spark, tmp_path):
     """NULL-key rows must merge like the MERGE path's null-safe `<=>`
     condition: a source NULL-key row REPLACES the target's NULL-key
