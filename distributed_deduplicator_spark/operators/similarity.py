@@ -455,8 +455,23 @@ def _ivf_list_scorer(k: int):
     return score
 
 
+def _auto_nprobe(nlist: int) -> int:
+    """Default probe count for the IVF family: ⌈nlist^0.75⌉, floor 4,
+    cap nlist. Rationale: a CONSTANT nprobe (the old 4) probes a
+    vanishing 4/√n fraction of the corpus as it grows, so recall
+    silently decays with scale — drive-measured recall@5 on the
+    near-uniform random fixtures (ANN's worst case) was 0.47 at
+    sf0.01 falling to 0.33 at sf0.1. nlist^0.75 keeps the probed
+    fraction shrinking (nlist^-0.25: 32% of lists at n=500, 7.5% at
+    n=10⁹) while recall on the fixture worst case stays ≥0.7 at the
+    gate SFs (measured 0.81 sf0.01 / 0.73 sf0.1, time flat — the
+    GEMM is overhead-dominated at these scales). Clustered real
+    embeddings sit far above this floor at equal nprobe."""
+    return min(int(nlist), max(4, int(math.ceil(nlist ** 0.75))))
+
+
 def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
-                 nprobe: int = 4, id_col: str = "vec_id",
+                 nprobe: int | None = None, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64,
                  n: int | None = None) -> DataFrame:
     """Approximate all-pairs cosine top-k via an IVF-flat index — the
@@ -479,6 +494,8 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     if nlist is None:
         nlist = max(4, int(math.sqrt(max(
             _corpus_size_for_sizing(emb, n, "ann_ivf_topk"), 4))))
+    if nprobe is None:
+        nprobe = _auto_nprobe(nlist)
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     # the centroid table (nlist×dim doubles) and the assignment table
     # (n×nprobe ids) each feed TWO consumers; without pinning them the
@@ -587,8 +604,23 @@ def ivf_index_add(emb_new: DataFrame, index_dir: str, dim: int = 64,
     members.write.mode("append").parquet(f"{index_dir}/members")
 
 
+def _parquet_dir_row_count(path: str) -> int:
+    """Row count of a Spark-written parquet directory from footer
+    metadata only — the catalog-statistics stand-in for stored-index
+    sizing (no job, no scan)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    total = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 def ann_ivf_query_index(spark, index_dir: str, queries: DataFrame,
-                        k: int = 10, nprobe: int = 4, dim: int = 64,
+                        k: int = 10, nprobe: int | None = None,
+                        dim: int = 64,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Top-k cosine retrieval against a PERSISTED IVF index
@@ -599,6 +631,12 @@ def ann_ivf_query_index(spark, index_dir: str, queries: DataFrame,
     candidate pair), then the exact skinny top-k window. The index is
     scanned, never rebuilt — the build cost amortizes over every
     query batch."""
+    if nprobe is None:
+        # the stored index's nlist from its parquet footers (metadata
+        # read, no job) — keeps the auto default identical to what an
+        # in-memory ann_ivf_topk over the same corpus would pick
+        nprobe = _auto_nprobe(
+            max(_parquet_dir_row_count(f"{index_dir}/centroids"), 1))
     cents = spark.read.parquet(f"{index_dir}/centroids")
     members = spark.read.parquet(f"{index_dir}/members")
     qu = unit_vectors(queries, id_col, vec_col)
@@ -1148,7 +1186,7 @@ def pq_query_tables(unit: DataFrame, codebooks: DataFrame, m: int,
 
 
 def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
-                   nprobe: int = 4, m: int = 8, ksub: int = 16,
+                   nprobe: int | None = None, m: int = 16, ksub: int = 16,
                    rerank: int | None = None, id_col: str = "vec_id",
                    vec_col: str = "embedding", dim: int = 64,
                    n: int | None = None) -> DataFrame:
@@ -1165,10 +1203,20 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     neighbor_id, m codes) — never the vectors. Returns the same schema
     as the other ANN paths: (query_id, neighbor_id, rank, cosine) with
     ``cosine`` EXACT (from the re-rank pass). Deterministic end to end.
+
+    Defaults: ``nprobe=None`` → :func:`_auto_nprobe` (⌈nlist^0.75⌉,
+    floor 4 — the constant-4 default's recall decayed with scale);
+    ``m=16`` (4-dim subspaces): at m=8 the ADC quantization error
+    ate the IVF candidate recall the lists had paid for (drive
+    recall@5 0.35 vs the 0.47 IVF ceiling at sf0.01) — doubling the
+    subspaces doubles code bytes (still 4× smaller than the vectors)
+    and closes most of that gap.
     """
     if nlist is None:
         nlist = max(4, int(math.sqrt(max(
             _corpus_size_for_sizing(emb, n, "ann_ivfpq_topk"), 4))))
+    if nprobe is None:
+        nprobe = _auto_nprobe(nlist)
     rerank = rerank if rerank is not None else 4 * k
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     cents = _tracked_persist(ivf_centroids(u, nlist, dim))
@@ -1258,44 +1306,167 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _block_pair_prefilter(thr_pre: float):
+    """Build the grouped GEMM prefilter for
+    :func:`cosine_neardup_blocked`: f(pdf) → (id_a, id_b) candidate
+    pairs of one (block, bucket_i, bucket_j) tile whose float64-GEMM
+    cosine reaches ``thr_pre``. Module-level so the tile logic
+    (same-bucket upper triangle, cross-bucket full product, id
+    orientation) is unit-testable without a SparkSession."""
+    import numpy as np
+    import pandas as pd
+
+    def empty():
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+
+    def score(pdf):
+        same = bool(pdf["_bi"].iat[0] == pdf["_bj"].iat[0])
+        left = pdf[pdf["_is_left"]]
+        right = pdf if same else pdf[~pdf["_is_left"]]
+        if len(left) == 0 or len(right) == 0:
+            return empty()
+        ml = np.vstack(left["vd"].to_numpy()).astype(np.float64)
+        mr = np.vstack(right["vd"].to_numpy()).astype(np.float64)
+        cos = (ml @ mr.T) / np.outer(left["nrm"].to_numpy(),
+                                     right["nrm"].to_numpy())
+        ia, jb = np.nonzero(cos >= thr_pre)
+        if same:
+            keep = ia < jb          # strict upper triangle: no self,
+            ia, jb = ia[keep], jb[keep]  # each pair once
+        if len(ia) == 0:
+            return empty()
+        la = left["id"].to_numpy()[ia]
+        rb = right["id"].to_numpy()[jb]
+        return pd.DataFrame({"id_a": np.minimum(la, rb),
+                             "id_b": np.maximum(la, rb)})
+
+    return score
+
+
 def cosine_neardup_blocked(emb: DataFrame, block_col: str,
                            threshold: float,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           method: str = "gemm",
+                           bucket_rows: int = 4096) -> DataFrame:
     """EXACT cosine near-dup pairs inside equality blocks: all pairs
     sharing ``block_col`` with round(cosine, 6) ≥ threshold.
 
-    The blocked-exact member of the embedding-dedup family (the same
-    discipline as :func:`fuzzy_name_pairs`' brand blocks): the
-    quadratic verify runs on Σ|block|² candidates via a hash equi-join
-    on the block key, never n². Use the LSH/IVF paths when no natural
-    block key exists. The threshold compares the 6-dp ROUNDED cosine
-    so the keep/drop decision is reproducible across engines (raw
-    fold order is engine-specific only below ~1e-12; 6 dp is the
-    proven cross-engine agreement level).
+    The blocked-exact member of the embedding-dedup family. Exact
+    all-pairs cosine at a low threshold has NO sound sub-quadratic
+    blocking on high-dimensional data (the cover radius for τ≈0.35
+    spans the whole unit sphere — that is exactly why the LSH/IVF
+    paths exist as the approximate alternatives), so this operator
+    pays the Σ|block|² bill honestly and concentrates on paying it at
+    hardware speed with bounded tasks:
 
-    The double-cast array and its norm are computed ONCE per vector
-    in a linear pre-pass, so the Σ|block|² verify is a single dot
-    fold + one division per pair — the cosine value is bit-identical
-    to the inline form (same folds over the same doubles, just
-    factored out of the pair loop, where they ran |block|× per
-    vector and dominated at 10× scale).
+    - ``method='gemm'`` (default): two phases, same output. Each
+      block is hash-split into ⌈|block|/bucket_rows⌉ buckets and every
+      bucket-pair tile (i ≤ j) becomes one grouped-Arrow task running
+      ONE float64 GEMM (the block-matrix schedule — per-task memory
+      is bounded by ``bucket_rows``² regardless of block size, and a
+      growing block adds TASKS, not task size; vectors cross the wire
+      once per tile, never per pair). Tiles emit only candidate id
+      pairs whose GEMM cosine ≥ τ − 5e-7 − 1e-9 (5e-7 = the 6-dp
+      rounding half-step the threshold admits; 1e-9 ≫ the ~1e-14
+      worst-case float64 GEMM-vs-left-fold wobble on 64-dim unit
+      data, so no true pair can be lost). Survivors — output-sized,
+      not candidate-sized — are re-scored with the JVM left-to-right
+      fold, making every emitted value BIT-IDENTICAL to the inline
+      declarative form (and to DuckDB's fold): the GEMM only ever
+      prunes, never decides a kept value.
+    - ``method='fold'``: the one-phase declarative reference plan
+      (block equi-join + per-pair JVM fold) the GEMM path is asserted
+      byte-identical to in tests — linear in pairs with a ~50× higher
+      per-pair constant; kept as the no-Python fallback.
+
+    The threshold compares the 6-dp ROUNDED cosine so the keep/drop
+    decision is reproducible across engines (raw fold order is
+    engine-specific only below ~1e-12; 6 dp is the proven agreement
+    level). Zero-norm vectors produce NaN cosines and are dropped on
+    both paths (NaN ≥ τ is false in both engines).
     """
+    if method not in ("gemm", "fold"):
+        raise ValueError("method must be 'gemm' or 'fold'")
     pre = emb.select(F.col(id_col).alias("id"),
                      F.col(block_col).alias("block"),
                      F.transform(vec_col,
                                  lambda x: x.cast("double")).alias("vd"))
     pre = pre.select("id", "block", "vd", _norm(F.col("vd")).alias("nrm"))
-    a = pre.select(F.col("id").alias("id_a"), "block",
-                   F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a"))
-    b = pre.select(F.col("id").alias("id_b"), "block",
-                   F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b"))
-    pairs = a.join(b, on="block").where(F.col("id_a") < F.col("id_b"))
+    if method == "fold":
+        a = pre.select(F.col("id").alias("id_a"), "block",
+                       F.col("vd").alias("vd_a"),
+                       F.col("nrm").alias("nrm_a"))
+        b = pre.select(F.col("id").alias("id_b"), "block",
+                       F.col("vd").alias("vd_b"),
+                       F.col("nrm").alias("nrm_b"))
+        pairs = a.join(b, on="block").where(F.col("id_a") < F.col("id_b"))
+        cos = F.round(_dot(F.col("vd_a"), F.col("vd_b"))
+                      / (F.col("nrm_a") * F.col("nrm_b")), 6)
+        return (pairs.withColumn("cosine_r", cos)
+                     .where(F.col("cosine_r") >= threshold)
+                     .select("id_a", "id_b", "block", "cosine_r"))
+
+    # --- GEMM tiles ---
+    # zero-norm rows can never emit a pair (NaN cosine) and would put
+    # 0 into np.outer's denominator — drop them up front, exactly as
+    # the fold path's NaN comparison does implicitly
+    pre = _tracked_persist(pre.where(F.col("nrm") > 0))
+    nb = (pre.groupBy("block").agg(F.count("*").alias("_cnt"))
+             .select("block",
+                     F.ceil(F.col("_cnt") / F.lit(int(bucket_rows)))
+                      .cast("int").alias("_nb")))
+    bkt = F.pmod(F.xxhash64(F.col("id")), F.col("_nb")).cast("int")
+    # a row in bucket b joins tiles (b, j≥b) as the left operand and
+    # (i<b, b) as the right — ⌈|block|/bucket_rows⌉ replicas per row,
+    # the O(n²/B) row traffic any exact block-matrix schedule pays
+    tiled = (pre.join(F.broadcast(nb), "block")
+                .withColumn("_bkt", bkt)
+                .select("id", "block", "vd", "nrm",
+                        F.explode(F.concat(
+                            F.transform(
+                                F.sequence(F.col("_bkt"),
+                                           F.col("_nb") - 1),
+                                lambda j: F.struct(
+                                    F.col("_bkt").alias("bi"),
+                                    j.alias("bj"),
+                                    F.lit(True).alias("l"))),
+                            # sequence(0, -1) would DESCEND ([0,-1]),
+                            # not come back empty — guard bucket 0
+                            F.when(
+                                F.col("_bkt") > 0,
+                                F.transform(
+                                    F.sequence(F.lit(0),
+                                               F.col("_bkt") - 1),
+                                    lambda i: F.struct(
+                                        i.alias("bi"),
+                                        F.col("_bkt").alias("bj"),
+                                        F.lit(False).alias("l"))))
+                             .otherwise(F.array().cast(
+                                 "array<struct<bi:int,bj:int,l:boolean>>"))))
+                         .alias("_t"))
+                .select("id", "block", "vd", "nrm",
+                        F.col("_t.bi").alias("_bi"),
+                        F.col("_t.bj").alias("_bj"),
+                        F.col("_t.l").alias("_is_left")))
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    thr_pre = float(threshold) - 5e-7 - 1e-9
+    cand = (tiled.groupBy("block", "_bi", "_bj")
+                 .applyInPandas(_block_pair_prefilter(thr_pre),
+                                f"id_a {id_dt}, id_b {id_dt}"))
+    # exact verify on the output-sized survivor set: same fold, same
+    # order, same rounding as the fold path — bit-identical values
+    va = pre.select(F.col("id").alias("id_a"), "block",
+                    F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a"))
+    vb = pre.select(F.col("id").alias("id_b"),
+                    F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b"))
     cos = F.round(_dot(F.col("vd_a"), F.col("vd_b"))
                   / (F.col("nrm_a") * F.col("nrm_b")), 6)
-    return (pairs.withColumn("cosine_r", cos)
-                 .where(F.col("cosine_r") >= threshold)
-                 .select("id_a", "id_b", "block", "cosine_r"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+                .withColumn("cosine_r", cos)
+                .where(F.col("cosine_r") >= threshold)
+                .select("id_a", "id_b", "block", "cosine_r"))
 
 
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -1490,3 +1661,154 @@ def containment_join(df: DataFrame, id_col: str, text_col: str,
                   .where(F.col("containment") >= threshold)
                   .select("id_a", "id_b", "size_a", "size_b",
                           "n_common", "containment"))
+
+
+def edit_distance_join(df: DataFrame, id_col: str, name_col: str,
+                       k: int = 4, block_cols: list[str] | None = None,
+                       q: int = 3, sample_mod: int = 20,
+                       hot_min: int = 2) -> DataFrame:
+    """All pairs (id_a < id_b) within Levenshtein distance ``k``
+    (optionally restricted to equal values on ``block_cols``), exact.
+    Output: (id_a, id_b, name_a, name_b, edit_dist).
+
+    Why not just block on (block_cols, length band): block-key
+    cardinality is then FIXED (bounded string lengths, enum blocks),
+    so Σ|block|² — and the bounded-DP verify bill — grows
+    quadratically with the table (measured 9.4× wall for 10× data at
+    sf1). This operator adds the ed-join q-gram PREFIX filter
+    (Gravano et al., VLDB'01 count filter + the prefix-filter pigeonhole,
+    both public literature), which makes candidate generation track
+    the true-pair count instead of n²/blocks:
+
+    - every string's positional q-gram BAG (elements ``(gram, occ)``,
+      occ = occurrence index, so bag intersection = set intersection
+      over elements) is sorted by a CONSISTENT global rarity order;
+    - one edit destroys at most ``q`` grams, so ed ≤ k implies the two
+      bags share all but ≤ ``k·q`` elements — by the prefix pigeonhole
+      the pair MUST share an element within each side's ``k·q + 1``
+      rarest (a CONSTANT-width prefix, unlike Jaccard's τ-proportional
+      one), and candidate generation equi-joins only those prefixes;
+    - rarity is estimated from a 1/``sample_mod`` hash-sample of rows
+      (hot elements with sample count ≥ ``hot_min`` broadcast; unseen
+      tail shares rank 0 — same sampled-df discipline as
+      :func:`jaccard_similarity_join`, no corpus-wide df shuffle);
+    - strings too short for the filter to have power (gram count
+      ≤ k·q, i.e. len < q·(k+1)) are routed through a band-only side
+      channel: they pair only with strings within length k of
+      themselves, a bounded-size neighborhood, so the channel is
+      linear in the short-string count.
+
+    The length band (width k+1, probe side explodes band ± 1) stays in
+    the join key on BOTH channels — an exact cover of |Δlen| ≤ k with
+    each pair matching exactly one probe. Survivors are verified with
+    the bounded-threshold levenshtein (banded O(len·k) DP, bails at
+    > k) exactly once per unordered pair.
+    """
+    blocks = list(block_cols or [])
+    band_w = k + 1
+    min_long = q * (k + 1)  # gram count > k·q  ⇔  len ≥ q(k+1)
+    base = (df.select(F.col(id_col).alias("_id"),
+                      *[F.col(c).alias(f"_blk_{i}")
+                        for i, c in enumerate(blocks)],
+                      F.col(name_col).alias("_name"))
+              .where(F.col(name_col).isNotNull())
+              .withColumn("_len", F.length("_name"))
+              .withColumn("_band",
+                          (F.col("_len") / band_w).cast("long")))
+    bcols = [f"_blk_{i}" for i in range(len(blocks))]
+    # one row per input row, consumed by: the sample, the prefix
+    # build, both channel join sides, and the two name re-attaches —
+    # linear, the thing you persist at any scale. Released by the
+    # registry hook via release_persisted().
+    base = _tracked_persist(fanout(base))
+
+    probe_bands = F.explode(F.array(F.col("_band") - 1, F.col("_band"),
+                                    F.col("_band") + 1)).alias("_pband")
+
+    # --- short channel: no gram filter has power; band-only block ---
+    short = base.where(F.col("_len") < min_long)
+    sp = short.select(F.col("_id").alias("_ida"),
+                      F.col("_len").alias("_lena"), *bcols, probe_bands)
+    sb = base.select(F.col("_id").alias("_idb"),
+                     F.col("_len").alias("_lenb"),
+                     F.col("_band").alias("_pband"), *bcols)
+    cand_short = (sp.join(sb, bcols + ["_pband"])
+                    .where(F.abs(F.col("_lena") - F.col("_lenb")) <= k)
+                    # short×long pairs exist ONLY here (the long
+                    # channel is long×long), so any id order is kept
+                    # once; short×short pairs would arrive twice —
+                    # keep the probe-id-smaller copy
+                    .where((F.col("_lenb") >= min_long)
+                           | (F.col("_ida") < F.col("_idb")))
+                    .where(F.col("_ida") != F.col("_idb"))
+                    .select(F.least("_ida", "_idb").alias("id_a"),
+                            F.greatest("_ida", "_idb").alias("id_b")))
+
+    # --- long channel: q-gram prefix filter ---
+    longd = base.where(F.col("_len") >= min_long)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("_len") - q + 1),
+        lambda i: F.col("_name").substr(i, F.lit(q)))
+    # bag elements (gram, occ): occ = #equal grams strictly before, so
+    # duplicate grams become distinct elements and element-set overlap
+    # equals bag overlap (the count filter is a bag bound). O(m²) JVM
+    # array ops per row on bounded-length strings — still codegen.
+    elems = F.transform(
+        F.col("_grams"),
+        lambda g, i: F.struct(
+            g.alias("g"),
+            F.size(F.filter(F.slice(F.col("_grams"), 1, i),
+                            lambda y: y == g)).alias("occ")))
+    lg = longd.withColumn("_grams", grams).withColumn("_elems", elems)
+    # sampled element rarity → broadcast hot map (estimated df); the
+    # prefix theorem needs only a consistent order, so the unsampled
+    # tail ranks 0 and tie-breaks on (g, occ)
+    hot = (lg.where(F.xxhash64(F.col("_id")) % sample_mod == 0)
+             .select(F.explode("_elems").alias("_e"))
+             .groupBy("_e").agg(F.count("*").alias("_c"))
+             .where(F.col("_c") >= hot_min)
+             .select(F.col("_e"),
+                     (F.col("_c") * sample_mod).alias("_df")))
+    ranked = (lg.select("_id", "_len", "_band", *bcols,
+                        F.explode("_elems").alias("_e"))
+                .join(F.broadcast(hot), "_e", "left")
+                .select("_id", "_len", "_band", *bcols,
+                        F.struct(F.coalesce("_df", F.lit(0).cast("long"))
+                                  .alias("df"),
+                                 F.col("_e.g").alias("g"),
+                                 F.col("_e.occ").alias("occ"))
+                         .alias("_r")))
+    prefix_len = k * q + 1
+    prefixes = (ranked.groupBy("_id", "_len", "_band", *bcols)
+                      .agg(F.slice(F.sort_array(F.collect_list("_r")),
+                                   1, prefix_len).alias("_pref")))
+    # both join sides consume this (and it embeds the persisted base,
+    # so rebuild is cheap — but the explode×join above is not): pin it
+    prefixes = _tracked_persist(prefixes)
+    pa = prefixes.select(F.col("_id").alias("_ida"),
+                         F.col("_len").alias("_lena"), *bcols,
+                         probe_bands,
+                         F.explode("_pref").alias("_e"))
+    pb = prefixes.select(F.col("_id").alias("_idb"),
+                         F.col("_len").alias("_lenb"),
+                         F.col("_band").alias("_pband"), *bcols,
+                         F.explode("_pref").alias("_e"))
+    cand_long = (pa.join(pb, bcols + ["_pband", "_e"])
+                   .where(F.col("_ida") < F.col("_idb"))
+                   .where(F.abs(F.col("_lena") - F.col("_lenb")) <= k)
+                   .groupBy(F.col("_ida").alias("id_a"),
+                            F.col("_idb").alias("id_b"))
+                   .agg(F.count("*").alias("_nshared"))
+                   .drop("_nshared"))
+
+    cand = cand_short.unionByName(cand_long)
+    na = base.select(F.col("_id").alias("id_a"),
+                     F.col("_name").alias("name_a"))
+    nb = base.select(F.col("_id").alias("id_b"),
+                     F.col("_name").alias("name_b"))
+    return (cand.join(na, "id_a").join(nb, "id_b")
+                .withColumn("edit_dist",
+                            F.levenshtein("name_a", "name_b", k))
+                .where(F.col("edit_dist") >= 0)
+                .select("id_a", "id_b", "name_a", "name_b",
+                        "edit_dist"))

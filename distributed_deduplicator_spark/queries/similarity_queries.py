@@ -340,25 +340,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivfpq_topk")  # rows-only: approximate by construction
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors approximate top-5 via IVF-PQ two-stage retrieval:
-    IVF lists prune candidates, 8×16 product-quantization codes score
+    IVF lists prune candidates, 16×16 product-quantization codes score
     them by ADC lookup (codes travel through the candidate join, never
     vectors), exact re-rank of the ADC top-10. The memory-bound ANN
     shape for corpora whose vectors don't fit executor memory. Recall
     vs brute force asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_ivfpq_topk(emb, k=_TOPK, nprobe=4, m=8, ksub=16,
+    return S.ann_ivfpq_topk(emb, k=_TOPK,
                             n=table_row_count(sf_dir, "embeddings"))
 
 
 @query("ann_ivf_topk")  # rows-only: approximate by construction
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors approximate top-5 via an IVF-flat index (√n lists,
-    probe 4) — the partition-pruning ANN path, complementary to the
+    auto nprobe = ⌈nlist^0.75⌉) — the partition-pruning ANN path, complementary to the
     hyperplane-LSH one. Recall vs brute force asserted in
     tests/test_similarity.py. nlist sized from parquet-footer row
     stats — no job at build time."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_ivf_topk(emb, k=_TOPK, nprobe=4,
+    return S.ann_ivf_topk(emb, k=_TOPK,
                           n=table_row_count(sf_dir, "embeddings"))
 
 
@@ -386,7 +386,7 @@ def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = scratch_path(f"ivf_index_{tag}")
     S.ivf_index_build(emb, idx,
                       n=table_row_count(sf_dir, "embeddings"))
-    return S.ann_ivf_query_index(spark, idx, emb, k=_TOPK, nprobe=4)
+    return S.ann_ivf_query_index(spark, idx, emb, k=_TOPK)
 
 
 @query("near_dup_ensemble")  # rows-only: consensus of approximate

@@ -178,46 +178,27 @@ FROM part a JOIN part b
 WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
 """)
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy key matching: part-name pairs within edit distance 4,
-    BLOCKED on (p_brand, length band) so the expensive levenshtein runs
-    on Σ|block|² candidates, never n² — the fuzzy-join discipline at
-    scale (block on cheap equality, verify with the costly metric; same
-    shape as every LSH pipeline here). levenshtein is JVM-side codegen
-    in Spark and identical to DuckDB's definition.
+    """Fuzzy key matching: part-name pairs within edit distance 4 —
+    `operators/similarity.edit_distance_join` blocked on p_brand.
+    The operator layers the ed-join q-gram prefix filter (Gravano et
+    al.) over (brand, length-band) blocking: bands alone leave a FIXED
+    block count (brand cardinality × bounded length range), so the
+    Σ|block|² bounded-DP verify grew quadratically with the table
+    (9.4× wall for 10× data in the round-6 sweep); the rarest-(k·q+1)
+    gram prefix equi-join makes candidates track true pairs instead.
+    Exact — same kept rows and values as this blocking-free oracle
+    (levenshtein is JVM codegen in Spark, same definition as DuckDB).
 
-    The length band is an EQUALITY join key via multi-probe: one side
-    explodes into its own band ± 1. Bands are LEV_MAX+1 chars wide, so
-    any pair within edit distance LEV_MAX (length gap ≤ LEV_MAX < band
-    width) lands in an adjacent band — an exact cover, and each pair
-    matches exactly one probe, so no dedup pass is needed. Without the
-    band in the JOIN key the blocks are whole brands, and brand
-    cardinality is fixed — Σ|block|² then grows quadratically with the
-    table (measured unusable at 10× bench scale); banded, block growth
-    tracks the length histogram instead."""
-    band_w = _LEV_MAX + 1
+    NOTE the full pair LIST is itself ~quadratic on this corpus
+    (10.8 M pairs at sf1 ≈ 10× the input rows): the per-record
+    `fuzzy_name_topk` valve below is the product shape at scale; this
+    query is its uncapped oracle twin."""
+    from distributed_deduplicator_spark.operators.similarity import (
+        edit_distance_join)
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name")
-    band = (F.length("p_name") / band_w).cast("long")
-    a = p.select(F.col("p_partkey").alias("id_a"),
-                 F.col("p_brand").alias("brand"),
-                 F.col("p_name").alias("name_a"),
-                 F.explode(F.array(band - 1, band, band + 1))
-                  .alias("probe_band"))
-    b = p.select(F.col("p_partkey").alias("id_b"),
-                 F.col("p_brand").alias("brand"),
-                 F.col("p_name").alias("name_b"),
-                 band.alias("probe_band"))
-    cand = a.join(b, on=["brand", "probe_band"]).where(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.abs(F.length("name_a") - F.length("name_b")) <= _LEV_MAX))
-    # the THRESHOLD overload (Spark ≥ 3.5) runs the banded O(len·k) DP
-    # and bails early, returning −1 past the bound — ~len/k cheaper
-    # than the full O(len²) matrix on every candidate, identical values
-    # on every kept row (exactly the rows the unbounded oracle keeps)
-    return (cand.withColumn("edit_dist",
-                            F.levenshtein("name_a", "name_b", _LEV_MAX))
-                .where(F.col("edit_dist") >= 0)
-                .select("id_a", "id_b", "name_a", "name_b", "edit_dist"))
+    return edit_distance_join(p, "p_partkey", "p_name", k=_LEV_MAX,
+                              block_cols=["p_brand"])
 
 
 _FUZZY_TOPK = 3
@@ -247,58 +228,34 @@ def q_fuzzy_name_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     best few matches per record". Output here is ≤ 3 rows per part,
     O(n) at any scale.
 
-    Plan: identical banded blocking to the sibling (see
-    `fuzzy_name_pairs` for the exact-cover argument — kept verbatim
-    there since that query is the uncapped oracle twin), levenshtein
-    computed ONCE per unordered pair (id_a < id_b) with the bounded
-    threshold overload, mirrored to both directions by a column swap
-    (free — no second DP pass), then a per-id_a row_number cut.
-    Ranking keys (edit_dist, id_b) are exact integers — no
-    cross-engine float wobble — so the result carries a full value
-    oracle.
+    Plan: identical candidate generation to the sibling —
+    `operators/similarity.edit_distance_join` blocked on p_brand
+    (banded + q-gram prefix filtered; see `fuzzy_name_pairs`), which
+    runs levenshtein ONCE per unordered pair (id_a < id_b) with the
+    bounded threshold overload — mirrored to both directions by a
+    column swap (free — no second DP pass), then a per-id_a
+    row_number cut. Ranking keys (edit_dist, id_b) are exact
+    integers — no cross-engine float wobble — so the result carries
+    a full value oracle.
 
-    The probe side is fanned out to cluster parallelism BEFORE the
-    broadcast join: part scans as a handful of splits, the dim side
-    broadcasts, and broadcast joins inherit the probe side's
-    partitioning — without the fanout the whole Σ|block|² bounded-DP
-    stage (the dominant cost: ~80 M candidate pairs at sf1) runs on
-    ONE core (measured 82 s single-task at sf1; ~32-way after)."""
+    Names are dropped before the rank shuffle: the window moves ~2×
+    |pairs| rows — at (id, id, dist) width a quarter of the
+    with-names shuffle — and only the ≤ k·n winners ever need their
+    names re-attached (two skinny key joins at the end)."""
     from pyspark.sql import Window
 
-    from distributed_deduplicator_spark.sources.fixtures import fanout
-    band_w = _LEV_MAX + 1
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist, edit_distance_join)
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name")
-    band = (F.length("p_name") / band_w).cast("long")
-    a = fanout(p).select(F.col("p_partkey").alias("id_a"),
-                 F.col("p_brand").alias("brand"),
-                 F.col("p_name").alias("name_a"),
-                 F.explode(F.array(band - 1, band, band + 1))
-                  .alias("probe_band"))
-    b = p.select(F.col("p_partkey").alias("id_b"),
-                 F.col("p_brand").alias("brand"),
-                 F.col("p_name").alias("name_b"),
-                 band.alias("probe_band"))
-    cand = a.join(b, on=["brand", "probe_band"]).where(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.abs(F.length("name_a") - F.length("name_b")) <= _LEV_MAX))
-    # drop the names before the rank shuffle: the window moves ~2×
-    # |pairs| rows — at (id, id, dist) width that's a quarter of the
-    # with-names shuffle — and only the ≤ k·n winners ever need their
-    # names re-attached (two skinny key joins at the end)
-    from distributed_deduplicator_spark.operators.similarity import (
-        _tracked_persist)
     # persist BEFORE the self-union mirror: both union branches embed
-    # this subtree, and without the pin each branch re-runs the banded
-    # join + bounded DP — the query's dominant cost — once (measured:
-    # the DP stage executed as 2×32 tasks). The pin is what makes the
-    # docstring's "ONE DP per unordered pair" true in the executed
-    # plan; released by the registry hook like every similarity pin.
+    # this subtree, and without the pin each branch re-runs the
+    # prefix join + bounded DP — the query's dominant cost — once.
+    # Released by the registry hook like every similarity pin.
     pairs = _tracked_persist(
-        cand.withColumn("edit_dist",
-                        F.levenshtein("name_a", "name_b", _LEV_MAX))
-            .where(F.col("edit_dist") >= 0)
-            .select("id_a", "id_b", "edit_dist"))
+        edit_distance_join(p, "p_partkey", "p_name", k=_LEV_MAX,
+                           block_cols=["p_brand"])
+        .select("id_a", "id_b", "edit_dist"))
     directed = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"),
                      F.col("id_a").alias("id_b"),
