@@ -39,6 +39,15 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # round-7 additions (VERDICT r6 #6): the as-of trio's newest
+    # member, the skyline, the persisted-index lifecycle, and the two
+    # queries whose round-7 plans changed structurally (q-gram
+    # prefix-filtered fuzzy join; tiled-GEMM exact cosine)
+    "asof_join_nearest_orders",
+    "pareto_quality_front",
+    "ann_ivf_persisted_topk",
+    "fuzzy_name_topk",
+    "embedding_cosine_neardup",
 ]
 
 

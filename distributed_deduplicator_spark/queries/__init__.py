@@ -47,63 +47,46 @@ from distributed_deduplicator_spark.queries import text_queries  # noqa: F401,E4
 from distributed_deduplicator_spark.queries import dedup_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 
-# Round-6 verification rotation (see VERIFIED.md for the cross-round
-# ledger). The first 50 names are pinned: the 42 queries that have
-# never had a driver correctness row in rounds 1-5 (the round-5
-# registry additions: TPC-H tails, the corpus-analysis block, the two
-# bitmap/sketch rows-only entries), the FIRST query added in round 6
-# (`fuzzy_name_topk`, the scale valve on `fuzzy_name_pairs` —
-# windowed because it landed before the head was pinned), and the 7
-# round-6 changed-code entries that fit (streaming wrappers moved
-# from driver-side collect() to distributed scratch-parquet
-# materialization; `parquet_roundtrip_agg`'s race-free scratch path;
-# `multimodal_resize`'s module-level stub resizer). Changed-code
-# entries that did NOT fit, plus the FIVE further queries added after
-# the head was pinned (`pareto_quality_front`,
-# `ann_ivf_persisted_topk`, `asof_join_forward_orders`,
-# `asof_join_nearest_orders`, `semantic_decontaminate` — all
-# registered after slot 50, locally verified, r07-queued), are listed
-# in VERIFIED.md "Round-6 window" / its r07 queue. Everything after
-# the window keeps module registration order. Update this list each
-# round as the window rotates; an unknown name fails import.
+# Round-7 verification rotation (see VERIFIED.md for the cross-round
+# ledger). The first 50 names are pinned: the FIVE queries that have
+# never had a driver correctness row (round-6 post-pin additions —
+# landing these closes the ledger at 178/178), the five queries whose
+# code changed in round 7 (q-gram prefix-filtered fuzzy join;
+# tiled-GEMM exact cosine; IVF auto-nprobe/m=16 recall defaults), one
+# of the four round-6 streaming changed-code consumers the r06 window
+# could not fit (the other three stay represented by the r06-green
+# wrappers sharing the same materialization path and queue for r08),
+# and ALL 39 queries whose newest driver row is still round 3 —
+# VERDICT r6 #5's staleness sweep. Everything after the window keeps
+# module registration order. Update this list each round as the
+# window rotates; an unknown name fails import.
 _ROTATION_HEAD = [
-    # never driver-verified: round-5 TPC-H tails
-    "min_cost_supplier", "important_part_value", "parts_supplier_counts",
-    "promo_part_shippers", "suppliers_kept_waiting",
-    # never driver-verified: relational additions
-    "event_p99_exceeders", "unpivot_lineitem_measures",
-    "hll_sketch_rollup", "basket_part_pairs_lift", "open_orders_backlog",
-    "join_key_skew_profile",
-    # never driver-verified: corpus/text analysis block
-    "tfidf_top_terms", "ngram_novelty_scores", "zipf_rank_freq",
-    "vocab_growth", "token_simpson_diversity", "bpe_pair_counts",
-    "dup_span_stats", "lang_confusion_matrix", "vocab_coverage_topk",
-    "token_length_exact_quantiles",
-    # never driver-verified: pipeline additions
-    "cross_source_overlap", "corpus_filter_funnel", "decontaminate_bloom",
-    "unigram_lm_quality", "length_outlier_mad", "dsir_importance_weights",
-    "blocklist_scrub_stats", "bigram_lm_quality", "source_token_drift",
-    "curriculum_quality_bins",
-    # never driver-verified: similarity additions (knn_label_vote's
-    # rank key gained the 6dp cross-engine rounding this round)
-    "containment_ngram_pairs", "semantic_dedup_keep_one",
-    "soft_dedup_weights", "knn_label_vote", "dedup_savings_by_source",
-    "cluster_size_histogram", "embedding_similarity_histogram",
-    # never driver-verified: temporal additions
-    "value_drift_by_day", "retention_cohorts", "event_transition_matrix",
-    "event_rate_anomaly",
-    # NEW in round 6: per-left-row top-k valve on the fuzzy join
-    "fuzzy_name_topk",
-    # code changed in round 6 (collect()-free scratch materialization;
-    # parity re-verified at sf0.01 in-session): the three wrappers the
-    # round-5 verdict flagged, plus one append-mode and one
-    # complete-mode run_stream_to_df representative
-    "stream_dedup_watermark", "stream_upsert_ledger",
-    "stream_minhash_neardup", "stream_ttl_dedup_stateful",
-    "stream_windowed_counts",
-    # code changed in round 6: scratch-dir write path / stub-resizer
-    # module-level refactor
-    "parquet_roundtrip_agg", "multimodal_resize",
+    # never driver-verified (round-6 post-pin additions)
+    "pareto_quality_front", "semantic_decontaminate",
+    "ann_ivf_persisted_topk", "asof_join_forward_orders",
+    "asof_join_nearest_orders",
+    # code changed in round 7: ed-join prefix filter (both fuzzy
+    # queries), GEMM-prefilter exact cosine, ANN recall defaults
+    "fuzzy_name_pairs", "fuzzy_name_topk", "embedding_cosine_neardup",
+    "ann_ivf_topk", "ann_ivfpq_topk",
+    # code changed in round 6 (run_stream_to_df scratch
+    # materialization), displaced from the r06 window
+    "stream_stream_attribution",
+    # r03-banked evidence, unchanged code — staleness refresh (39)
+    "agg_distinct", "correlated_above_avg", "cube_orders",
+    "custdist_order_counts", "dedup_exact_distinct",
+    "dedup_first_wins_winners", "dedup_latest_state",
+    "disjunctive_predicate_revenue", "filtered_agg_orders",
+    "grouping_sets_orders", "join_anti", "join_dim_broadcast",
+    "join_full_outer_counts", "join_left_order_counts", "join_semi",
+    "json_props_stats", "kll_value_quantiles", "order_priority_check",
+    "percentiles_by_status", "pivot_status_counts", "predicate_in_null",
+    "price_histogram", "returned_items_by_nation", "rollup_orders",
+    "salted_skew_join_revenue", "scalar_functions", "set_ops",
+    "shipping_priority", "sql_cte_subqueries", "table_profile",
+    "text_stats", "topk_frequent_event_types", "topk_global",
+    "volume_shipping", "window_distribution_funcs", "window_first_last",
+    "window_rank_dense", "window_running_sum", "window_topk_per_group",
 ]
 
 

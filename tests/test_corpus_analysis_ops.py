@@ -10,6 +10,7 @@ import collections
 import math
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributed_deduplicator_spark import queries as Q
@@ -23,6 +24,8 @@ def _py_tokens(text: str) -> list[str]:
     return t.strip().split(" ")
 
 
+@pytest.mark.full  # python-reference twin; bpe_pair_counts has a
+# full driver value oracle (r06 green)
 def test_bpe_pair_counts_match_python_reference(spark, sf_dir):
     """pair_count must equal the classic BPE statistic: per distinct
     word, every adjacent char-pair occurrence, weighted by the word's
@@ -50,6 +53,8 @@ def test_bpe_pair_counts_match_python_reference(spark, sf_dir):
         assert r.n_words == len(pair_words[(r.lft, r.rgt)])
 
 
+@pytest.mark.full  # invariant sweep; soft_dedup_weights also has a
+# full recursive-CTE value oracle in the driver rows
 def test_soft_dedup_weights_invariants(spark, sf_dir):
     """Every doc weighted; Σ weight = number of clusters (the
     deduplicated corpus size); weight·cluster_size = 1 exactly; the

@@ -7,6 +7,7 @@ it ships two implementations (JVM fold / Arrow applyInPandas) that must
 agree with each other and with a sequential model.
 """
 
+import pytest
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -77,6 +78,8 @@ def test_first_wins_matches_model(spark, log):
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(log=attempts, ttl=st.sampled_from([1, 60, 900, 3600]))
+@pytest.mark.full  # three-way equality sweep; the JVM default path
+# is golden-tested and driver-oracle-checked every round
 def test_ttl_jvm_and_arrow_match_model(spark, log, ttl):
     df = _df(spark, log)
     model = _model_ttl(log, ttl)
@@ -167,6 +170,8 @@ day_spans = st.lists(
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(spans=day_spans)
+@pytest.mark.full  # hypothesis brute-force twin; open_orders_backlog
+# has a full driver value oracle (r06 green)
 def test_interval_backlog_matches_bruteforce(spark, spans):
     """Delta-encode + prefix-sum must equal brute-force stabbing (for
     each day, count intervals with open <= day <= close) on every day

@@ -1,6 +1,7 @@
 """foreachBatch upsert-ledger sink: incremental multi-batch merge,
 idempotent batch replay, and batch-equivalence of the final state."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributed_deduplicator_spark.operators.dedup import latest_state
@@ -221,6 +222,8 @@ def test_ttl_dedup_stateful_multichunk_group_order(spark, tmp_path):
                    0: "SUCCESS", 1: "DUPLICATE"}
 
 
+@pytest.mark.full  # format-compat fallback variant; the primary
+# cross-batch ledger test above covers the live path every run
 def test_neardup_ledger_pre_bks_format_fallback(spark, sf_dir, tmp_path):
     """ADVICE r5 (low): a ledger_dir written in the pre-r5 (id, sig)
     format — no stored 'bks' band keys — must still arbitrate new
