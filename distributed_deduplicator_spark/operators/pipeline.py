@@ -522,6 +522,14 @@ def pareto_front_2d(df: DataFrame, x_col: str, y_col: str,
     bkt = F.pmod(
         F.xxhash64(*[F.col(c) for c in (*groups, x_col, y_col)]),
         F.lit(max(n_buckets, 1)))
-    local = front(df.withColumn("_bkt", bkt),
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    # pin the prepared input: the local pass's join-back evaluates its
+    # source twice, and callers typically feed a non-trivial derivation
+    # (the skyline query tokenizes every document for its criteria) —
+    # without the pin that subtree runs once per join side (measured
+    # 5.6 s → 2.4 s at bench SF). Linear, one row per input row;
+    # released by the registry hook via release_persisted().
+    local = front(_tracked_persist(df.withColumn("_bkt", bkt)),
                   groups + ["_bkt"]).drop("_bkt")
     return front(local, groups)
