@@ -1384,8 +1384,9 @@ def cosine_neardup_blocked(emb: DataFrame, block_col: str,
     The threshold compares the 6-dp ROUNDED cosine so the keep/drop
     decision is reproducible across engines (raw fold order is
     engine-specific only below ~1e-12; 6 dp is the proven agreement
-    level). Zero-norm vectors produce NaN cosines and are dropped on
-    both paths (NaN ≥ τ is false in both engines).
+    level). Zero-norm vectors have no defined cosine and are dropped
+    up front on BOTH paths (under ANSI mode the naive division would
+    otherwise be a runtime DIVIDE_BY_ZERO, not a quiet NaN).
     """
     if method not in ("gemm", "fold"):
         raise ValueError("method must be 'gemm' or 'fold'")
@@ -1394,6 +1395,7 @@ def cosine_neardup_blocked(emb: DataFrame, block_col: str,
                      F.transform(vec_col,
                                  lambda x: x.cast("double")).alias("vd"))
     pre = pre.select("id", "block", "vd", _norm(F.col("vd")).alias("nrm"))
+    pre = pre.where(F.col("nrm") > 0)
     if method == "fold":
         a = pre.select(F.col("id").alias("id_a"), "block",
                        F.col("vd").alias("vd_a"),
@@ -1409,10 +1411,7 @@ def cosine_neardup_blocked(emb: DataFrame, block_col: str,
                      .select("id_a", "id_b", "block", "cosine_r"))
 
     # --- GEMM tiles ---
-    # zero-norm rows can never emit a pair (NaN cosine) and would put
-    # 0 into np.outer's denominator — drop them up front, exactly as
-    # the fold path's NaN comparison does implicitly
-    pre = _tracked_persist(pre.where(F.col("nrm") > 0))
+    pre = _tracked_persist(pre)
     nb = (pre.groupBy("block").agg(F.count("*").alias("_cnt"))
              .select("block",
                      F.ceil(F.col("_cnt") / F.lit(int(bucket_rows)))
