@@ -470,6 +470,62 @@ def _auto_nprobe(nlist: int) -> int:
     return min(int(nlist), max(4, int(math.ceil(nlist ** 0.75))))
 
 
+def _pq_list_scorer(rerank: int, m: int, ksub: int):
+    """Build the cogrouped per-list ADC scorer for
+    :func:`ann_ivfpq_topk`: f(members_pdf(id, list_id, codes),
+    probes_pdf(query_id, list_id, qtab)) → (query_id, neighbor_id,
+    adc) — the list's per-query ADC top-(rerank+1).
+
+    ADC(q, x) = Σ_s qtab[s·ksub + code_s(x)], computed as m numpy
+    table-gathers over the (queries × members) matrix. Codes/qtab are
+    sub_id-/slot-keyed MAPS (sparse-codebook safe — see pq_encode);
+    a subspace missing from a member's codes gathers a sentinel slot
+    holding 0.0, exactly the declarative fold's coalesce-to-0.
+    rerank+1 so dropping a self-match still leaves rerank candidates;
+    the global skinny window above takes the final shortlist.
+    Module-level so the gather/sentinel/tie-break logic is
+    unit-testable without a SparkSession."""
+    import numpy as np
+    import pandas as pd
+
+    def empty():
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "adc": pd.Series([], dtype="float64")})
+
+    sent = m * ksub  # one extra zero slot for absent subspaces
+
+    def score(m_pdf, q_pdf):
+        if len(m_pdf) == 0 or len(q_pdf) == 0:
+            return empty()
+        codes = np.full((len(m_pdf), m), sent, dtype=np.int64)
+        for r, cell in enumerate(m_pdf["codes"]):
+            for s, c in (cell.items() if isinstance(cell, dict)
+                         else dict(cell).items()):
+                codes[r, int(s)] = int(s) * ksub + int(c)
+        qt = np.zeros((len(q_pdf), sent + 1), dtype=np.float64)
+        for r, cell in enumerate(q_pdf["qtab"]):
+            for slot, v in (cell.items() if isinstance(cell, dict)
+                            else dict(cell).items()):
+                qt[r, int(slot)] = float(v)
+        adc = np.zeros((len(q_pdf), len(m_pdf)), dtype=np.float64)
+        for s in range(m):
+            adc += qt[:, codes[:, s]]
+        mids = m_pdf["id"].to_numpy()
+        qids = q_pdf["query_id"].to_numpy()
+        order = np.lexsort((np.broadcast_to(mids, adc.shape), -adc),
+                           axis=1)[:, :rerank + 1]
+        rows_q = np.repeat(qids, order.shape[1])
+        rows_n = mids[order].ravel()
+        rows_a = np.take_along_axis(adc, order, axis=1).ravel()
+        keep = rows_q != rows_n
+        return pd.DataFrame({"query_id": rows_q[keep],
+                             "neighbor_id": rows_n[keep],
+                             "adc": rows_a[keep]})
+
+    return score
+
+
 def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
                  nprobe: int | None = None, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64,
@@ -607,15 +663,23 @@ def ivf_index_add(emb_new: DataFrame, index_dir: str, dim: int = 64,
 def _parquet_dir_row_count(path: str) -> int:
     """Row count of a Spark-written parquet directory from footer
     metadata only — the catalog-statistics stand-in for stored-index
-    sizing (no job, no scan)."""
+    sizing (no job, no scan). LOCAL filesystem paths only: for a
+    remote index dir (hdfs://, s3://…) the glob would silently match
+    nothing and a silent 0 would auto-size nprobe to 1 — collapsed
+    recall with no error — so an empty match RAISES and the caller
+    must pass nprobe explicitly (or wire real catalog stats)."""
     import glob
     import os
 
     import pyarrow.parquet as pq
-    total = 0
-    for f in glob.glob(os.path.join(path, "*.parquet")):
-        total += pq.ParquetFile(f).metadata.num_rows
-    return total
+    files = glob.glob(os.path.join(
+        path.removeprefix("file:"), "*.parquet"))
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet footers under {path!r} on the LOCAL "
+            "filesystem — for a remote index dir pass nprobe "
+            "explicitly instead of relying on auto-sizing")
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def ann_ivf_query_index(spark, index_dir: str, queries: DataFrame,
@@ -636,7 +700,7 @@ def ann_ivf_query_index(spark, index_dir: str, queries: DataFrame,
         # read, no job) — keeps the auto default identical to what an
         # in-memory ann_ivf_topk over the same corpus would pick
         nprobe = _auto_nprobe(
-            max(_parquet_dir_row_count(f"{index_dir}/centroids"), 1))
+            _parquet_dir_row_count(f"{index_dir}/centroids"))
     cents = spark.read.parquet(f"{index_dir}/centroids")
     members = spark.read.parquet(f"{index_dir}/members")
     qu = unit_vectors(queries, id_col, vec_col)
@@ -1212,41 +1276,54 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     subspaces doubles code bytes (still 4× smaller than the vectors)
     and closes most of that gap.
     """
+    sized_n = max(_corpus_size_for_sizing(emb, n, "ann_ivfpq_topk"), 4)
     if nlist is None:
-        nlist = max(4, int(math.sqrt(max(
-            _corpus_size_for_sizing(emb, n, "ann_ivfpq_topk"), 4))))
+        nlist = max(4, int(math.sqrt(sized_n)))
     if nprobe is None:
-        nprobe = _auto_nprobe(nlist)
+        # auto nprobe, additionally capped so a query's expected
+        # candidate volume (nprobe·n/nlist) stays ~2048: the cap
+        # bounds both the per-list ADC gather work and — the binding
+        # wire cost — the number of 2 KB qtab replicas each query
+        # ships (one per probed list). Uncapped, ⌈nlist^0.75⌉ at
+        # n=100k meant 75 qtab replicas × 100k queries through one
+        # shuffle; the earlier declarative ADC join additionally
+        # materialized a qtab per CANDIDATE row and failed the 10×
+        # sweep step outright once m=16 pushed the codes table past
+        # the auto-broadcast threshold.
+        budget_cap = max(4, (2048 * nlist) // sized_n)
+        nprobe = min(_auto_nprobe(nlist), budget_cap)
     rerank = rerank if rerank is not None else 4 * k
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     cents = _tracked_persist(ivf_centroids(u, nlist, dim))
     assigns = _tracked_persist(
         ivf_assign(u, cents, dim, nprobe=nprobe, keep_unit=False))
-    lists = (assigns.where(F.col("crank") == 1)
-                    .select("id", F.col("centroid_id").alias("list_id")))
-    probes = assigns.select(F.col("id").alias("query_id"),
-                            F.col("centroid_id").alias("list_id"))
-    cand = (probes.join(lists, "list_id")
-                  .where(F.col("query_id") != F.col("id"))
-                  .select("query_id", F.col("id").alias("neighbor_id")))
     cb = pq_codebooks(u, m, ksub, dim)
     codes = pq_encode(u, cb, m, ksub, dim)
     qtabs = pq_query_tables(u, cb, m, ksub, dim)
-    # Σ over the neighbor's PRESENT subspace codes (map entries):
-    # dot(q, x) ≈ Σ_s qtab[s·ksub + code_s(x)] — missing subspaces
-    # (possible only with a sparse sampled codebook) contribute 0
-    # instead of poisoning the sum with nulls
-    adc = F.aggregate(
-        F.map_entries("codes"), F.lit(0.0),
-        lambda acc, e: acc + F.coalesce(
-            F.element_at(F.col("qtab"),
-                         (e["key"] * ksub + e["value"]).cast("int")),
-            F.lit(0.0)))
-    scored = (cand
-              .join(qtabs.withColumnRenamed("id", "query_id"), "query_id")
-              .join(codes.withColumnRenamed("id", "neighbor_id"),
-                    "neighbor_id")
-              .select("query_id", "neighbor_id", adc.alias("adc")))
+    # Per-list cogrouped ADC, the same shape as IVF-flat's GEMM stage:
+    # members carry their m-byte codes once per list, probing queries
+    # carry their qtab once per probed list, and the (queries × members)
+    # ADC matrix is a numpy table-gather inside the task — candidate
+    # rows NEVER materialize (the declarative alternative joined a
+    # 2 KB qtab onto every candidate row: ~390 GB through one
+    # exchange at n=100k unless the planner happened to broadcast the
+    # codes side). Per-list top-(rerank+1) under (adc desc,
+    # neighbor_id asc) is a superset of the global ADC top-rerank
+    # restricted to that list — same exactness argument as
+    # _ivf_list_scorer — so the skinny global window below recovers
+    # IVF-PQ's exact shortlist semantics.
+    members = (assigns.where(F.col("crank") == 1)
+                      .select("id", F.col("centroid_id").alias("list_id"))
+                      .join(codes, "id"))
+    probes = (assigns.select(F.col("id").alias("query_id"),
+                             F.col("centroid_id").alias("list_id"))
+                     .join(qtabs.withColumnRenamed("id", "query_id"),
+                           "query_id"))
+    scored = (members.groupBy("list_id")
+                     .cogroup(probes.groupBy("list_id"))
+                     .applyInPandas(
+                         _pq_list_scorer(rerank, m, ksub),
+                         "query_id long, neighbor_id long, adc double"))
     w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(),
                                                    F.col("neighbor_id"))
     short = (scored.withColumn("ar", F.row_number().over(w_adc))
@@ -1454,6 +1531,12 @@ def cosine_neardup_blocked(emb: DataFrame, block_col: str,
     cand = (tiled.groupBy("block", "_bi", "_bj")
                  .applyInPandas(_block_pair_prefilter(thr_pre),
                                 f"id_a {id_dt}, id_b {id_dt}"))
+    # duplicate id VALUES (two rows, same id, same hash bucket) would
+    # otherwise emit (id, id) self-pairs from the position triangle
+    # and duplicate candidate rows that the verify join fans out —
+    # exactly the rows the fold path's strict id_a < id_b never
+    # produces. Candidates are output-sized, so the dedup is cheap.
+    cand = cand.where(F.col("id_a") != F.col("id_b")).distinct()
     # exact verify on the output-sized survivor set: same fold, same
     # order, same rounding as the fold path — bit-identical values
     va = pre.select(F.col("id").alias("id_a"), "block",

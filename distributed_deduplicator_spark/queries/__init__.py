@@ -66,14 +66,18 @@ _ROTATION_HEAD = [
     "ann_ivf_persisted_topk", "asof_join_forward_orders",
     "asof_join_nearest_orders",
     # code changed in round 7: ed-join prefix filter (both fuzzy
-    # queries), GEMM-prefilter exact cosine, ANN recall defaults
+    # queries), GEMM-prefilter exact cosine (embedding_cosine_neardup
+    # AND semantic_dedup_keep_one — its pair generation routes through
+    # the same operator default), ANN recall defaults
     "fuzzy_name_pairs", "fuzzy_name_topk", "embedding_cosine_neardup",
-    "ann_ivf_topk", "ann_ivfpq_topk",
+    "semantic_dedup_keep_one", "ann_ivf_topk", "ann_ivfpq_topk",
     # code changed in round 6 (run_stream_to_df scratch
     # materialization), displaced from the r06 window
     "stream_stream_attribution",
-    # r03-banked evidence, unchanged code — staleness refresh (39)
-    "agg_distinct", "correlated_above_avg", "cube_orders",
+    # r03-banked evidence, unchanged code — staleness refresh (38 of
+    # 39; agg_distinct is the one bumped to the r08 queue to make
+    # room for semantic_dedup_keep_one's changed-code slot)
+    "correlated_above_avg", "cube_orders",
     "custdist_order_counts", "dedup_exact_distinct",
     "dedup_first_wins_winners", "dedup_latest_state",
     "disjunctive_predicate_revenue", "filtered_agg_orders",

@@ -113,20 +113,26 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
       time; the fallback derives the same final state as a set
       operation — target rows whose key has no source match
       (LEFT ANTI join, keys only through the shuffle) unioned with the
-      full source. For an UNPARTITIONED table the merged result is
-      staged to a SIBLING directory of the table location and swapped
-      in with ``ALTER TABLE … SET LOCATION`` — a single catalog
-      operation, so a failure at any point before the swap leaves the
-      old data fully intact (the old directory is deleted best-effort
-      after the swap; a crash between swap and delete orphans bytes,
-      never rows). Partitioned tables fall back to a scratch-staged
-      ``insertInto(overwrite)``, which is NOT atomic: a failure
-      between the committer's truncate and commit can leave the table
-      partial — the documented price of plain file formats; use a
-      row-level format (Delta/Iceberg) for transactional partitioned
-      upserts. This mirrors the versioned-ledger merge the streaming
-      sink proves (streaming/sinks.py upsert_merge_fn), minus the
-      version chain a one-shot batch upsert doesn't need.
+      full source. For an UNPARTITIONED parquet/orc table the merged
+      result is staged to a SIBLING directory and swapped in with two
+      filesystem renames (aside, then into place) — the table's
+      registered location never changes, so path-based re-registration
+      across sessions keeps working and repeated merges never grow the
+      path. A failure before the first rename leaves the target
+      untouched; between the renames both suffixed directories still
+      exist (loud read failures, zero data loss, and the code rolls
+      the original back if the second rename fails); the old directory
+      is deleted best-effort last. Partitioned tables — and formats
+      whose serde options this engine cannot blindly replicate
+      (csv/json) — fall back to a scratch-staged
+      ``insertInto(overwrite)`` through the table's own writer, which
+      is NOT atomic: a failure between the committer's truncate and
+      commit can leave the table partial — the documented price of
+      plain file formats; use a row-level format (Delta/Iceberg) for
+      transactional partitioned upserts. This mirrors the
+      versioned-ledger merge the streaming sink proves
+      (streaming/sinks.py upsert_merge_fn), minus the version chain a
+      one-shot batch upsert doesn't need.
 
     Duplicate keys in the source raise (both engines' MERGE semantics:
     a multi-match is an error, never a silent nondeterministic pick).
@@ -195,31 +201,57 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
     partitioned = any(
         getattr(c, "isPartition", False)
         for c in spark.catalog.listColumns(target_table))
-    loc = None
+    loc = provider = None
     if not partitioned:
         for row in spark.sql(
                 f"DESCRIBE FORMATTED {target_table}").collect():
-            if (row.col_name or "").strip().lower() == "location":
+            key = (row.col_name or "").strip().lower()
+            if key == "location":
                 loc = (row.data_type or "").strip()
-                break
-    if loc:
-        # atomic swap: stage the merged table beside the current
-        # location, point the catalog at it in ONE operation, then
-        # clean up the old directory (best-effort — a crash here
-        # orphans bytes, never loses rows)
-        new_loc = f"{loc.rstrip('/')}-merge-{uuid.uuid4().hex[:12]}"
-        merged.write.mode("errorifexists").parquet(new_loc)
-        spark.sql(f"ALTER TABLE {target_table} SET LOCATION '{new_loc}'")
+            elif key == "provider":
+                provider = (row.data_type or "").strip().lower()
+    # the swap path writes the staged data itself, so it is limited to
+    # formats this engine can write losslessly WITHOUT the table's
+    # serde options (csv/json tables carry options the writer would
+    # have to replicate); others take the insertInto fallback, which
+    # always honors the table's own format
+    if loc and provider in ("parquet", "orc"):
+        # in-place directory swap: stage the merged table BESIDE the
+        # location, then two metadata renames — the table's registered
+        # path never changes (cross-session re-registration by path,
+        # create_table_if_not_exists, keeps working, and repeated
+        # merges never grow the path). A crash before the first rename
+        # leaves the target untouched; between the renames both
+        # directories still exist under suffixed names (no data loss,
+        # reads fail loudly until the rollback below or an operator
+        # re-rename); after them only orphan cleanup remains.
+        tag = uuid.uuid4().hex[:12]
+        stage_loc = f"{loc.rstrip('/')}.staging-{tag}"
+        old_loc = f"{loc.rstrip('/')}.old-{tag}"
+        merged.write.mode("errorifexists").format(provider).save(stage_loc)
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(loc)
+        stage = jvm.org.apache.hadoop.fs.Path(stage_loc)
+        old = jvm.org.apache.hadoop.fs.Path(old_loc)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.rename(path, old):
+            raise IOError(
+                f"merge_upsert: could not move {loc} aside; staged "
+                f"merge left at {stage_loc}")
+        if not fs.rename(stage, path):
+            fs.rename(old, path)  # roll the original back
+            raise IOError(
+                f"merge_upsert: could not swap {stage_loc} into place; "
+                f"original restored")
         spark.catalog.refreshTable(target_table)
         try:
-            jvm_path = spark._jvm.org.apache.hadoop.fs.Path(loc)
-            fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.delete(jvm_path, True)
-        except Exception:  # noqa: BLE001 — cleanup only
+            fs.delete(old, True)
+        except Exception:  # noqa: BLE001 — orphan cleanup only
             pass
         return "rewrite"
-    # partitioned (or location unresolvable): scratch-staged overwrite
-    # — correct end state, but not atomic (see docstring)
+    # partitioned, location unresolvable, or a format the swap path
+    # cannot write: scratch-staged overwrite through the table's own
+    # writer — correct end state, but not atomic (see docstring)
     from distributed_deduplicator_spark.scratch import materialize
     staged = materialize(merged, "merge_upsert")
     staged.write.mode("overwrite").insertInto(target_table)

@@ -123,6 +123,33 @@ def test_cosine_gemm_tiles_equal_fold_with_degenerate_vectors(spark):
     assert not any(4 in p for p in ids)
 
 
+def test_cosine_gemm_duplicate_id_values_match_fold(spark):
+    """Duplicate id VALUES (two rows sharing vec_id, which always
+    share a hash bucket) must behave exactly like the fold plan: no
+    (id, id) self-pairs from the tile triangle, and pairs against
+    other ids appear once per underlying row, not fanned out by the
+    verify join."""
+    vecs = [
+        (5, "x", [1.0, 0.0]),
+        (5, "x", [0.98, 0.02]),   # duplicate id, near-dup vector
+        (7, "x", [0.9, 0.1]),
+        (9, "x", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "label", "embedding"]) \
+              .withColumn("embedding",
+                          F.col("embedding").cast("array<float>"))
+    gemm = sorted(map(tuple, S.cosine_neardup_blocked(
+        df, "label", 0.5, bucket_rows=2).collect()))
+    S.release_persisted()
+    fold = sorted(map(tuple, S.cosine_neardup_blocked(
+        df, "label", 0.5, method="fold").collect()))
+    S.release_persisted()
+    assert gemm == fold
+    assert not any(a == b for a, b, *_ in gemm)
+    # both id-5 rows pair with 7 → (5, 7) appears twice, like fold
+    assert sum(1 for a, b, *_ in gemm if (a, b) == (5, 7)) == 2
+
+
 def test_cosine_gemm_rejects_unknown_method(spark):
     df = spark.createDataFrame([(0, "x", [1.0])],
                                ["vec_id", "label", "embedding"])

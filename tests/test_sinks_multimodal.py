@@ -591,31 +591,51 @@ def test_merge_upsert_partitioned_table_fallback(spark, tmp_path):
 
 
 def test_merge_upsert_swap_leaves_no_partial_state(spark, tmp_path):
-    """The unpartitioned rewrite must swap locations atomically: after
-    a merge the table reads the NEW directory, and a merge that fails
-    BEFORE the swap (duplicate-source guard) leaves the target
+    """The unpartitioned rewrite must swap the table DIRECTORY in
+    place: the registered location never changes (path-based
+    re-registration across sessions keeps working), no suffixed
+    staging/old directories survive, and a merge that fails BEFORE
+    the swap (duplicate-source guard) leaves the target
     byte-identical."""
+    import os
+
     from distributed_deduplicator_spark.sources.sinks import (
         create_table_if_not_exists, merge_upsert)
     name = "t_merge_swap"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
     create_table_if_not_exists(spark, name, base, str(tmp_path / "ts"))
+
+    def location():
+        return next((r.data_type or "").strip() for r in
+                    spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+                    if (r.col_name or "").strip().lower() == "location")
+
     try:
+        loc0 = location()
         before = {r.k: r.v for r in spark.table(name).collect()}
         dup = spark.createDataFrame([(9, "x"), (9, "y")], ["k", "v"])
         import pytest as _pt
         with _pt.raises(ValueError, match="duplicate"):
             merge_upsert(spark, name, dup, ["k"])
         assert {r.k: r.v for r in spark.table(name).collect()} == before
-        merge_upsert(spark, name,
-                     spark.createDataFrame([(2, "B")], ["k", "v"]), ["k"])
-        loc = next((r.data_type or "").strip() for r in
-                   spark.sql(f"DESCRIBE FORMATTED {name}").collect()
-                   if (r.col_name or "").strip().lower() == "location")
-        assert "-merge-" in loc  # swapped to the staged sibling dir
+        for src in ([(2, "B")], [(3, "c")], [(3, "C"), (4, "d")]):
+            merge_upsert(spark, name,
+                         spark.createDataFrame(src, ["k", "v"]), ["k"])
+        assert location() == loc0  # path stable across repeated merges
         assert {r.k: r.v for r in spark.table(name).collect()} == \
-            {1: "a", 2: "B"}
+            {1: "a", 2: "B", 3: "C", 4: "d"}
+        # no staging/old residue beside the table directory
+        residue = [e for e in os.listdir(tmp_path)
+                   if ".staging-" in e or ".old-" in e]
+        assert residue == []
+        # the merged state survives a catalog drop + path
+        # re-registration (the cross-session scenario
+        # create_table_if_not_exists exists for)
+        spark.sql(f"DROP TABLE {name}")
+        create_table_if_not_exists(spark, name, base, str(tmp_path / "ts"))
+        assert {r.k: r.v for r in spark.table(name).collect()} == \
+            {1: "a", 2: "B", 3: "C", 4: "d"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
