@@ -417,14 +417,35 @@ def ivf_centroids(unit: DataFrame, nlist: int, dim: int,
                          F.coalesce("m.cunit", "s.cunit").alias("cunit")))
 
 
+def _per_query_topx(scores, qids, mids, x: int, score_name: str):
+    """Shared emit tail of the cogrouped list scorers
+    (:func:`_ivf_list_scorer`, :func:`_pq_list_scorer`): per query-row
+    of the (queries × members) ``scores`` matrix, take the top-(x+1)
+    members under the TOTAL order (score desc, member id asc), drop
+    self-matches, and emit (query_id, neighbor_id, <score_name>) —
+    x+1 so the self-drop still leaves x candidates. One definition so
+    the tie-break / self-exclusion semantics cannot drift between the
+    ANN paths."""
+    import numpy as np
+    import pandas as pd
+    order = np.lexsort((np.broadcast_to(mids, scores.shape), -scores),
+                       axis=1)[:, :x + 1]
+    rows_q = np.repeat(qids, order.shape[1])
+    rows_n = mids[order].ravel()
+    rows_s = np.take_along_axis(scores, order, axis=1).ravel()
+    keep = rows_q != rows_n
+    return pd.DataFrame({"query_id": rows_q[keep],
+                         "neighbor_id": rows_n[keep],
+                         score_name: rows_s[keep]})
+
+
 def _ivf_list_scorer(k: int):
     """Build the cogrouped per-list scorer for :func:`ann_ivf_topk`.
 
     Returns f(members_pdf, probes_pdf) → (query_id, neighbor_id,
     cosine): one float64 GEMM of the list's probing queries against
-    its members, then per-query top-(k+1) under the total order
-    (cosine desc, neighbor_id asc) — k+1 so dropping a self-match
-    still leaves k candidates; the global window above takes the
+    its members, then the shared per-query top-(k+1) emit
+    (:func:`_per_query_topx`); the global window above takes the
     final top-k. Module-level (not a closure) so the tie-break and
     self-exclusion logic is unit-testable without a SparkSession
     (tests/test_similarity.py::test_ivf_list_scorer_*).
@@ -438,19 +459,10 @@ def _ivf_list_scorer(k: int):
                                  "neighbor_id": pd.Series([], dtype="int64"),
                                  "cosine": pd.Series([], dtype="float64")})
         mat = np.vstack(m_pdf["unit"].to_numpy()).astype(np.float64)
-        mids = m_pdf["id"].to_numpy()
         qmat = np.vstack(q_pdf["qunit"].to_numpy()).astype(np.float64)
-        qids = q_pdf["query_id"].to_numpy()
         sims = qmat @ mat.T                        # q×m float64 GEMM
-        order = np.lexsort((np.broadcast_to(mids, sims.shape), -sims),
-                           axis=1)[:, :k + 1]
-        rows_q = np.repeat(qids, order.shape[1])
-        rows_n = mids[order].ravel()
-        rows_c = np.take_along_axis(sims, order, axis=1).ravel()
-        keep = rows_q != rows_n
-        return pd.DataFrame({"query_id": rows_q[keep],
-                             "neighbor_id": rows_n[keep],
-                             "cosine": rows_c[keep]})
+        return _per_query_topx(sims, q_pdf["query_id"].to_numpy(),
+                               m_pdf["id"].to_numpy(), k, "cosine")
 
     return score
 
@@ -511,17 +523,8 @@ def _pq_list_scorer(rerank: int, m: int, ksub: int):
         adc = np.zeros((len(q_pdf), len(m_pdf)), dtype=np.float64)
         for s in range(m):
             adc += qt[:, codes[:, s]]
-        mids = m_pdf["id"].to_numpy()
-        qids = q_pdf["query_id"].to_numpy()
-        order = np.lexsort((np.broadcast_to(mids, adc.shape), -adc),
-                           axis=1)[:, :rerank + 1]
-        rows_q = np.repeat(qids, order.shape[1])
-        rows_n = mids[order].ravel()
-        rows_a = np.take_along_axis(adc, order, axis=1).ravel()
-        keep = rows_q != rows_n
-        return pd.DataFrame({"query_id": rows_q[keep],
-                             "neighbor_id": rows_n[keep],
-                             "adc": rows_a[keep]})
+        return _per_query_topx(adc, q_pdf["query_id"].to_numpy(),
+                               m_pdf["id"].to_numpy(), rerank, "adc")
 
     return score
 
@@ -672,8 +675,11 @@ def _parquet_dir_row_count(path: str) -> int:
     import os
 
     import pyarrow.parquet as pq
+    # escape the DIRECTORY component: a legitimate local path may
+    # contain glob metacharacters ('run[2026]'), and an unescaped
+    # char-class matching nothing would turn into a spurious raise
     files = glob.glob(os.path.join(
-        path.removeprefix("file:"), "*.parquet"))
+        glob.escape(path.removeprefix("file:")), "*.parquet"))
     if not files:
         raise FileNotFoundError(
             f"no parquet footers under {path!r} on the LOCAL "
@@ -1269,14 +1275,23 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     ``cosine`` EXACT (from the re-rank pass). Deterministic end to end.
 
     Defaults: ``nprobe=None`` → :func:`_auto_nprobe` (⌈nlist^0.75⌉,
-    floor 4 — the constant-4 default's recall decayed with scale);
-    ``m=16`` (4-dim subspaces): at m=8 the ADC quantization error
-    ate the IVF candidate recall the lists had paid for (drive
-    recall@5 0.35 vs the 0.47 IVF ceiling at sf0.01) — doubling the
-    subspaces doubles code bytes (still 4× smaller than the vectors)
-    and closes most of that gap.
+    floor 4 — the constant-4 default's recall decayed with scale)
+    ADDITIONALLY capped so a query's expected candidate count
+    (nprobe·n/nlist) stays ≤ ~2048 — the cap, not the power law,
+    dominates once n passes ~10⁵ (n=100k/nlist=316 → 6 probes, not
+    75), bounding both the per-list ADC gather and the number of 2 KB
+    qtab replicas each query ships; pass ``nprobe`` explicitly to
+    trade wire volume for recall. ``m=16`` (4-dim subspaces): at m=8
+    the ADC quantization error ate the IVF candidate recall the lists
+    had paid for (drive recall@5 0.35 vs the 0.47 IVF ceiling at
+    sf0.01) — doubling the subspaces doubles code bytes (still 4×
+    smaller than the vectors) and closes most of that gap.
     """
-    sized_n = max(_corpus_size_for_sizing(emb, n, "ann_ivfpq_topk"), 4)
+    if nlist is None or nprobe is None:
+        # only auto-sizing needs the corpus cardinality — a call with
+        # both knobs explicit must stay pure planning (no count scan,
+        # no sizing warning)
+        sized_n = max(_corpus_size_for_sizing(emb, n, "ann_ivfpq_topk"), 4)
     if nlist is None:
         nlist = max(4, int(math.sqrt(sized_n)))
     if nprobe is None:
@@ -1395,7 +1410,8 @@ def _block_pair_prefilter(thr_pre: float):
 
     def empty():
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64")})
+                             "id_b": pd.Series([], dtype="int64"),
+                             "block": pd.Series([], dtype="object")})
 
     def score(pdf):
         same = bool(pdf["_bi"].iat[0] == pdf["_bj"].iat[0])
@@ -1415,8 +1431,12 @@ def _block_pair_prefilter(thr_pre: float):
             return empty()
         la = left["id"].to_numpy()[ia]
         rb = right["id"].to_numpy()[jb]
+        # the tile's block key travels with the pair so the verify
+        # join can re-attach vectors from the RIGHT block even when
+        # an id value recurs across blocks
         return pd.DataFrame({"id_a": np.minimum(la, rb),
-                             "id_b": np.maximum(la, rb)})
+                             "id_b": np.maximum(la, rb),
+                             "block": pdf["block"].iat[0]})
 
     return score
 
@@ -1527,10 +1547,12 @@ def cosine_neardup_blocked(emb: DataFrame, block_col: str,
                         F.col("_t.bj").alias("_bj"),
                         F.col("_t.l").alias("_is_left")))
     id_dt = emb.schema[id_col].dataType.simpleString()
+    block_dt = emb.schema[block_col].dataType.simpleString()
     thr_pre = float(threshold) - 5e-7 - 1e-9
     cand = (tiled.groupBy("block", "_bi", "_bj")
-                 .applyInPandas(_block_pair_prefilter(thr_pre),
-                                f"id_a {id_dt}, id_b {id_dt}"))
+                 .applyInPandas(
+                     _block_pair_prefilter(thr_pre),
+                     f"id_a {id_dt}, id_b {id_dt}, block {block_dt}"))
     # duplicate id VALUES (two rows, same id, same hash bucket) would
     # otherwise emit (id, id) self-pairs from the position triangle
     # and duplicate candidate rows that the verify join fans out —
@@ -1538,14 +1560,18 @@ def cosine_neardup_blocked(emb: DataFrame, block_col: str,
     # produces. Candidates are output-sized, so the dedup is cheap.
     cand = cand.where(F.col("id_a") != F.col("id_b")).distinct()
     # exact verify on the output-sized survivor set: same fold, same
-    # order, same rounding as the fold path — bit-identical values
+    # order, same rounding as the fold path — bit-identical values.
+    # BOTH verify joins key on (id, block): with the block dropped, a
+    # duplicate id value straddling two blocks would re-attach the
+    # other block's vector and emit cross-block pairs fold never forms.
     va = pre.select(F.col("id").alias("id_a"), "block",
                     F.col("vd").alias("vd_a"), F.col("nrm").alias("nrm_a"))
-    vb = pre.select(F.col("id").alias("id_b"),
+    vb = pre.select(F.col("id").alias("id_b"), "block",
                     F.col("vd").alias("vd_b"), F.col("nrm").alias("nrm_b"))
     cos = F.round(_dot(F.col("vd_a"), F.col("vd_b"))
                   / (F.col("nrm_a") * F.col("nrm_b")), 6)
-    return (cand.join(va, "id_a").join(vb, "id_b")
+    return (cand.join(va, ["id_a", "block"])
+                .join(vb, ["id_b", "block"])
                 .withColumn("cosine_r", cos)
                 .where(F.col("cosine_r") >= threshold)
                 .select("id_a", "id_b", "block", "cosine_r"))

@@ -48,18 +48,21 @@ from distributed_deduplicator_spark.queries import dedup_queries  # noqa: F401,E
 from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 
 # Round-7 verification rotation (see VERIFIED.md for the cross-round
-# ledger). The first 50 names are pinned: the FIVE queries that have
-# never had a driver correctness row (round-6 post-pin additions —
-# landing these closes the ledger at 178/178), the five queries whose
-# code changed in round 7 (q-gram prefix-filtered fuzzy join;
-# tiled-GEMM exact cosine; IVF auto-nprobe/m=16 recall defaults), one
-# of the four round-6 streaming changed-code consumers the r06 window
-# could not fit (the other three stay represented by the r06-green
-# wrappers sharing the same materialization path and queue for r08),
-# and ALL 39 queries whose newest driver row is still round 3 —
-# VERDICT r6 #5's staleness sweep. Everything after the window keeps
-# module registration order. Update this list each round as the
-# window rotates; an unknown name fails import.
+# ledger). The first 50 names are pinned (5 + 6 + 1 + 38): the FIVE
+# queries that have never had a driver correctness row (round-6
+# post-pin additions — landing these closes the ledger at 178/178),
+# the SIX queries whose executed plans changed in round 7 (q-gram
+# prefix-filtered fuzzy join ×2; tiled-GEMM exact cosine ×2 — the
+# operator default also reroutes semantic_dedup_keep_one; IVF
+# auto-nprobe/m=16 recall defaults ×2), ONE of the four round-6
+# streaming changed-code consumers the r06 window could not fit (the
+# other three stay represented by the r06-green wrappers sharing the
+# same materialization path and queue for r08), and 38 of the 39
+# queries whose newest driver row is still round 3 — VERDICT r6 #5's
+# staleness sweep (agg_distinct yields its slot to the changed-code
+# semantic_dedup_keep_one and heads the r08 queue). Everything after
+# the window keeps module registration order. Update this list each
+# round as the window rotates; an unknown name fails import.
 _ROTATION_HEAD = [
     # never driver-verified (round-6 post-pin additions)
     "pareto_quality_front", "semantic_decontaminate",

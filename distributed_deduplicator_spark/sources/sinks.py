@@ -239,10 +239,15 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
                 f"merge_upsert: could not move {loc} aside; staged "
                 f"merge left at {stage_loc}")
         if not fs.rename(stage, path):
-            fs.rename(old, path)  # roll the original back
+            if fs.rename(old, path):  # roll the original back
+                raise IOError(
+                    f"merge_upsert: could not swap {stage_loc} into "
+                    f"place; original restored at {loc}")
             raise IOError(
-                f"merge_upsert: could not swap {stage_loc} into place; "
-                f"original restored")
+                f"merge_upsert: swap AND rollback failed — the table "
+                f"location {loc} is empty; original data is intact at "
+                f"{old_loc}, staged merge at {stage_loc}: restore by "
+                f"renaming one of them to {loc}")
         spark.catalog.refreshTable(target_table)
         try:
             fs.delete(old, True)

@@ -150,6 +150,33 @@ def test_cosine_gemm_duplicate_id_values_match_fold(spark):
     assert sum(1 for a, b, *_ in gemm if (a, b) == (5, 7)) == 2
 
 
+def test_cosine_gemm_duplicate_ids_across_blocks_match_fold(spark):
+    """An id value recurring in DIFFERENT blocks must never leak a
+    cross-block pair: the candidate and both verify joins carry the
+    tile's block key, so each pair re-attaches vectors from its own
+    block only — byte-identical to the fold plan."""
+    vecs = [
+        (1, "A", [1.0, 0.0]),
+        (2, "A", [0.9, 0.1]),
+        (1, "B", [0.0, 1.0]),    # same id, other block — orthogonal
+        (3, "B", [1.0, 0.0]),    # close to A's id-1 vector, NOT B's
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "label", "embedding"]) \
+              .withColumn("embedding",
+                          F.col("embedding").cast("array<float>"))
+    gemm = sorted(map(tuple, S.cosine_neardup_blocked(
+        df, "label", 0.5, bucket_rows=2).collect()))
+    S.release_persisted()
+    fold = sorted(map(tuple, S.cosine_neardup_blocked(
+        df, "label", 0.5, method="fold").collect()))
+    S.release_persisted()
+    assert gemm == fold
+    # block A keeps (1,2); block B has no qualifying pair — a
+    # block-blind verify join would have invented (1,3,'B') from
+    # block A's id-1 vector
+    assert [(a, b, blk) for a, b, blk, _ in gemm] == [(1, 2, "A")]
+
+
 def test_cosine_gemm_rejects_unknown_method(spark):
     df = spark.createDataFrame([(0, "x", [1.0])],
                                ["vec_id", "label", "embedding"])

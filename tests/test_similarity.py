@@ -389,6 +389,83 @@ def test_ivf_list_scorer_matches_numpy_bruteforce():
         assert list(sub["neighbor_id"])[:k] == [i for _, i in want]
 
 
+def test_pq_list_scorer_gather_sentinel_and_tiebreak():
+    """Pure-pandas gate on the cogrouped ADC scorer: table-gather ADC
+    equals the hand-summed lookup, a subspace ABSENT from a member's
+    codes contributes exactly 0 (the sentinel slot), dict and
+    list-of-tuples map encodings both parse, ties break on
+    neighbor_id, self-matches drop, and empty sides return the typed
+    empty frame — no SparkSession."""
+    import numpy as np
+    import pandas as pd
+
+    m, ksub = 2, 4
+    # qtab slots: sub 0 → 0..3, sub 1 → 4..7
+    qtab = {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0,
+            4: 10.0, 5: 20.0, 6: 30.0, 7: 40.0}
+    members = pd.DataFrame({
+        "list_id": [9] * 4,
+        "id": [3, 1, 2, 7],
+        "codes": [
+            {0: 0},             # sub 1 ABSENT → sentinel 0: adc 1
+            {0: 1, 1: 1},       # adc 2 + 20 = 22
+            [(0, 1), (1, 1)],   # same as id 1 (tie) — tuple encoding
+            {0: 3, 1: 3},       # adc 4 + 40 = 44 — the query itself
+        ],
+    })
+    probes = pd.DataFrame({"list_id": [9], "query_id": [7],
+                           "qtab": [qtab]})
+    # rerank=2 → top-3 window [44(self), 22, 22]: self dropped, the
+    # 22-tie breaks id-ascending
+    out = (S._pq_list_scorer(2, m, ksub)(members, probes)
+           .sort_values(["adc", "neighbor_id"],
+                        ascending=[False, True]).reset_index(drop=True))
+    assert list(out["neighbor_id"]) == [1, 2]
+    assert np.allclose(out["adc"], [22.0, 22.0])
+    # rerank=3 → the sentinel member enters the window and its adc is
+    # EXACTLY the present-subspace sum (absent sub contributes 0.0)
+    out3 = (S._pq_list_scorer(3, m, ksub)(members, probes)
+            .sort_values(["adc", "neighbor_id"],
+                         ascending=[False, True]).reset_index(drop=True))
+    assert list(out3["neighbor_id"]) == [1, 2, 3]
+    assert np.allclose(out3["adc"], [22.0, 22.0, 1.0])
+    score = S._pq_list_scorer(2, m, ksub)
+    empty = score(members.iloc[:0], probes)
+    assert list(empty.columns) == ["query_id", "neighbor_id", "adc"]
+    assert len(empty) == 0 and len(score(members, probes.iloc[:0])) == 0
+
+
+def test_pq_list_scorer_matches_python_adc_bruteforce():
+    """Scorer shortlist == a naive per-query ADC sort over the same
+    members on a seeded random batch (gather vectorization lock)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    nm, nq, m, ksub, rerank = 29, 6, 4, 8, 5
+    # ~20% of subspaces absent per member: the sentinel path must hold
+    # on random shapes too, not just the hand-built case above
+    codes = [{s: int(rng.integers(ksub)) for s in range(m)
+              if rng.random() < 0.8}
+             for _ in range(nm)]
+    qtabs = [{s * ksub + c: float(rng.normal())
+              for s in range(m) for c in range(ksub)}
+             for _ in range(nq)]
+    members = pd.DataFrame({"list_id": [1] * nm, "id": np.arange(nm),
+                            "codes": codes})
+    probes = pd.DataFrame({"list_id": [1] * nq,
+                           "query_id": np.arange(nq), "qtab": qtabs})
+    got = S._pq_list_scorer(rerank, m, ksub)(members, probes)
+    for qi in range(nq):
+        adc = [sum(qtabs[qi][s * ksub + c] for s, c in codes[i].items())
+               for i in range(nm)]
+        want = sorted(((-a, i) for i, a in enumerate(adc)
+                       if i != qi))[:rerank]
+        sub = got[got["query_id"] == qi].sort_values(
+            ["adc", "neighbor_id"], ascending=[False, True])
+        assert list(sub["neighbor_id"])[:rerank] == [i for _, i in want]
+
+
 def test_persisted_ivf_index_equals_in_memory(spark, emb, tmp_path):
     """Querying the PERSISTED IVF index must reproduce the in-memory
     ann_ivf_topk exactly — deterministic centroids + parquet's exact
