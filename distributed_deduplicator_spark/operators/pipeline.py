@@ -533,3 +533,87 @@ def pareto_front_2d(df: DataFrame, x_col: str, y_col: str,
     local = front(_tracked_persist(df.withColumn("_bkt", bkt)),
                   groups + ["_bkt"]).drop("_bkt")
     return front(local, groups)
+
+
+def exactsubstr_prune(docs: DataFrame, id_col: str, text_col: str,
+                      n: int = 5) -> DataFrame:
+    """ExactSubstr dedup APPLIED (Lee et al. 2022, arXiv:2107.06499
+    §4.1): cut every duplicated ≥n-token substring except its one
+    canonical occurrence and report the pruned result per document —
+    the action step whose decision inputs `dup_span_stats` computes.
+
+    Contract (deterministic, oracle-exact):
+    - a token position is DUPLICATED when its n-gram occurs at ≥2
+      sites corpus-wide (cross- or intra-document);
+    - each duplicated n-gram keeps its CANONICAL occurrence — the
+      minimal (doc, position) — and every other occurrence is cut;
+    - a token is removed iff ≥1 cut position covers it (conservative:
+      overlap with any non-canonical duplicated window removes the
+      token; the canonical copy of every duplicated substring
+      survives by construction, so no content is lost corpus-wide);
+    - output per doc: token counts, removed counts, retained
+      fraction, and the md5 of the RETAINED token sequence — the
+      pruned text itself, value-checkable cross-engine without
+      shipping full text through the comparison harness.
+
+    Scale shape: one combinable (count, min-struct) aggregate per
+    gram — canonicality needs no per-gram window, so hot boilerplate
+    grams cannot skew a partition; the cut set semi-joins back on the
+    gram key (the `benchmark_decontaminate` shuffle shape, never
+    all-pairs); coverage explodes ≤ n rows per cut position; the
+    retained stream is a skinny (id, token-index) anti-join; the
+    per-doc md5 folds a doc-bounded sorted collect. Gram strings can
+    be xxhash64'd before the aggregate at 100 TB (collision odds
+    2⁻⁶⁴ per pair) — kept as strings here so the DuckDB oracle is
+    value-exact, same trade as `dup_span_stats`.
+    """
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    # one row per doc, three consumers (gram stream, token stream,
+    # per-doc totals) — persist the linear tokenized table; released
+    # by the registry hook via release_persisted()
+    toks = _tracked_persist(
+        docs.select(F.col(id_col).alias("id"),
+                    TXT.tokens(text_col).alias("_t")))
+    grams = F.expr(f"transform(sequence(1, size(_t) - {n} + 1), "
+                   f"i -> concat_ws(' ', slice(_t, i, {n})))")
+    # posexplode → 0-based gram position == 0-based index of the
+    # window's FIRST token in the token stream below
+    occ = (toks.where(F.size("_t") >= n)
+               .select("id", F.posexplode(grams).alias("pos", "gram")))
+    canon = (occ.groupBy("gram")
+                .agg(F.count("*").alias("_c"),
+                     F.min(F.struct("id", "pos")).alias("_first"))
+                .where(F.col("_c") >= 2)
+                .select("gram", "_first"))
+    cut = (occ.join(canon, "gram")
+              .where(~((F.col("id") == F.col("_first.id"))
+                       & (F.col("pos") == F.col("_first.pos"))))
+              .select("id", "pos"))
+    covered = (cut.select("id",
+                          F.explode(F.sequence(
+                              F.col("pos"),
+                              F.col("pos") + F.lit(n - 1)))
+                           .alias("tok_idx"))
+                  .distinct())
+    tok_rows = toks.select("id", F.posexplode("_t").alias("tok_idx", "tok"))
+    retained = tok_rows.join(covered, ["id", "tok_idx"], "left_anti")
+    ragg = (retained.groupBy("id")
+                    .agg(F.count("*").alias("_n_ret"),
+                         F.md5(F.array_join(
+                             F.transform(
+                                 F.array_sort(F.collect_list(
+                                     F.struct("tok_idx", "tok"))),
+                                 lambda s: s["tok"]),
+                             " ").cast("binary")).alias("_h")))
+    empty_md5 = F.md5(F.lit("").cast("binary"))
+    base = toks.select("id", F.size("_t").cast("bigint").alias("n_tokens"))
+    return (base.join(ragg, "id", "left")
+                .select(
+                    "id", "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce("_n_ret", F.lit(0))).cast("bigint")
+                     .alias("n_removed_tokens"),
+                    (F.coalesce("_n_ret", F.lit(0)).cast("double")
+                     / F.col("n_tokens")).alias("retained_frac"),
+                    F.coalesce("_h", empty_md5).alias("retained_md5")))

@@ -892,6 +892,70 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("dup_cover_frac")))
 
 
+@query("exactsubstr_prune", oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i:i + {_SPAN_N} - 1], ' ') AS gram
+  FROM (SELECT doc_id, t,
+               unnest(range(1, len(t) - {_SPAN_N} + 2)) AS i
+        FROM toks WHERE len(t) >= {_SPAN_N})),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS c
+  FROM occ),
+cut AS (SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS tok_idx
+  FROM cut, (SELECT unnest(range(0, {_SPAN_N})) AS j)),
+tokrows AS (
+  SELECT doc_id, i AS tok_idx, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+ret AS (
+  SELECT r.doc_id, r.tok_idx, r.tok FROM tokrows r
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = r.doc_id AND c.tok_idx = r.tok_idx)),
+ragg AS (
+  SELECT doc_id, count(*) AS n_ret,
+         md5(string_agg(tok, ' ' ORDER BY tok_idx)) AS h
+  FROM ret GROUP BY doc_id),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_tokens - COALESCE(g.n_ret, 0) AS BIGINT)
+         AS n_removed_tokens,
+       CAST(COALESCE(g.n_ret, 0) AS DOUBLE) / b.n_tokens AS retained_frac,
+       COALESCE(g.h, md5('')) AS retained_md5
+FROM base b LEFT JOIN ragg g USING (doc_id)
+""")
+def q_exactsubstr_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup APPLIED (`operators/pipeline.exactsubstr_prune`
+    — Lee et al. 2022 keep-one substring cutting): every duplicated
+    {n}-token window loses all but its canonical (minimal (doc, pos))
+    occurrence, covered tokens are removed, and the md5 of each doc's
+    RETAINED token sequence rides the result — so the value oracle
+    checks the pruned TEXT itself cross-engine, not just counts.
+    `dup_span_stats` is this operator's decision-input sibling (same
+    5-gram duplication convention); this one performs the cut. Window
+    positions are 0-based in Spark and 1-based in the oracle — both
+    self-consistent with their own token streams, and canonical
+    selection only compares positions WITHIN a gram, so the results
+    align exactly. All-integer counts, one IEEE division, md5 strings:
+    full value oracle."""
+    from distributed_deduplicator_spark.operators.pipeline import (
+        exactsubstr_prune)
+    d = load_table(spark, sf_dir, "documents")
+    out = exactsubstr_prune(d, "doc_id", "text", n=_SPAN_N)
+    return out.select(F.col("id").alias("doc_id"), "n_tokens",
+                      "n_removed_tokens", "retained_frac",
+                      "retained_md5")
+
+
 _HIT_COLS = tuple(f"hits_{lg}" for lg in ("en", "de", "fr", "es", "zh"))
 
 

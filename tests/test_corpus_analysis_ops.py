@@ -744,3 +744,53 @@ def test_join_key_skew_profile_matches_python(spark, sf_dir):
                             rel_tol=0, abs_tol=1e-12)
         assert math.isclose(r.x_mean, r.cnt * n_keys / n_rows,
                             rel_tol=0, abs_tol=1e-9)
+
+
+def test_exactsubstr_prune_matches_python_reference(spark):
+    """The cut must equal a literal Python implementation of the
+    contract on a corpus with PLANTED duplication: a shared 6-token
+    passage across three docs (one canonical survivor), an
+    intra-document repeat, and a short/unique doc that must pass
+    through untouched — md5 of the retained sequence checked, not
+    just counts."""
+    import hashlib
+
+    from distributed_deduplicator_spark.operators.pipeline import (
+        exactsubstr_prune)
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, f"one two {shared} three four"),          # canonical holder
+        (2, f"five six seven {shared} eight"),        # loses the span
+        (3, f"{shared} nine ten"),                    # loses the span
+        (4, "intra w1 w2 w3 w4 intra w1 w2 w3 w4"),   # self-repeat (5gram)
+        (5, "tiny doc"),                              # < n tokens
+    ]
+    n = 5
+
+    def py_prune(rows):
+        toks = {i: _py_tokens(t) for i, t in rows}
+        occ = {}
+        for i, tk in sorted(toks.items()):
+            for p in range(len(tk) - n + 1):
+                occ.setdefault(" ".join(tk[p:p + n]), []).append((i, p))
+        covered = collections.defaultdict(set)
+        for sites in occ.values():
+            if len(sites) >= 2:
+                for (i, p) in sorted(sites)[1:]:
+                    covered[i].update(range(p, p + n))
+        out = {}
+        for i, tk in toks.items():
+            kept = [w for j, w in enumerate(tk) if j not in covered[i]]
+            out[i] = (len(tk), len(tk) - len(kept),
+                      hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return out
+    want = py_prune(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.id: (r.n_tokens, r.n_removed_tokens, r.retained_md5)
+           for r in exactsubstr_prune(df, "doc_id", "text", n=n).collect()}
+    release_persisted()
+    assert got == want
+    # the planted span survives exactly once (doc 1) and is cut from
+    # docs 2 and 3; doc 5 is untouched
+    assert got[1][1] == 0 and got[5][1] == 0
+    assert got[2][1] >= 6 and got[3][1] >= 6
