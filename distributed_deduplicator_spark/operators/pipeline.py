@@ -547,10 +547,17 @@ def exactsubstr_prune(docs: DataFrame, id_col: str, text_col: str,
       sites corpus-wide (cross- or intra-document);
     - each duplicated n-gram keeps its CANONICAL occurrence — the
       minimal (doc, position) — and every other occurrence is cut;
-    - a token is removed iff ≥1 cut position covers it (conservative:
-      overlap with any non-canonical duplicated window removes the
-      token; the canonical copy of every duplicated substring
-      survives by construction, so no content is lost corpus-wide);
+    - a token is removed iff ≥1 cut position covers it. This is the
+      CONSERVATIVE trade: a canonical window is never cut for its own
+      gram, but one of its tokens can still fall under an OVERLAPPING
+      cut window of a different gram — so when duplicated regions of
+      distinct grams interlock, a substring can lose every retained
+      copy. Curation pipelines that must preserve one copy of
+      everything should drop whole documents on `dup_span_stats`
+      coverage instead of cutting;
+    - rows with NULL text are excluded (there is nothing to prune,
+      and NULL-poisoned counts would be indistinguishable from a
+      fully-pruned document downstream);
     - output per doc: token counts, removed counts, retained
       fraction, and the md5 of the RETAINED token sequence — the
       pruned text itself, value-checkable cross-engine without
@@ -573,7 +580,8 @@ def exactsubstr_prune(docs: DataFrame, id_col: str, text_col: str,
     # per-doc totals) — persist the linear tokenized table; released
     # by the registry hook via release_persisted()
     toks = _tracked_persist(
-        docs.select(F.col(id_col).alias("id"),
+        docs.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
                     TXT.tokens(text_col).alias("_t")))
     grams = F.expr(f"transform(sequence(1, size(_t) - {n} + 1), "
                    f"i -> concat_ws(' ', slice(_t, i, {n})))")

@@ -897,7 +897,7 @@ WITH toks AS (
   SELECT doc_id,
          string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 occ AS (
   SELECT doc_id, i AS pos,
          array_to_string(t[i:i + {_SPAN_N} - 1], ' ') AS gram

@@ -764,11 +764,12 @@ def test_exactsubstr_prune_matches_python_reference(spark):
         (3, f"{shared} nine ten"),                    # loses the span
         (4, "intra w1 w2 w3 w4 intra w1 w2 w3 w4"),   # self-repeat (5gram)
         (5, "tiny doc"),                              # < n tokens
+        (6, None),                                    # NULL text: excluded
     ]
     n = 5
 
     def py_prune(rows):
-        toks = {i: _py_tokens(t) for i, t in rows}
+        toks = {i: _py_tokens(t) for i, t in rows if t is not None}
         occ = {}
         for i, tk in sorted(toks.items()):
             for p in range(len(tk) - n + 1):
@@ -785,11 +786,12 @@ def test_exactsubstr_prune_matches_python_reference(spark):
                       hashlib.md5(" ".join(kept).encode()).hexdigest())
         return out
     want = py_prune(docs)
-    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.id: (r.n_tokens, r.n_removed_tokens, r.retained_md5)
            for r in exactsubstr_prune(df, "doc_id", "text", n=n).collect()}
     release_persisted()
     assert got == want
+    assert 6 not in got  # NULL text excluded, not NULL-poisoned
     # the planted span survives exactly once (doc 1) and is cut from
     # docs 2 and 3; doc 5 is untouched
     assert got[1][1] == 0 and got[5][1] == 0
