@@ -113,9 +113,11 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
       time; the fallback derives the same final state as a set
       operation — target rows whose key has no source match
       (LEFT ANTI join, keys only through the shuffle) unioned with the
-      full source. For an UNPARTITIONED parquet/orc table the merged
-      result is staged to a SIBLING directory and swapped in with two
-      filesystem renames (aside, then into place) — the table's
+      full source. For an UNPARTITIONED parquet/orc table on a
+      filesystem with ATOMIC directory rename (file/hdfs/viewfs — not
+      object stores, where rename is a non-atomic O(data) copy) the
+      merged result is staged to a SIBLING directory and swapped in
+      with two filesystem renames (aside, then into place) — the table's
       registered location never changes, so path-based re-registration
       across sessions keeps working and repeated merges never grow the
       path. A failure before the first rename leaves the target
@@ -214,8 +216,24 @@ def merge_upsert(spark: SparkSession, target_table: str, source: DataFrame,
     # formats this engine can write losslessly WITHOUT the table's
     # serde options (csv/json tables carry options the writer would
     # have to replicate); others take the insertInto fallback, which
-    # always honors the table's own format
-    if loc and provider in ("parquet", "orc"):
+    # always honors the table's own format.
+    # It is ALSO limited to filesystems whose directory rename is an
+    # atomic metadata operation (local file, hdfs, viewfs): on object
+    # stores (s3a://, gs://, abfs://…) Hadoop fs.rename degrades to a
+    # non-atomic O(data) copy-and-delete, so the documented crash
+    # model — "two metadata renames, zero-data-loss windows, rollback"
+    # — would not hold: a mid-"rename" failure could leave a
+    # partially-copied target with no intact original. Those locations
+    # route through the insertInto fallback below (not atomic either,
+    # but it never destroys the original before the committer's
+    # commit point, and object-store deployments wanting transactional
+    # upserts should be on a row-level format anyway — see docstring).
+    scheme = ""
+    if loc:
+        from urllib.parse import urlparse
+        scheme = urlparse(loc).scheme or "file"
+    if loc and provider in ("parquet", "orc") \
+            and scheme in ("file", "hdfs", "viewfs"):
         # in-place directory swap: stage the merged table BESIDE the
         # location, then two metadata renames — the table's registered
         # path never changes (cross-session re-registration by path,
