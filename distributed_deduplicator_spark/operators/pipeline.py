@@ -535,8 +535,83 @@ def pareto_front_2d(df: DataFrame, x_col: str, y_col: str,
     return front(local, groups)
 
 
+def _gram_expr(tok_col: str, n: int, hash_grams: bool) -> Column:
+    """Array of the doc's n-token window keys, one per 0-based window
+    position: the space-joined gram STRING, or (``hash_grams``) its
+    xxhash64 — the 100 TB form, where every downstream shuffle keyed
+    on the gram carries 8 bytes instead of an n-token string.
+    Collision odds are 2⁻⁶⁴ per gram pair (union-bounded ~1e-8 even
+    at 10⁹ distinct grams), the same trade `source_overlap_matrix`
+    documents; the hash and string forms are parity-gated equal in
+    tests/test_corpus_analysis_ops.py."""
+    gram = f"concat_ws(' ', slice({tok_col}, i, {n}))"
+    if hash_grams:
+        gram = f"xxhash64({gram})"
+    return F.expr(f"transform(sequence(1, size({tok_col}) - {n} + 1), "
+                  f"i -> {gram})")
+
+
+def dup_span_stats_df(docs: DataFrame, id_col: str, text_col: str,
+                      n: int = 5, hash_grams: bool = False) -> DataFrame:
+    """ExactSubstr-flavored duplicated-SPAN statistics (Lee et al.
+    2022, arXiv:2107.06499 §4.1) — the DECIDE step of the family whose
+    APPLY step is :func:`exactsubstr_prune`: a token position is
+    duplicated when its n-gram occurs at ≥2 sites anywhere in the
+    corpus (cross- OR intra-document, the ExactSubstr convention);
+    runs of consecutive duplicated positions chain into maximal
+    duplicated spans — a position run of L grams covers L + n − 1
+    tokens, exactly the substring a suffix-array dedup would cut.
+    Per doc: how many spans, the longest one, and the covered
+    fraction — the inputs to a cut-vs-drop decision that n-gram SET
+    overlap cannot see because it ignores adjacency.
+
+    Plan: one combinable gram count, the count≥2 set semi-joins back
+    onto the (doc, pos) stream on the gram key (never all-pairs),
+    islands are a per-doc window over ONLY duplicated positions
+    (skew-bounded: a doc's dup positions ≤ its length), and the
+    rollups are exact-integer combinable aggs. ``hash_grams`` swaps
+    the gram key for its xxhash64 (see :func:`_gram_expr`) so the
+    count and semi-join shuffles carry 8 bytes per key at 100 TB —
+    output-identical absent a 2⁻⁶⁴ collision, parity-gated in
+    tests/test_corpus_analysis_ops.py. The registered query keeps
+    strings so the DuckDB oracle stays value-exact.
+    """
+    t = (docs.select(F.col(id_col).alias("id"),
+                     TXT.tokens(text_col).alias("_toks"))
+             .where(F.size("_toks") >= n))
+    occ = t.select("id", F.posexplode(
+        _gram_expr("_toks", n, hash_grams)).alias("pos", "gram"))
+    dup_grams = (occ.groupBy("gram").agg(F.count("*").alias("c"))
+                    .where(F.col("c") >= 2).select("gram"))
+    dup = occ.join(dup_grams, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = dup.select("id", "pos",
+                     (F.col("pos") - F.row_number().over(w)).alias("grp"))
+    per_isl = isl.groupBy("id", "grp").agg(F.count("*").alias("len"))
+    per_doc = per_isl.groupBy("id").agg(
+        F.max("len").alias("max_len"),
+        F.count("*").alias("n_spans"),
+        F.sum("len").alias("n_dup_pos"))
+    base = t.select(
+        "id",
+        (F.size("_toks") - n + 1).cast("bigint").alias("n_positions"))
+    return (base.join(per_doc, "id", "left")
+                .select(
+                    "id", "n_positions",
+                    F.coalesce("n_dup_pos", F.lit(0)).cast("bigint")
+                     .alias("n_dup_positions"),
+                    F.coalesce("n_spans", F.lit(0)).cast("bigint")
+                     .alias("n_dup_spans"),
+                    F.when(F.col("max_len").isNull(), F.lit(0))
+                     .otherwise(F.col("max_len") + n - 1)
+                     .cast("bigint").alias("max_dup_span_tokens"),
+                    (F.coalesce("n_dup_pos", F.lit(0)).cast("double")
+                     / F.col("n_positions").cast("double"))
+                    .alias("dup_cover_frac")))
+
+
 def exactsubstr_prune(docs: DataFrame, id_col: str, text_col: str,
-                      n: int = 5) -> DataFrame:
+                      n: int = 5, hash_grams: bool = False) -> DataFrame:
     """ExactSubstr dedup APPLIED (Lee et al. 2022, arXiv:2107.06499
     §4.1): cut every duplicated ≥n-token substring except its one
     canonical occurrence and report the pruned result per document —
@@ -569,10 +644,14 @@ def exactsubstr_prune(docs: DataFrame, id_col: str, text_col: str,
     gram key (the `benchmark_decontaminate` shuffle shape, never
     all-pairs); coverage explodes ≤ n rows per cut position; the
     retained stream is a skinny (id, token-index) anti-join; the
-    per-doc md5 folds a doc-bounded sorted collect. Gram strings can
-    be xxhash64'd before the aggregate at 100 TB (collision odds
-    2⁻⁶⁴ per pair) — kept as strings here so the DuckDB oracle is
-    value-exact, same trade as `dup_span_stats`.
+    per-doc md5 folds a doc-bounded sorted collect. ``hash_grams``
+    swaps the gram key for its xxhash64 (see :func:`_gram_expr`) so
+    the canonical-occurrence aggregate and the cut-set semi-join carry
+    8-byte keys instead of n-token strings at 100 TB —
+    output-identical absent a 2⁻⁶⁴ collision, parity-gated in
+    tests/test_corpus_analysis_ops.py. The registered query keeps
+    strings so the DuckDB oracle is value-exact, same trade as
+    `dup_span_stats`.
     """
     from distributed_deduplicator_spark.operators.similarity import (
         _tracked_persist)
@@ -583,12 +662,11 @@ def exactsubstr_prune(docs: DataFrame, id_col: str, text_col: str,
         docs.where(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("id"),
                     TXT.tokens(text_col).alias("_t")))
-    grams = F.expr(f"transform(sequence(1, size(_t) - {n} + 1), "
-                   f"i -> concat_ws(' ', slice(_t, i, {n})))")
     # posexplode → 0-based gram position == 0-based index of the
     # window's FIRST token in the token stream below
     occ = (toks.where(F.size("_t") >= n)
-               .select("id", F.posexplode(grams).alias("pos", "gram")))
+               .select("id", F.posexplode(
+                   _gram_expr("_t", n, hash_grams)).alias("pos", "gram")))
     canon = (occ.groupBy("gram")
                 .agg(F.count("*").alias("_c"),
                      F.min(F.struct("id", "pos")).alias("_first"))

@@ -847,49 +847,22 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut-vs-drop decision that n-gram SET overlap (``doc_dup_ngram_stats``)
     cannot see because it ignores adjacency.
 
-    Plan: one combinable gram count, the count>=2 set semi-joins back
-    onto the (doc, pos) stream on the gram key (the same
-    shuffle-on-gram shape as `benchmark_decontaminate` — never
-    all-pairs), islands are a per-doc window over ONLY duplicated
-    positions (skew-bounded: a doc's dup positions <= its length), and
-    the rollups are exact-integer combinable aggs. The gram strings
-    can be 64-bit-hashed before the count at 100 TB (collision odds
-    2^-64 per pair) to keep shuffle bytes flat; kept as strings here
-    so the DuckDB oracle is value-exact."""
-    from pyspark.sql import Window
+    Plan (`operators/pipeline.dup_span_stats_df`): one combinable gram
+    count, the count>=2 set semi-joins back onto the (doc, pos) stream
+    on the gram key (the same shuffle-on-gram shape as
+    `benchmark_decontaminate` — never all-pairs), islands are a
+    per-doc window over ONLY duplicated positions (skew-bounded: a
+    doc's dup positions <= its length), and the rollups are
+    exact-integer combinable aggs. The operator's `hash_grams` swaps
+    gram strings for xxhash64 keys at 100 TB (8-byte shuffle keys,
+    collision odds 2^-64 per pair; parity-gated hash-vs-string in
+    tests/test_corpus_analysis_ops.py); kept as strings here so the
+    DuckDB oracle is value-exact."""
+    from distributed_deduplicator_spark.operators.pipeline import (
+        dup_span_stats_df)
     d = load_table(spark, sf_dir, "documents")
-    t = (d.select("doc_id", TXT.tokens("text").alias("_toks"))
-          .where(F.size("_toks") >= _SPAN_N))
-    grams = F.expr(f"transform(sequence(1, size(_toks) - {_SPAN_N} + 1), "
-                   f"i -> concat_ws(' ', slice(_toks, i, {_SPAN_N})))")
-    occ = (t.select("doc_id", F.posexplode(grams).alias("pos", "gram")))
-    dup_grams = (occ.groupBy("gram").agg(F.count("*").alias("c"))
-                    .where(F.col("c") >= 2).select("gram"))
-    dup = occ.join(dup_grams, "gram").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = dup.select("doc_id", "pos",
-                     (F.col("pos") - F.row_number().over(w)).alias("grp"))
-    per_isl = isl.groupBy("doc_id", "grp").agg(F.count("*").alias("len"))
-    per_doc = per_isl.groupBy("doc_id").agg(
-        F.max("len").alias("max_len"),
-        F.count("*").alias("n_spans"),
-        F.sum("len").alias("n_dup_pos"))
-    base = t.select(
-        "doc_id",
-        (F.size("_toks") - _SPAN_N + 1).cast("bigint").alias("n_positions"))
-    return (base.join(per_doc, "doc_id", "left")
-                .select(
-                    "doc_id", "n_positions",
-                    F.coalesce("n_dup_pos", F.lit(0)).cast("bigint")
-                     .alias("n_dup_positions"),
-                    F.coalesce("n_spans", F.lit(0)).cast("bigint")
-                     .alias("n_dup_spans"),
-                    F.when(F.col("max_len").isNull(), F.lit(0))
-                     .otherwise(F.col("max_len") + _SPAN_N - 1)
-                     .cast("bigint").alias("max_dup_span_tokens"),
-                    (F.coalesce("n_dup_pos", F.lit(0)).cast("double")
-                     / F.col("n_positions").cast("double"))
-                    .alias("dup_cover_frac")))
+    out = dup_span_stats_df(d, "doc_id", "text", n=_SPAN_N)
+    return out.withColumnRenamed("id", "doc_id")
 
 
 @query("exactsubstr_prune", oracle=rf"""

@@ -796,3 +796,21 @@ def test_exactsubstr_prune_matches_python_reference(spark):
     # docs 2 and 3; doc 5 is untouched
     assert got[1][1] == 0 and got[5][1] == 0
     assert got[2][1] >= 6 and got[3][1] >= 6
+
+
+def test_exactsubstr_family_gram_hash_parity(spark, sf_dir):
+    """The 100 TB gram-key swap (hash_grams=True: xxhash64 keys, 8-byte
+    shuffles) must be OUTPUT-IDENTICAL to the string-keyed form at the
+    gate SF for both family members — the decide step
+    (dup_span_stats_df) and the apply step (exactsubstr_prune)."""
+    from distributed_deduplicator_spark.operators.pipeline import (
+        dup_span_stats_df, exactsubstr_prune)
+    from distributed_deduplicator_spark.sources import load_table
+    d = load_table(spark, sf_dir, "documents")
+    for fn in (dup_span_stats_df, exactsubstr_prune):
+        s = {tuple(r) for r in fn(d, "doc_id", "text").collect()}
+        release_persisted()
+        h = {tuple(r)
+             for r in fn(d, "doc_id", "text", hash_grams=True).collect()}
+        release_persisted()
+        assert s and s == h, fn.__name__
