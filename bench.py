@@ -48,6 +48,9 @@ HEADLINE = [
     "ann_ivf_persisted_topk",
     "fuzzy_name_topk",
     "embedding_cosine_neardup",
+    # round-8 addition (VERDICT r7 #5): the ExactSubstr apply step —
+    # the newest operator family's regressions stay visible
+    "exactsubstr_prune",
 ]
 
 

@@ -47,53 +47,55 @@ from distributed_deduplicator_spark.queries import text_queries  # noqa: F401,E4
 from distributed_deduplicator_spark.queries import dedup_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 
-# Round-7 verification rotation (see VERIFIED.md for the cross-round
-# ledger). The first 50 names are pinned (5 + 6 + 1 + 38): the FIVE
-# queries that have never had a driver correctness row (round-6
-# post-pin additions — landing these closes the ledger at 178/178),
-# the SIX queries whose executed plans changed in round 7 (q-gram
-# prefix-filtered fuzzy join ×2; tiled-GEMM exact cosine ×2 — the
-# operator default also reroutes semantic_dedup_keep_one; IVF
-# auto-nprobe/m=16 recall defaults ×2), ONE of the four round-6
-# streaming changed-code consumers the r06 window could not fit (the
-# other three stay represented by the r06-green wrappers sharing the
-# same materialization path and queue for r08), and 38 of the 39
-# queries whose newest driver row is still round 3 — VERDICT r6 #5's
-# staleness sweep (agg_distinct yields its slot to the changed-code
-# semantic_dedup_keep_one and heads the r08 queue). Everything after
-# the window keeps module registration order. Update this list each
-# round as the window rotates; an unknown name fails import.
+# Round-8 verification rotation (see VERIFIED.md for the cross-round
+# ledger). The first 50 names are pinned (1 + 4 + 38 + 7): the ONE
+# query that has never had a driver correctness row (exactsubstr_prune,
+# added after the r07 window was pinned — its green row closes the
+# ledger at 179/179), the FOUR queries whose executed plans changed in
+# round 8 (ann_lsh_topk: n-scaled table count + target_bucket=128;
+# ann_ivfpq_topk: Lloyd-refined codebooks + 16·k rerank + qc-carrying
+# probes; ann_ivf_persisted_topk: manifest sidecar + observed member
+# write in the build, capped auto-nprobe in the query path;
+# dup_span_stats: Spark side factored onto the shared
+# operators/pipeline.dup_span_stats_df kernel — ann_ivf_topk's new
+# candidate cap does NOT bind at the driver SF, so its r7-green
+# executed plan is unchanged), the 38 queries whose newest driver row
+# is round 3/4 — the staleness tail (agg_distinct r3 plus every
+# r4-banked row, which includes the three round-6 streaming
+# changed-code consumers displaced twice: stream_enrich_counts /
+# stream_session_windows / stream_sliding_counts), and 7 of the
+# r5-banked reference-core dedup/relational rows (oldest green
+# evidence after the r4 tail clears). Everything after the window
+# keeps module registration order. Update this list each round as the
+# window rotates; an unknown name fails import.
 _ROTATION_HEAD = [
-    # never driver-verified (round-6 post-pin additions)
-    "pareto_quality_front", "semantic_decontaminate",
-    "ann_ivf_persisted_topk", "asof_join_forward_orders",
-    "asof_join_nearest_orders",
-    # code changed in round 7: ed-join prefix filter (both fuzzy
-    # queries), GEMM-prefilter exact cosine (embedding_cosine_neardup
-    # AND semantic_dedup_keep_one — its pair generation routes through
-    # the same operator default), ANN recall defaults
-    "fuzzy_name_pairs", "fuzzy_name_topk", "embedding_cosine_neardup",
-    "semantic_dedup_keep_one", "ann_ivf_topk", "ann_ivfpq_topk",
-    # code changed in round 6 (run_stream_to_df scratch
-    # materialization), displaced from the r06 window
-    "stream_stream_attribution",
-    # r03-banked evidence, unchanged code — staleness refresh (38 of
-    # 39; agg_distinct is the one bumped to the r08 queue to make
-    # room for semantic_dedup_keep_one's changed-code slot)
-    "correlated_above_avg", "cube_orders",
-    "custdist_order_counts", "dedup_exact_distinct",
-    "dedup_first_wins_winners", "dedup_latest_state",
-    "disjunctive_predicate_revenue", "filtered_agg_orders",
-    "grouping_sets_orders", "join_anti", "join_dim_broadcast",
-    "join_full_outer_counts", "join_left_order_counts", "join_semi",
-    "json_props_stats", "kll_value_quantiles", "order_priority_check",
-    "percentiles_by_status", "pivot_status_counts", "predicate_in_null",
-    "price_histogram", "returned_items_by_nation", "rollup_orders",
-    "salted_skew_join_revenue", "scalar_functions", "set_ops",
-    "shipping_priority", "sql_cte_subqueries", "table_profile",
-    "text_stats", "topk_frequent_event_types", "topk_global",
-    "volume_shipping", "window_distribution_funcs", "window_first_last",
-    "window_rank_dense", "window_running_sum", "window_topk_per_group",
+    # never driver-verified (round-7 post-pin addition)
+    "exactsubstr_prune",
+    # code changed in round 8 (executed plans differ at the gate SF)
+    "ann_lsh_topk", "ann_ivfpq_topk", "ann_ivf_persisted_topk",
+    "dup_span_stats",
+    # newest driver row r3 (agg_distinct) / r4 — staleness refresh
+    "agg_distinct",
+    "asof_join_orders", "attribution_window_join",
+    "benchmark_decontaminate", "chunk_dedup_stats", "corpus_mix_weights",
+    "cosine_topk", "dedup_within_ttl", "embedding_norm_stats",
+    "embedding_quantize_dedup", "frequent_tokens_approx",
+    "guarded_process", "multimodal_audio_windows",
+    "multimodal_content_hash", "multimodal_frame_sample",
+    "multimodal_stats", "near_dup_clusters", "near_dup_ensemble",
+    "repetition_filter", "rolling_hour_stats", "session_stats",
+    "sessionize_events", "simhash_near_dup_pairs", "source_cap_sample",
+    "stratified_sample_lang", "stream_enrich_counts",
+    "stream_session_windows", "stream_sliding_counts",
+    "text_lang_profile", "text_length_quantiles", "text_top_bigrams",
+    "timeseries_gapfill", "token_budget_pack", "train_test_split_hash",
+    "user_event_journey", "window_fill_forward", "window_lag_lead",
+    "winnow_near_dup_pairs",
+    # r5-banked reference-core dedup/relational refresh (oldest green
+    # evidence after the r4 tail clears this round)
+    "dedup_first_wins", "dedup_arbitrate_ledger", "dedup_incremental",
+    "filter_project", "agg_global", "join_star_revenue",
+    "pricing_summary",
 ]
 
 
