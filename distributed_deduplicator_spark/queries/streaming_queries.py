@@ -11,13 +11,29 @@ from distributed_deduplicator_spark.queries.registry import query
 from distributed_deduplicator_spark.streaming.stateful import ttl_dedup_stateful
 
 
+def _drain(spark: SparkSession, sf_dir: str, s: DataFrame,
+           output_mode: str) -> DataFrame:
+    """Shared tuned drain for this module's event-stream queries: every
+    registered shape here emits independently of the watermark (inner
+    join / dropDuplicates* / timeout-free stateful / complete mode — see
+    run_stream_to_df), so the trailing no-data micro-batch is pure
+    state-store-commit overhead; partition count is sized to the events
+    source so fixture-scale drains don't pay for 32-128 near-empty state
+    stores (no-op at production scale — both knobs verified
+    output-identical in tests/test_streaming_sinks.py)."""
+    return ST.run_stream_to_df(
+        s, spark, output_mode=output_mode, no_data_batch=False,
+        shuffle_partitions=ST.drain_shuffle_partitions(
+            spark, sf_dir, "events"))
+
+
 @query("stream_dedup_watermark")  # rows-only: representative row per key
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup on (user_id, event_type) — the
     streaming twin of dedup_first_wins; state bounded by a 1-day
     watermark (reference TTL semantics, R12+R13)."""
     s = ST.stream_dedup_within_watermark(spark, sf_dir, ttl="1 day")
-    return ST.run_stream_to_df(s, spark, output_mode="append")
+    return _drain(spark, sf_dir, s, "append")
 
 
 @query("stream_windowed_counts", oracle="""
@@ -33,7 +49,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine in complete mode — once drained, deterministic and equal to
     the batch aggregation, so fully oracle-checked."""
     s = ST.stream_windowed_counts(spark, sf_dir)
-    return ST.run_stream_to_df(s, spark, output_mode="complete")
+    return _drain(spark, sf_dir, s, "complete")
 
 
 _TTL_SECONDS = 86400
@@ -71,9 +87,9 @@ def q_stream_ttl_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evict_state=False: a registered processing-time timeout would
     # keep the availableNow drain scheduling batches until the TTL
     # fires (hours) — state eviction is for continuous deployments
-    return ST.run_stream_to_df(
-        ttl_dedup_stateful(ev, _TTL_SECONDS, evict_state=False),
-        spark, output_mode="append")
+    return _drain(spark, sf_dir,
+                  ttl_dedup_stateful(ev, _TTL_SECONDS, evict_state=False),
+                  "append")
 
 
 @query("stream_enrich_counts", oracle="""
@@ -88,7 +104,7 @@ def q_stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling counts per market segment, drained via availableNow —
     deterministic, so fully oracle-checked."""
     s = ST.stream_enrich_counts(spark, sf_dir)
-    return ST.run_stream_to_df(s, spark, output_mode="complete")
+    return _drain(spark, sf_dir, s, "complete")
 
 
 _ATTR_S = 1800
@@ -113,7 +129,7 @@ def q_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     state), drained via availableNow — equals the batch interval join,
     so fully oracle-checked."""
     s = ST.stream_stream_attribution(spark, sf_dir, window_s=_ATTR_S)
-    return ST.run_stream_to_df(s, spark, output_mode="append")
+    return _drain(spark, sf_dir, s, "append")
 
 
 _SESSION_GAP_S = 1800
@@ -145,7 +161,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     session), so it is fully oracle-checked."""
     s = ST.stream_session_windows(spark, sf_dir,
                                   gap=f"{_SESSION_GAP_S} seconds")
-    return ST.run_stream_to_df(s, spark, output_mode="complete")
+    return _drain(spark, sf_dir, s, "complete")
 
 
 @query("stream_sliding_counts", oracle="""
@@ -166,7 +182,7 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     two epoch-aligned windows, so the batch SQL twin is an unnest over
     the two containing window starts — fully oracle-checked."""
     s = ST.stream_sliding_counts(spark, sf_dir)
-    return ST.run_stream_to_df(s, spark, output_mode="complete")
+    return _drain(spark, sf_dir, s, "complete")
 
 
 @query("stream_upsert_ledger", oracle="""

@@ -2,6 +2,7 @@ from distributed_deduplicator_spark.streaming.guarded_sink import (
     run_guarded_stream_ledger,
 )
 from distributed_deduplicator_spark.streaming.dedup_stream import (
+    drain_shuffle_partitions,
     events_stream,
     stream_dedup_within_watermark,
     stream_windowed_counts,
@@ -13,6 +14,7 @@ from distributed_deduplicator_spark.streaming.dedup_stream import (
 )
 
 __all__ = [
+    "drain_shuffle_partitions",
     "events_stream",
     "stream_dedup_within_watermark",
     "stream_windowed_counts",

@@ -54,8 +54,46 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+_DRAIN_BYTES_PER_PARTITION = 16 << 20
+
+
+def drain_shuffle_partitions(spark: SparkSession, sf_dir: str,
+                             *tables: str) -> int | None:
+    """Right-size a stateful drain's shuffle parallelism to its source.
+
+    Every post-shuffle stage of a stateful streaming query creates one
+    state-store instance per shuffle partition (a stream-stream join
+    creates FOUR), and each instance pays a fixed load+commit+snapshot
+    cost per micro-batch that dwarfs the per-row work on small inputs:
+    measured at sf0.01, the attribution join spends ~90% of its 13 s
+    wall in state-store commits across 128 instances (its
+    StreamingQueryProgress reports cumulative commitTimeMs 62 s for a
+    10 s batch). Scale the partition count with source bytes (~16 MiB
+    of source per partition), clamped to [4, session setting]: large
+    deployments keep their configured parallelism — at 100 TB the
+    byte-derived count exceeds any sane session setting and this is a
+    no-op — while fixture-scale drains stop paying for hundreds of
+    near-empty state stores.
+
+    Returns None (= keep the session setting) when a source size or
+    the session setting is unavailable, e.g. remote fixture dirs —
+    sizing is an optimization, never a requirement.
+    """
+    import os
+    try:
+        total = sum(os.path.getsize(f"{sf_dir}/{t}.parquet")
+                    for t in tables)
+        session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (OSError, TypeError, ValueError):
+        return None
+    want = max(4, -(-total // _DRAIN_BYTES_PER_PARTITION))
+    return min(session, want)
+
+
 def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
-                     output_mode: str = "append") -> DataFrame:
+                     output_mode: str = "append", *,
+                     no_data_batch: bool = True,
+                     shuffle_partitions: int | None = None) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into
     session-scoped scratch parquet and return the lazy reader — the
     batch shape the driver's checks need, with NO driver
@@ -70,7 +108,27 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
     mode (the file sink rejects it too) also goes through
     foreachBatch, APPENDING each micro-batch's changed rows — the
     drained table then holds every emitted update, exactly the
-    replaced memory sink's update-mode contract."""
+    replaced memory sink's update-mode contract.
+
+    ``no_data_batch=False`` skips the trailing watermark-only
+    micro-batch (spark.sql.streaming.noDataMicroBatches.enabled) —
+    that batch exists to fire watermark-driven EMISSION (append-mode
+    windowed/session aggregates finalizing closed windows) and state
+    eviction; eviction is irrelevant to a drained query's output. It
+    is therefore safe exactly when emitted rows never wait on the
+    watermark: inner stream-stream joins, dropDuplicates(Within
+    Watermark), timeout-free (apply|transform)InPandasWithState, and
+    any complete/update-mode sink. Callers draining an APPEND-MODE
+    WINDOWED AGGREGATE must keep the default — without the trailing
+    batch its final windows are never emitted. Equality of both
+    classes against their batch twins is pinned in
+    tests/test_streaming_sinks.py.
+
+    ``shuffle_partitions`` (see drain_shuffle_partitions) bounds the
+    per-micro-batch state-store fan-out for the duration of this drain;
+    the session value is restored before returning. None keeps the
+    session setting.
+    """
     if output_mode not in ("append", "complete", "update"):
         raise ValueError(f"unsupported output_mode: {output_mode!r}")
     out = scratch_dir("stream_result")
@@ -80,21 +138,41 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
     # the explicit schema reads back as a valid zero-row result
     import os
     os.makedirs(out, exist_ok=True)
-    with tempfile.TemporaryDirectory() as ckpt:
-        writer = (stream_df.writeStream
-                  .outputMode(output_mode)
-                  .option("checkpointLocation", ckpt)
-                  .trigger(availableNow=True))
-        if output_mode == "complete":
-            writer = writer.foreachBatch(
-                lambda bdf, _bid: bdf.write.mode("overwrite").parquet(out))
-        elif output_mode == "update":
-            writer = writer.foreachBatch(
-                lambda bdf, _bid: bdf.write.mode("append").parquet(out))
-        else:
-            writer = writer.format("parquet").option("path", out)
-        q = writer.start()
-        q.awaitTermination()
+    # confs are captured by the streaming query at start(); restore the
+    # session values once the drain finishes so one query's sizing never
+    # bleeds into the next (drains are blocking, so no concurrency here)
+    overrides: dict[str, str] = {}
+    if not no_data_batch:
+        overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    if shuffle_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        with tempfile.TemporaryDirectory() as ckpt:
+            writer = (stream_df.writeStream
+                      .outputMode(output_mode)
+                      .option("checkpointLocation", ckpt)
+                      .trigger(availableNow=True))
+            if output_mode == "complete":
+                writer = writer.foreachBatch(
+                    lambda bdf, _bid:
+                    bdf.write.mode("overwrite").parquet(out))
+            elif output_mode == "update":
+                writer = writer.foreachBatch(
+                    lambda bdf, _bid:
+                    bdf.write.mode("append").parquet(out))
+            else:
+                writer = writer.format("parquet").option("path", out)
+            q = writer.start()
+            q.awaitTermination()
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     # explicit schema: zero-row drains have no footer to infer from
     return spark.read.schema(stream_df.schema).parquet(out)
 

@@ -296,3 +296,87 @@ def test_run_stream_to_df_update_mode(spark, sf_dir, tmp_path):
     assert last == finals
     with _pytest.raises(ValueError, match="output_mode"):
         run_stream_to_df(agg_stream(), spark, output_mode="bogus")
+
+
+def test_tuned_drain_equals_default_append_join(spark, sf_dir):
+    """no_data_batch=False + right-sized partitions must be output-
+    identical for an inner stream-stream join (emission never waits on
+    the watermark — the trailing batch only evicts state)."""
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        drain_shuffle_partitions, run_stream_to_df,
+        stream_stream_attribution)
+
+    base = run_stream_to_df(
+        stream_stream_attribution(spark, sf_dir), spark)
+    tuned = run_stream_to_df(
+        stream_stream_attribution(spark, sf_dir), spark,
+        no_data_batch=False,
+        shuffle_partitions=drain_shuffle_partitions(spark, sf_dir,
+                                                    "events"))
+    assert base.count() > 0
+    assert _same(base, tuned)
+
+
+def test_tuned_drain_equals_default_complete_agg(spark, sf_dir):
+    """Complete mode re-emits the full state every batch, so the last
+    DATA batch already carries the final answer — skipping the no-data
+    batch and resizing partitions must not change the drained result."""
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        run_stream_to_df, stream_windowed_counts)
+
+    base = run_stream_to_df(
+        stream_windowed_counts(spark, sf_dir), spark,
+        output_mode="complete")
+    tuned = run_stream_to_df(
+        stream_windowed_counts(spark, sf_dir), spark,
+        output_mode="complete", no_data_batch=False, shuffle_partitions=4)
+    assert base.count() > 0
+    assert _same(base, tuned)
+
+
+def test_no_data_batch_required_for_append_agg(spark, sf_dir):
+    """The documented danger case, pinned: an APPEND-mode windowed
+    aggregate only emits a window once the watermark passes it, which
+    under availableNow happens in the trailing no-data batch — skip it
+    and the drain yields nothing. Guards the default staying True."""
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        run_stream_to_df, stream_windowed_counts)
+
+    with_nodata = run_stream_to_df(
+        stream_windowed_counts(spark, sf_dir), spark)
+    without = run_stream_to_df(
+        stream_windowed_counts(spark, sf_dir), spark,
+        no_data_batch=False)
+    assert with_nodata.count() > 0
+    assert without.count() < with_nodata.count()
+
+
+def test_drain_shuffle_partitions_clamps(spark, sf_dir):
+    """Byte-derived sizing clamps to [4, session setting] and degrades
+    to None (keep the session setting) when sources are unreadable."""
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        drain_shuffle_partitions)
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    got = drain_shuffle_partitions(spark, sf_dir, "events")
+    assert got is not None and 4 <= got <= session
+    # tiny single table at the test SF → the floor
+    assert drain_shuffle_partitions(spark, sf_dir, "region") == 4
+    assert drain_shuffle_partitions(spark, "/nonexistent-dir",
+                                    "events") is None
+
+
+def test_tuned_drain_restores_session_confs(spark, sf_dir):
+    """The drain-scoped conf overrides must not outlive the drain."""
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        run_stream_to_df, stream_stream_attribution)
+
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    before_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", None)
+    run_stream_to_df(stream_stream_attribution(spark, sf_dir), spark,
+                     no_data_batch=False, shuffle_partitions=5)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
+    assert spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        None) == before_nodata

@@ -4,6 +4,7 @@ per-query wall time — the artifact behind LOCAL_DRIVE_r{N}.json.
 
 Usage:
   python tools/local_drive.py <sf_dir> <out_json> [--engine-session]
+                              [--only name1,name2,...]
 
 Plain SparkSession by default (the driver's posture — catches
 conf-dependence bugs); ``--engine-session`` uses the tuned factory,
@@ -239,6 +240,9 @@ def quality_metrics(spark, sf_dir, qs) -> dict:
 def main() -> None:
     sf_dir, out_path = sys.argv[1], sys.argv[2]
     use_engine = "--engine-session" in sys.argv[3:]
+    only: set[str] = set()
+    if "--only" in sys.argv[3:]:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     if use_engine:
         from distributed_deduplicator_spark import get_session
         spark = get_session("local-drive")
@@ -257,6 +261,8 @@ def main() -> None:
     qs, osql = e.queries(), e.oracle_sql()
     results: dict[str, dict] = {}
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
@@ -295,7 +301,9 @@ def main() -> None:
     for r in results.values():
         counts[r["status"]] = counts.get(r["status"], 0) + 1
     try:
-        quality = quality_metrics(spark, sf_dir, qs)
+        # --only is a targeted re-verification; the quality sweep
+        # re-runs the heavy ANN/near-dup queries, so skip it there
+        quality = {} if only else quality_metrics(spark, sf_dir, qs)
     except Exception as exc:  # noqa: BLE001 — quality must not kill the drive
         quality = {"ERR": f"{type(exc).__name__}: {exc}"[:500]}
     print("quality:", json.dumps(quality), file=sys.stderr)
