@@ -191,6 +191,12 @@ def stream_minhash_neardup(spark: SparkSession, docs_glob: str,
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     stream = reader.parquet(docs_glob).select("doc_id", "text")
+    # NOT partition-sized like run_stream_to_df: process_batch has no
+    # stateful operators (its state is the parquet ledger), so there is
+    # no per-partition state-store tax to cut — measured A/B at the
+    # gate SF, 8 vs 200 shuffle partitions is wall-identical (~4.2 s
+    # warm either way; the time is shingle/minhash compute plus fixed
+    # per-join planning, not task scheduling).
     q = (stream.writeStream
          .foreachBatch(lambda b, bid: process_batch(
              b, ledger_dir, out_dir, shingle_n=shingle_n, batch_id=bid))
