@@ -48,32 +48,42 @@ from distributed_deduplicator_spark.queries import dedup_queries  # noqa: F401,E
 from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 
 # Round-8 verification rotation (see VERIFIED.md for the cross-round
-# ledger). The first 50 names are pinned (1 + 4 + 38 + 7): the ONE
+# ledger). The first 50 names are pinned (1 + 8 + 38 + 3): the ONE
 # query that has never had a driver correctness row (exactsubstr_prune,
 # added after the r07 window was pinned — its green row closes the
-# ledger at 179/179), the FOUR queries whose executed plans changed in
+# ledger at 179/179), the EIGHT queries whose executed plans changed in
 # round 8 (ann_lsh_topk: n-scaled table count + target_bucket=128;
 # ann_ivfpq_topk: Lloyd-refined codebooks + 16·k rerank + qc-carrying
 # probes; ann_ivf_persisted_topk: manifest sidecar + observed member
 # write in the build, capped auto-nprobe in the query path;
 # dup_span_stats: Spark side factored onto the shared
-# operators/pipeline.dup_span_stats_df kernel — ann_ivf_topk's new
-# candidate cap does NOT bind at the driver SF, so its r7-green
-# executed plan is unchanged), the 38 queries whose newest driver row
-# is round 3/4 — the staleness tail (agg_distinct r3 plus every
-# r4-banked row, which includes the three round-6 streaming
-# changed-code consumers displaced twice: stream_enrich_counts /
-# stream_session_windows / stream_sliding_counts), and 7 of the
-# r5-banked reference-core dedup/relational rows (oldest green
-# evidence after the r4 tail clears). Everything after the window
-# keeps module registration order. Update this list each round as the
-# window rotates; an unknown name fails import.
+# operators/pipeline.dup_span_stats_df kernel; and the four streaming
+# drains not already in the r4 tail below — stream_dedup_watermark /
+# stream_windowed_counts / stream_ttl_dedup_stateful /
+# stream_stream_attribution — whose availableNow drain now runs
+# without the trailing no-data batch on source-sized shuffle
+# partitions. ann_ivf_topk's new candidate cap does NOT bind at the
+# driver SF, so its r7-green executed plan is unchanged), the 38
+# queries whose newest driver row is round 3/4 — the staleness tail
+# (agg_distinct r3 plus every r4-banked row, which includes the other
+# three tuned streaming drains: stream_enrich_counts /
+# stream_session_windows / stream_sliding_counts), and 3 of the
+# r5-banked reference-core dedup rows (oldest green evidence after
+# the r4 tail clears; the other four r5 rows — dedup_incremental,
+# filter_project's relational siblings agg_global / join_star_revenue
+# / pricing_summary — yield their slots to the plan-changed streaming
+# drains and stay covered by the round's full local drive).
+# Everything after the window keeps module registration order. Update
+# this list each round as the window rotates; an unknown name fails
+# import.
 _ROTATION_HEAD = [
     # never driver-verified (round-7 post-pin addition)
     "exactsubstr_prune",
     # code changed in round 8 (executed plans differ at the gate SF)
     "ann_lsh_topk", "ann_ivfpq_topk", "ann_ivf_persisted_topk",
     "dup_span_stats",
+    "stream_dedup_watermark", "stream_windowed_counts",
+    "stream_ttl_dedup_stateful", "stream_stream_attribution",
     # newest driver row r3 (agg_distinct) / r4 — staleness refresh
     "agg_distinct",
     "asof_join_orders", "attribution_window_join",
@@ -93,9 +103,7 @@ _ROTATION_HEAD = [
     "winnow_near_dup_pairs",
     # r5-banked reference-core dedup/relational refresh (oldest green
     # evidence after the r4 tail clears this round)
-    "dedup_first_wins", "dedup_arbitrate_ledger", "dedup_incremental",
-    "filter_project", "agg_global", "join_star_revenue",
-    "pricing_summary",
+    "dedup_first_wins", "dedup_arbitrate_ledger", "filter_project",
 ]
 
 
