@@ -242,7 +242,10 @@ def main() -> None:
     use_engine = "--engine-session" in sys.argv[3:]
     only: set[str] = set()
     if "--only" in sys.argv[3:]:
-        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        idx = sys.argv.index("--only") + 1
+        if idx >= len(sys.argv):
+            sys.exit("--only requires a comma-separated query list")
+        only = set(sys.argv[idx].split(","))
     if use_engine:
         from distributed_deduplicator_spark import get_session
         spark = get_session("local-drive")
@@ -259,6 +262,11 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, osql = e.queries(), e.oracle_sql()
+    # a misspelled --only name must fail loud, not write an artifact
+    # that looks like a completed re-verification of nothing
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"--only names not registered: {sorted(unknown)}")
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
