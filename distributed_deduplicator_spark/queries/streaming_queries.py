@@ -12,19 +12,22 @@ from distributed_deduplicator_spark.streaming.stateful import ttl_dedup_stateful
 
 
 def _drain(spark: SparkSession, sf_dir: str, s: DataFrame,
-           output_mode: str) -> DataFrame:
+           output_mode: str, floor: int = 4) -> DataFrame:
     """Shared tuned drain for this module's event-stream queries: every
     registered shape here emits independently of the watermark (inner
     join / dropDuplicates* / timeout-free stateful / complete mode — see
-    run_stream_to_df), so the trailing no-data micro-batch is pure
-    state-store-commit overhead; partition count is sized to the events
-    source so fixture-scale drains don't pay for 32-128 near-empty state
-    stores (no-op at production scale — both knobs verified
-    output-identical in tests/test_streaming_sinks.py)."""
+    run_stream_to_df, which rejects the one unsafe shape), so the
+    trailing no-data micro-batch is pure state-store-commit overhead;
+    partition count is sized to the events source so fixture-scale
+    drains don't pay for 32-128 near-empty state stores (no-op at
+    production scale — both knobs verified output-identical in
+    tests/test_streaming_sinks.py). ``floor``: drains whose post-
+    shuffle stage is real per-row compute pass defaultParallelism (see
+    drain_shuffle_partitions)."""
     return ST.run_stream_to_df(
         s, spark, output_mode=output_mode, no_data_batch=False,
         shuffle_partitions=ST.drain_shuffle_partitions(
-            spark, sf_dir, "events"))
+            spark, sf_dir, "events", floor=floor))
 
 
 @query("stream_dedup_watermark")  # rows-only: representative row per key
@@ -86,10 +89,14 @@ def q_stream_ttl_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ST.events_stream(spark, sf_dir)
     # evict_state=False: a registered processing-time timeout would
     # keep the availableNow drain scheduling batches until the TTL
-    # fires (hours) — state eviction is for continuous deployments
+    # fires (hours) — state eviction is for continuous deployments.
+    # floor=cores: the pandas stateful stage is per-row Python compute,
+    # one worker per partition — byte-sized partitions starved it 4/32
+    # cores (81 s vs ~13 s at 10× bench scale in the round-8 sweep)
     return _drain(spark, sf_dir,
                   ttl_dedup_stateful(ev, _TTL_SECONDS, evict_state=False),
-                  "append")
+                  "append",
+                  floor=spark.sparkContext.defaultParallelism)
 
 
 @query("stream_enrich_counts", oracle="""

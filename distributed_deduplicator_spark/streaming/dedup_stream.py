@@ -21,6 +21,8 @@ per key per batch.
 
 from __future__ import annotations
 
+import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,7 +60,7 @@ _DRAIN_BYTES_PER_PARTITION = 16 << 20
 
 
 def drain_shuffle_partitions(spark: SparkSession, sf_dir: str,
-                             *tables: str) -> int | None:
+                             *tables: str, floor: int = 4) -> int | None:
     """Right-size a stateful drain's shuffle parallelism to its source.
 
     Every post-shuffle stage of a stateful streaming query creates one
@@ -75,18 +77,26 @@ def drain_shuffle_partitions(spark: SparkSession, sf_dir: str,
     no-op — while fixture-scale drains stop paying for hundreds of
     near-empty state stores.
 
+    ``floor`` is the minimum: 4 suits stateful stages whose post-
+    shuffle work is trivial per row (joins, windowed counts, dedup —
+    the scan stage parallelizes by file split regardless), but a drain
+    whose post-shuffle stage does REAL per-row compute (a Python
+    stateful operator: one pandas worker per partition) must floor at
+    defaultParallelism or the byte-derived count starves it of cores —
+    measured on the TTL-dedup drain at 10× bench scale, 4 partitions
+    ran 81 s where one-per-core runs ~13 s.
+
     Returns None (= keep the session setting) when a source size or
     the session setting is unavailable, e.g. remote fixture dirs —
     sizing is an optimization, never a requirement.
     """
-    import os
     try:
         total = sum(os.path.getsize(f"{sf_dir}/{t}.parquet")
                     for t in tables)
         session = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (OSError, TypeError, ValueError):
         return None
-    want = max(4, -(-total // _DRAIN_BYTES_PER_PARTITION))
+    want = max(floor, -(-total // _DRAIN_BYTES_PER_PARTITION))
     return min(session, want)
 
 
@@ -118,10 +128,12 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
     is therefore safe exactly when emitted rows never wait on the
     watermark: inner stream-stream joins, dropDuplicates(Within
     Watermark), timeout-free (apply|transform)InPandasWithState, and
-    any complete/update-mode sink. Callers draining an APPEND-MODE
-    WINDOWED AGGREGATE must keep the default — without the trailing
-    batch its final windows are never emitted. Equality of both
-    classes against their batch twins is pinned in
+    any complete/update-mode sink. An APPEND-MODE AGGREGATE is the one
+    shape that emits ONLY on watermark advance — without the trailing
+    batch its final windows are never emitted — so that combination is
+    rejected here (enforced, not just documented: a rows-only caller
+    would otherwise get a silently empty/partial drain). Equality of
+    both classes against their batch twins is pinned in
     tests/test_streaming_sinks.py.
 
     ``shuffle_partitions`` (see drain_shuffle_partitions) bounds the
@@ -131,12 +143,26 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
     """
     if output_mode not in ("append", "complete", "update"):
         raise ValueError(f"unsupported output_mode: {output_mode!r}")
+    if not no_data_batch and output_mode == "append":
+        # append-mode aggregates (windowed/session groupBy) hold every
+        # row until the watermark passes its window — the trailing
+        # no-data batch IS their emission step under availableNow.
+        # Match the Aggregate node at line start in the analyzed plan
+        # tree (prefixed by tree art and the ~ streaming marker), not
+        # bare substring, so a column merely NAMED "...Aggregate..."
+        # can't false-positive.
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        if re.search(r"(?m)^[\s+:~\-]*Aggregate\b", plan):
+            raise ValueError(
+                "no_data_batch=False with an append-mode streaming "
+                "aggregate: its final windows are only emitted by the "
+                "trailing watermark batch — drain with the default, or "
+                "use complete/update mode")
     out = scratch_dir("stream_result")
     # pre-create: a drain that schedules ZERO micro-batches (possible
     # for an empty source in foreachBatch mode) would otherwise leave
     # no directory for the read below to point at — an empty dir plus
     # the explicit schema reads back as a valid zero-row result
-    import os
     os.makedirs(out, exist_ok=True)
     # confs are captured by the streaming query at start(); restore the
     # session values once the drain finishes so one query's sizing never

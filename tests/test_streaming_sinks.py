@@ -334,21 +334,22 @@ def test_tuned_drain_equals_default_complete_agg(spark, sf_dir):
     assert _same(base, tuned)
 
 
-def test_no_data_batch_required_for_append_agg(spark, sf_dir):
-    """The documented danger case, pinned: an APPEND-mode windowed
-    aggregate only emits a window once the watermark passes it, which
-    under availableNow happens in the trailing no-data batch — skip it
-    and the drain yields nothing. Guards the default staying True."""
+def test_no_data_batch_rejected_for_append_agg(spark, sf_dir):
+    """The danger case, enforced: an APPEND-mode windowed aggregate
+    only emits a window once the watermark passes it, which under
+    availableNow happens in the trailing no-data batch — skipping it
+    would silently drain nothing, so run_stream_to_df rejects the
+    combination outright (the same plan drains fine with the default,
+    and in complete mode with the batch skipped)."""
     from distributed_deduplicator_spark.streaming.dedup_stream import (
         run_stream_to_df, stream_windowed_counts)
 
     with_nodata = run_stream_to_df(
         stream_windowed_counts(spark, sf_dir), spark)
-    without = run_stream_to_df(
-        stream_windowed_counts(spark, sf_dir), spark,
-        no_data_batch=False)
     assert with_nodata.count() > 0
-    assert without.count() < with_nodata.count()
+    with pytest.raises(ValueError, match="no_data_batch"):
+        run_stream_to_df(stream_windowed_counts(spark, sf_dir), spark,
+                         no_data_batch=False)
 
 
 def test_drain_shuffle_partitions_clamps(spark, sf_dir):
@@ -362,6 +363,9 @@ def test_drain_shuffle_partitions_clamps(spark, sf_dir):
     assert got is not None and 4 <= got <= session
     # tiny single table at the test SF → the floor
     assert drain_shuffle_partitions(spark, sf_dir, "region") == 4
+    # a compute-bound drain raises the floor (still session-clamped)
+    assert drain_shuffle_partitions(spark, sf_dir, "region",
+                                    floor=session) == session
     assert drain_shuffle_partitions(spark, "/nonexistent-dir",
                                     "events") is None
 
