@@ -51,6 +51,10 @@ HEADLINE = [
     # round-8 addition (VERDICT r7 #5): the ExactSubstr apply step —
     # the newest operator family's regressions stay visible
     "exactsubstr_prune",
+    # round-8 addition: the stream-stream interval join through the
+    # tuned availableNow drain (no-data batch skipped, source-sized
+    # state-store fan-out) — the knobs' regressions stay visible
+    "stream_stream_attribution",
 ]
 
 
