@@ -732,12 +732,15 @@ def ivf_index_add(emb_new: DataFrame, index_dir: str, dim: int = 64,
     Queries over the refreshed index are identical to an index whose
     member pass had seen old ∪ new with the SAME centroids (gated in
     tests/test_similarity.py). Caller owns id uniqueness across
-    batches, like any append sink. The manifest sidecar's member count
-    advances by the appended batch (observed on the append pass —
-    no extra scan); a crash between the append and the manifest
-    rewrite leaves the count stale, which only skews query-time
-    AUTO-sizing slightly — never correctness — and the next
-    add/rebuild repairs it."""
+    batches, like any append sink. The manifest sidecar refresh
+    prefers LOCAL parquet footers — read after the append, they are
+    the authoritative post-append count, so a manifest left stale by
+    a prior crash (between an append and its manifest rewrite) is
+    REPAIRED by the next add; only a remote index, where footers
+    aren't readable, advances the stored manifest count by the batch
+    observed on the append pass, and there a stale count persists
+    until a rebuild — skewing only query-time AUTO-sizing slightly,
+    never correctness."""
     from pyspark.sql import Observation
     spark = emb_new.sparkSession
     cents = spark.read.parquet(f"{index_dir}/centroids")
@@ -748,20 +751,22 @@ def ivf_index_add(emb_new: DataFrame, index_dir: str, dim: int = 64,
                        "unit")
                .observe(obs, F.count(F.lit(1)).alias("n")))
     members.write.mode("append").parquet(f"{index_dir}/members")
+    # LOCAL footers are read AFTER the append — the authoritative
+    # post-append count, never double-adding the observed batch and
+    # self-healing any stale manifest a prior crashed add left behind.
+    # Remote indexes (no local footers) fall back to manifest +
+    # observed batch; with neither, sizing stays explicit.
     try:
-        nlist, old_n = _ivf_index_stats(spark, index_dir)
-        # local footers already include the batch just appended —
-        # prefer the manifest's pre-append count when it exists so the
-        # observed batch is never double-added
+        nlist = _parquet_dir_row_count(f"{index_dir}/centroids")
+        nmembers = _parquet_dir_row_count(f"{index_dir}/members")
+    except FileNotFoundError:
         try:
             row = spark.read.parquet(f"{index_dir}/manifest").head()
-            nlist, old_n = int(row["nlist"]), int(row["nmembers"])
-            nmembers = old_n + int(obs.get["n"])
-        except Exception:  # noqa: BLE001 — no manifest: footer count
-            nmembers = old_n  # footers are post-append, already right
-        _ivf_manifest_write(spark, index_dir, nlist, nmembers, dim)
-    except FileNotFoundError:
-        pass  # remote index without a manifest: sizing stays explicit
+        except Exception:  # noqa: BLE001 — no manifest either
+            return
+        nlist = int(row["nlist"])
+        nmembers = int(row["nmembers"]) + int(obs.get["n"])
+    _ivf_manifest_write(spark, index_dir, nlist, nmembers, dim)
 
 
 def _parquet_dir_row_count(path: str) -> int:
@@ -1480,12 +1485,15 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     rerank = rerank if rerank is not None else 16 * k
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     cents = _tracked_persist(ivf_centroids(u, nlist, dim))
-    # keep_score: the ranking's dot(q, c) rides along as the exact
-    # per-probe offset the residual ADC needs (see below) — free, the
-    # assignment computed it anyway
+    # keep_score only under residual encoding, where the ranking's
+    # dot(q, c) becomes the exact per-probe qc offset the residual ADC
+    # needs (see below). It is free to COMPUTE (the assignment ranks on
+    # it anyway) but not to carry: the default raw path never reads it,
+    # and persisting + shuffling an extra double across the n·nprobe
+    # assigns rows buys nothing there.
     assigns = _tracked_persist(
         ivf_assign(u, cents, dim, nprobe=nprobe, keep_unit=False,
-                   keep_score=True))
+                   keep_score=residual))
     # residual=True: IVFADC residual encoding (Jégou et al. 2011
     # §III) — quantize x − c_list, not x. Scoring stays exact in the
     # decomposition dot(q, x) = dot(q, c_list) + dot(q, x − c_list):

@@ -126,15 +126,15 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
     windowed/session aggregates finalizing closed windows) and state
     eviction; eviction is irrelevant to a drained query's output. It
     is therefore safe exactly when emitted rows never wait on the
-    watermark: inner stream-stream joins, dropDuplicates(Within
-    Watermark), timeout-free (apply|transform)InPandasWithState, and
-    any complete/update-mode sink. An APPEND-MODE AGGREGATE is the one
-    shape that emits ONLY on watermark advance — without the trailing
-    batch its final windows are never emitted — so that combination is
-    rejected here (enforced, not just documented: a rows-only caller
-    would otherwise get a silently empty/partial drain). Equality of
-    both classes against their batch twins is pinned in
-    tests/test_streaming_sinks.py.
+    watermark: inner stream joins, dropDuplicates(WithinWatermark),
+    timeout-free (apply|transform)InPandasWithState, and any
+    complete/update-mode sink. The append-mode shapes that DO defer
+    emission to watermark/timeout advance — streaming aggregates,
+    outer/anti stream joins, stateful operators with a registered
+    timeout — are rejected here (enforced, not just documented: a
+    rows-only caller would otherwise get a silently empty/partial
+    drain). Equality of the legal classes against their batch twins
+    and the rejections are pinned in tests/test_streaming_sinks.py.
 
     ``shuffle_partitions`` (see drain_shuffle_partitions) bounds the
     per-micro-batch state-store fan-out for the duration of this drain;
@@ -144,20 +144,35 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
     if output_mode not in ("append", "complete", "update"):
         raise ValueError(f"unsupported output_mode: {output_mode!r}")
     if not no_data_batch and output_mode == "append":
-        # append-mode aggregates (windowed/session groupBy) hold every
-        # row until the watermark passes its window — the trailing
-        # no-data batch IS their emission step under availableNow.
-        # Match the Aggregate node at line start in the analyzed plan
-        # tree (prefixed by tree art and the ~ streaming marker), not
-        # bare substring, so a column merely NAMED "...Aggregate..."
-        # can't false-positive.
+        # Three append-mode shapes defer emission to watermark/timeout
+        # advance, which under availableNow happens in the trailing
+        # no-data batch — skipping it silently drops their final rows:
+        # streaming aggregates (windowed/session groupBy emit a window
+        # only once the watermark passes it), outer/anti stream joins
+        # (null-padded / anti matches emit on state eviction), and
+        # stateful operators with a registered timeout (timed-out
+        # groups emit in later batches). Match the NODES in the
+        # analyzed plan, each requiring the ~ streaming marker — a
+        # static-side Aggregate (e.g. a pre-aggregated dimension joined
+        # onto the stream) prints WITHOUT ~ and is emission-safe, and a
+        # column merely NAMED "...Aggregate..." can't false-positive.
+        # ~Join LeftOuter over a STATIC right side is also rejected
+        # (conservative: the text form can't cheaply distinguish it
+        # from stream-stream) — such callers keep the default.
         plan = stream_df._jdf.queryExecution().analyzed().toString()
-        if re.search(r"(?m)^[\s+:~\-]*Aggregate\b", plan):
+        deferred = (
+            r"(?m)^[\s+:\-]*~Aggregate\b"
+            r"|^[\s+:\-]*~Join (LeftOuter|RightOuter|FullOuter|LeftAnti)\b"
+            r"|~\w*(?:FlatMapGroups|TransformWithState)\w*"
+            r"[^\n]*(?:ProcessingTimeTimeout|EventTimeTimeout)")
+        if re.search(deferred, plan):
             raise ValueError(
-                "no_data_batch=False with an append-mode streaming "
-                "aggregate: its final windows are only emitted by the "
-                "trailing watermark batch — drain with the default, or "
-                "use complete/update mode")
+                "no_data_batch=False with an append-mode shape whose "
+                "emission waits on the watermark or a timeout "
+                "(streaming aggregate, outer/anti stream join, or "
+                "stateful timeout): its final rows are only emitted by "
+                "the trailing watermark batch — drain with the "
+                "default, or use complete/update mode")
     out = scratch_dir("stream_result")
     # pre-create: a drain that schedules ZERO micro-batches (possible
     # for an empty source in foreachBatch mode) would otherwise leave

@@ -641,3 +641,26 @@ def test_ivf_index_stats_manifest_fallback(spark, emb, tmp_path, monkeypatch):
     assert nmembers == emb.count() and nlist >= 4
     with _pytest.raises(FileNotFoundError, match="pass nprobe"):
         S._ivf_index_stats(spark, str(tmp_path / "nowhere"))
+
+
+def test_ivf_index_add_repairs_stale_manifest(spark, emb, tmp_path):
+    """A manifest left stale by a crash between a prior add's member
+    append and its manifest rewrite must be REPAIRED by the next add
+    on a local index: the refresh reads post-append footers (the
+    authoritative count), never manifest + batch (which would
+    perpetuate the deficit into every later auto-sizing decision)."""
+    from pyspark.sql import functions as F
+    idx = str(tmp_path / "ivf")
+    n = emb.count()
+    S.ivf_index_build(emb, idx, n=n)
+    S.release_persisted()
+    # simulate the crash window: understate the stored member count
+    S._ivf_manifest_write(spark, idx, nlist=int(
+        spark.read.parquet(f"{idx}/manifest").head()["nlist"]),
+        nmembers=n - 100, dim=64)
+    batch = (emb.where(F.col("vec_id") % 11 == 0)
+                .withColumn("vec_id", F.col("vec_id") + 2_000_000))
+    S.ivf_index_add(batch, idx)
+    got = spark.read.parquet(f"{idx}/manifest").head()["nmembers"]
+    assert got == n + batch.count()   # healed, not (n-100)+batch
+    assert got == S._parquet_dir_row_count(f"{idx}/members")

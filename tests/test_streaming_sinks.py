@@ -384,3 +384,50 @@ def test_tuned_drain_restores_session_confs(spark, sf_dir):
     assert spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled",
         None) == before_nodata
+
+
+def test_no_data_batch_guard_scope(spark, sf_dir):
+    """The no_data_batch=False rejection matches exactly the deferred-
+    emission shapes: a STATIC-side aggregate joined onto the stream is
+    legal (its Aggregate node carries no streaming marker), while an
+    outer stream-stream join and a stateful operator with a registered
+    timeout — whose final rows only the trailing watermark batch
+    emits — are rejected like the streaming aggregate."""
+    from pyspark.sql import functions as F
+    from distributed_deduplicator_spark.sources import load_table
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        events_stream, run_stream_to_df)
+    from distributed_deduplicator_spark.streaming.stateful import (
+        ttl_dedup_stateful)
+
+    ev = events_stream(spark, sf_dir)
+    # legal: stream x pre-aggregated static dimension, inner join
+    dim = (load_table(spark, sf_dir, "customer")
+           .groupBy(F.col("c_custkey").alias("user_id"))
+           .agg(F.count("*").alias("n_dim")))
+    ok = run_stream_to_df(ev.join(dim, "user_id"), spark,
+                          no_data_batch=False, shuffle_partitions=4)
+    assert ok.count() > 0
+
+    # rejected: outer stream-stream join (null-padded matches emit on
+    # state eviction only)
+    a = (ev.select(F.col("event_id").alias("ea"),
+                   F.col("user_id").alias("ua"),
+                   F.col("ts").alias("tsa"))
+           .withWatermark("tsa", "1 hour"))
+    b = (ev.select(F.col("event_id").alias("eb"),
+                   F.col("user_id").alias("ub"),
+                   F.col("ts").alias("tsb"))
+           .withWatermark("tsb", "1 hour"))
+    outer = a.join(
+        b, (a.ua == b.ub)
+        & (b.tsb >= a.tsa - F.expr("INTERVAL 600 SECONDS"))
+        & (b.tsb < a.tsa), "left_outer")
+    with pytest.raises(ValueError, match="no_data_batch"):
+        run_stream_to_df(outer, spark, no_data_batch=False)
+
+    # rejected: stateful operator with a registered timeout (timed-out
+    # groups emit in later batches)
+    with pytest.raises(ValueError, match="no_data_batch"):
+        run_stream_to_df(ttl_dedup_stateful(ev, 60, evict_state=True),
+                         spark, no_data_batch=False)
