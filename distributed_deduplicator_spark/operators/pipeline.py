@@ -147,18 +147,42 @@ def repetition_stats(docs: DataFrame, id_col: str, text_col: str,
 
 
 def cap_per_group(df: DataFrame, group_col: str, id_col: str,
-                  cap: int) -> DataFrame:
+                  cap: int, salts: int = 16) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen by deterministic
     hash order of the id — the per-domain/per-source cap that stops one
-    crawl host from dominating a training mix.
+    crawl host from dominating a training mix. The md5 order makes the
+    kept subset a uniform sample of the group, not its head.
 
-    One window (hash partition + per-group sort) — the md5 order makes
-    the kept subset a uniform sample of the group, not its head.
+    Two-phase exact top-cap, not one window: a single window partition
+    per group serializes the HOTTEST group onto one task's sort — the
+    precise shape this operator exists to defend against (one crawl
+    host with 10¹⁰ pages = one 10¹⁰-row sort). Phase 1 splits each
+    group into ``salts`` deterministic hash buckets and keeps each
+    bucket's ``cap`` smallest; phase 2 ranks the ≤ cap·salts survivors
+    per group — bounded regardless of group size. Output-identical to
+    the naive window: a row dropped in phase 1 has > cap smaller rows
+    in its own bucket (all globally smaller too), so its true rank
+    exceeds cap; and any survivor ranked ≤ cap in phase 2 has ALL its
+    globally-smaller rows surviving phase 1, so its phase-2 rank IS
+    its global rank (equality gated in tests/test_pipeline.py).
+    ``salts=1`` degenerates to the single-window plan.
     """
-    w = (Window.partitionBy(group_col)
-               .orderBy(id_hash(id_col), F.col(id_col)))
-    return (df.withColumn("rk", F.row_number().over(w))
-              .where(F.col("rk") <= cap))
+    if cap <= 0 or salts <= 0:
+        raise ValueError("cap and salts must be positive")
+    order = [id_hash(id_col), F.col(id_col)]
+    if salts == 1:
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return (df.withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") <= cap))
+    salt = F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.lit(salts))
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    local = (df.withColumn("_salt", salt)
+               .withColumn("_lrk", F.row_number().over(w1))
+               .where(F.col("_lrk") <= cap))
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (local.withColumn("rk", F.row_number().over(w2))
+                 .where(F.col("rk") <= cap)
+                 .drop("_salt", "_lrk"))
 
 
 def token_budget_pack(docs: DataFrame, id_col: str, text_col: str,
@@ -291,6 +315,17 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
     count per stratum is exact and the selection is deterministic, so
     a re-run or a different cluster keeps the same rows. One window
     per stratum; count and rank share the same partitioning.
+
+    Scale bound, stated honestly: the hottest stratum sorts on one
+    window partition. Unlike cap_per_group's CONSTANT cap (which the
+    salted two-phase bounds exactly), a PROPORTIONAL keep-count
+    defeats that trick — per-salt survivors total frac·n·salts rows,
+    more than the n the single sort already pays for any frac >
+    1/salts. When one stratum dominates an extreme corpus and exact
+    counts stop mattering, the scalable degeneration is the zero-
+    shuffle hash-threshold filter (pmod(xxhash64(id), 10^6) <
+    frac·10^6 — deterministic, ±√n per stratum), which is what
+    train_test_split_hash already does for unstratified splits.
     """
     w_order = (Window.partitionBy(stratum_col)
                      .orderBy(id_hash(id_col), F.col(id_col)))

@@ -24,6 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import itertools
 import math
 import random
 import warnings
@@ -154,6 +155,53 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 # Exact n-gram Jaccard similarity join (oracle-checkable)
 # ---------------------------------------------------------------------------
 
+def _rarity_ordered(arr: DataFrame, method: str = "prefix",
+                    sample_mod: int = 20, hot_min: int = 2) -> DataFrame:
+    """Per-doc shingle-HASH arrays in one consistent rarest-first
+    global order — the shared kernel of every prefix-filtered set
+    join (:func:`jaccard_similarity_join`, :func:`containment_join`).
+    Returns a persisted (id, ordered_shingles array<bigint>, set_size)
+    table (released by the caller via release_persisted()); see
+    jaccard_similarity_join's docstring for the sampled-hot rarity
+    design and the exactness argument."""
+    sh = (arr.select("id", F.explode("shingles").alias("_s"))
+             .select("id", F.xxhash64("_s").alias("shingle")))
+    if method == "prefix-exact":
+        doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        # per doc: shingles ordered rarest-first (df, shingle) — a
+        # consistent global order as the prefix theorem requires
+        ranked = sh.join(doc_freq, "shingle")
+    else:
+        # sampled hot-shingle rarity: a 1/sample_mod hash-sample of
+        # docs (whole doc in or out, so sample df scales by mod),
+        # keep shingles the sample saw >= hot_min times, broadcast.
+        # Rank = estimated df for the hot head, 0 for the tail.
+        hot = (arr.where(F.xxhash64(F.col("id")) % sample_mod == 0)
+                  .select(F.explode("shingles").alias("_s"))
+                  .select(F.xxhash64("_s").alias("shingle"))
+                  .groupBy("shingle").agg(F.count("*").alias("_c"))
+                  .where(F.col("_c") >= hot_min)
+                  .select("shingle",
+                          (F.col("_c") * sample_mod).alias("df")))
+        ranked = (sh.join(F.broadcast(hot), "shingle", "left")
+                    .select("id", "shingle",
+                            F.coalesce("df", F.lit(0).cast("long"))
+                             .alias("df")))
+    ordered = (ranked
+               .groupBy("id")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("df", "shingle"))).alias("os")))
+    ordered = ordered.select(
+        "id",
+        F.transform("os", lambda s: s["shingle"]).alias("ordered_shingles"),
+        F.size("os").alias("set_size"))
+    # multiple consumers (prefixes + verification set-attaches) would
+    # otherwise recompute the shingle pipeline each time; the table is
+    # one row per doc — linear, spill-safe, the thing you'd persist at
+    # any scale.
+    return _tracked_persist(ordered)
+
+
 def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
                             n: int = 3, threshold: float = 0.5,
                             method: str = "prefix",
@@ -241,43 +289,8 @@ def jaccard_similarity_join(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(
             "method must be 'prefix', 'prefix-exact' or 'allpairs'")
 
-    # --- PPJoin-lite ---
-    sh = (arr.select("id", F.explode("shingles").alias("_s"))
-             .select("id", F.xxhash64("_s").alias("shingle")))
-    if method == "prefix-exact":
-        doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        # per doc: shingles ordered rarest-first (df, shingle) — a
-        # consistent global order as the prefix theorem requires
-        ranked = sh.join(doc_freq, "shingle")
-    else:
-        # sampled hot-shingle rarity: a 1/sample_mod hash-sample of
-        # docs (whole doc in or out, so sample df scales by mod),
-        # keep shingles the sample saw >= hot_min times, broadcast.
-        # Rank = estimated df for the hot head, 0 for the tail.
-        hot = (arr.where(F.xxhash64(F.col("id")) % sample_mod == 0)
-                  .select(F.explode("shingles").alias("_s"))
-                  .select(F.xxhash64("_s").alias("shingle"))
-                  .groupBy("shingle").agg(F.count("*").alias("_c"))
-                  .where(F.col("_c") >= hot_min)
-                  .select("shingle",
-                          (F.col("_c") * sample_mod).alias("df")))
-        ranked = (sh.join(F.broadcast(hot), "shingle", "left")
-                    .select("id", "shingle",
-                            F.coalesce("df", F.lit(0).cast("long"))
-                             .alias("df")))
-    ordered = (ranked
-               .groupBy("id")
-               .agg(F.sort_array(
-                   F.collect_list(F.struct("df", "shingle"))).alias("os")))
-    ordered = ordered.select(
-        "id",
-        F.transform("os", lambda s: s["shingle"]).alias("ordered_shingles"),
-        F.size("os").alias("set_size"))
-    # three consumers (prefixes + both verification set-attaches) would
-    # otherwise recompute the shingle pipeline three times; the table is
-    # one row per doc — linear, spill-safe, the thing you'd persist at
-    # any scale. Released by the caller via release_persisted().
-    ordered = _tracked_persist(ordered)
+    # --- PPJoin-lite (ordering kernel shared with containment_join) ---
+    ordered = _rarity_ordered(arr, method, sample_mod, hot_min)
     # ε guards this ceil too: when s·τ is exactly integral the double
     # product can round UP (0.55·100 = 55.000000000000004 → ceil 56),
     # shortening the prefix by one and silently missing true pairs
@@ -882,12 +895,36 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 def winnow_near_dup(df: DataFrame, id_col: str, text_col: str,
                     k: int = 5, window: int = 4,
-                    min_shared: int = 2) -> DataFrame:
+                    min_shared: int = 2,
+                    max_df: int | None = 1000) -> DataFrame:
     """Pairs sharing ≥ min_shared winnowing fingerprints — near-dup by
     shared substring evidence. Explode fingerprints → equi-join →
-    count, the same sub-quadratic shape as the shingle join."""
+    count, the same sub-quadratic shape as the shingle join.
+
+    ``max_df`` caps the pair-join's per-fingerprint blowup: a
+    fingerprint present in d documents contributes C(d, 2) join rows,
+    so ONE boilerplate k-gram (license header, navigation chrome)
+    shared by a million docs would alone generate ~5·10¹¹ candidate
+    pairs — the Σ df² quadratic this family must never hit (module
+    contract). Fingerprints with document frequency > max_df are
+    excluded from NOMINATION (one map-side-combinable df count over
+    the exploded stream + an anti-join — both shuffle on the same key
+    the pair join needs anyway): at that frequency a shared
+    fingerprint is boilerplate, not near-duplication evidence — the
+    standard MOSS/winnowing treatment of ubiquitous hashes (Schleimer
+    et al. 2003 §5 discard ubiquitous matches). Both nomination and
+    n_shared then count sub-cap fingerprints only: a pair whose every
+    shared fingerprint is that common stops being nominated.
+    ``max_df=None`` disables the cap (exact at any df — small-corpus
+    analytics only). Fixture dfs sit far below the default cap, so
+    results there are identical with or without it (gated in
+    tests/test_similarity.py)."""
     fp = winnow_fingerprints(df, id_col, text_col, k, window)
     ex = fp.select("id", F.explode("fingerprints").alias("fp"))
+    if max_df is not None:
+        hot = (ex.groupBy("fp").agg(F.count("*").alias("_df"))
+                 .where(F.col("_df") > max_df).select("fp"))
+        ex = ex.join(hot, "fp", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                      & (F.col("a.id") < F.col("b.id")))
@@ -1243,37 +1280,96 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", fp.alias("simhash"))
 
 
+_SIMHASH_CAND_BUDGET = 64     # expected random collisions per doc
+_SIMHASH_MAX_TABLES = 64      # explode-factor ceiling
+
+
+def _simhash_blocks(k: int, n: int) -> int:
+    """Smallest block count whose expected random-collision candidate
+    volume stays ≤ ~_SIMHASH_CAND_BUDGET per doc at corpus size n.
+
+    With b blocks a radius-k pair matches on ≥ one of C(b, k) block
+    combinations of size b−k, each an effective (b−k)·⌊64/b⌋-bit key:
+    expected collisions/doc ≈ C(b, k) · n / 2^keybits. b = k+1 (the
+    classic one-block-match split) binds up to n ≈ 10⁶ at k=3; at
+    n=10⁹ the auto pick is b=6 (20 tables, 30-bit keys, ~19
+    candidates/doc) where the fixed k+1 split would generate n²/2¹⁶
+    pairs — a quadratic blowup. Table count is capped (C(b, k) ≤ 64):
+    past the cap the widest affordable key wins, best effort.
+    """
+    best = max(k + 1, 1)
+    for b in range(max(k + 1, 1), 17):
+        if math.comb(b, min(k, b)) > _SIMHASH_MAX_TABLES:
+            break
+        best = b
+        keybits = (b - k) * (64 // b)
+        if math.comb(b, min(k, b)) * (n / float(2 ** min(keybits, 63))) \
+                <= _SIMHASH_CAND_BUDGET:
+            return b
+    return best
+
+
 def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
-                     max_hamming: int = 3) -> DataFrame:
+                     max_hamming: int = 3, blocks: int | None = None,
+                     n: int | None = None) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any
-    pair within the radius collides exactly on ≥1 chunk → per-chunk
-    equi-join, then exact hamming verify via bit_count(xor).
+    Pigeonhole banding, GENERALIZED (Manku, Jain & Das Sarma, WWW
+    2007 §3): the 64 bits split into ``blocks`` contiguous blocks; a
+    pair within radius k differs in at most k blocks, so it matches
+    EXACTLY on at least one of the C(blocks, k) combinations of
+    blocks−k blocks — each combination is one equi-join table whose
+    key is the xxhash64 of its pieces. ``blocks = k+1`` degenerates to
+    the classic one-block-match split (the old fixed behavior, 16-bit
+    keys at k=3); larger ``blocks`` widen the effective key to
+    (blocks−k)·⌊64/blocks⌋ bits at the cost of C(blocks, k) tables.
+    ``blocks=None`` auto-sizes from corpus cardinality ``n``
+    (catalog/file statistics, like every index-sizing knob — see
+    :func:`_simhash_blocks`): the fixed k+1 split is quadratic at
+    scale (n²/2¹⁶ candidate pairs at k=3 — ~10¹³ at a billion docs),
+    while the auto pick holds expected candidates ~linear. Candidate
+    generation only: completeness is exact (pigeonhole) and every
+    candidate passes the exact bit_count(xor) ≤ k verify, so the
+    result set is IDENTICAL for any legal ``blocks`` (equality gated
+    in tests/test_similarity.py; a hash collision on the 64-bit combo
+    key can only ADD a candidate the verify then rejects).
     """
-    nchunks = max_hamming + 1
-    width = 64 // nchunks
+    k = max_hamming
+    if blocks is None:
+        blocks = _simhash_blocks(
+            k, _corpus_size_for_sizing(df, n, "simhash_near_dup"))
+    if not (k < blocks <= 64):
+        raise ValueError(
+            f"simhash_near_dup: need max_hamming < blocks <= 64, got "
+            f"blocks={blocks}, max_hamming={k}")
+    base_w = 64 // blocks
     sig = simhash64(df, id_col, text_col)
 
-    def piece(c):
-        shifted = F.shiftright(F.col("simhash"), c * width)
+    def piece(i):
+        start = i * base_w
+        # the LAST block absorbs the 64 % blocks remainder so every
+        # bit belongs to exactly one block (pigeonhole completeness)
+        width = base_w if i < blocks - 1 else 64 - start
+        shifted = F.shiftright(F.col("simhash"), start)
         if width >= 64:
-            # max_hamming=0 → one 64-bit chunk: the full value IS the
-            # piece; a (1<<64)-1 literal would overflow LongType at
-            # plan build
+            # blocks=1 (k=0) → the full value IS the piece; a
+            # (1<<64)-1 literal would overflow LongType at plan build
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
-    chunks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"), piece(c).alias("piece"))
-        for c in range(nchunks)])
-    ex = (sig.select("id", "simhash", F.explode(chunks).alias("cc"))
-             .select("id", "simhash", F.col("cc.chunk").alias("chunk"),
-                     F.col("cc.piece").alias("piece")))
+    combos = list(itertools.combinations(range(blocks), blocks - k))
+    keys = F.array(*[
+        F.struct(F.lit(ci).alias("combo"),
+                 F.xxhash64(F.lit(ci), *[piece(i) for i in combo])
+                  .alias("bkey"))
+        for ci, combo in enumerate(combos)])
+    ex = (sig.select("id", "simhash", F.explode(keys).alias("kk"))
+             .select("id", "simhash", F.col("kk.combo").alias("combo"),
+                     F.col("kk.bkey").alias("bkey")))
     a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                     & (F.col("a.piece") == F.col("b.piece"))
+    return (a.join(b, (F.col("a.combo") == F.col("b.combo"))
+                     & (F.col("a.bkey") == F.col("b.bkey"))
                      & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                      ham.alias("hamming"))
@@ -1969,7 +2065,9 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
 
 
 def containment_join(df: DataFrame, id_col: str, text_col: str,
-                     n: int = 3, threshold: float = 0.6) -> DataFrame:
+                     n: int = 3, threshold: float = 0.6,
+                     method: str = "prefix", sample_mod: int = 20,
+                     hot_min: int = 2) -> DataFrame:
     """All pairs (id_a < id_b) whose smaller shingle set is ≥
     ``threshold`` contained in the larger: |A∩B| / min(|A|,|B|).
     The asymmetric near-dup criterion (RefinedWeb/CCNet use it next to
@@ -1977,37 +2075,118 @@ def containment_join(df: DataFrame, id_col: str, text_col: str,
     containment ≈ 1 while its Jaccard stays far below any dedup
     threshold, so a Jaccard-only pass ships the duplicate.
 
-    Exact: shingle equi-join + pair counts, never a cross join; the
-    candidate blowup is Σ df² over shingle blocks, same as the
-    all-pairs Jaccard path. At scale the prefix-filter upgrade is
-    ASYMMETRIC (a pair with containment ≥ τ shares a shingle in the
-    first |A|−⌈τ|A|⌉+1 rarest of the SMALLER set only — the larger
-    side must keep its full set), which halves the prefix join's
-    traffic vs the symmetric Jaccard prefix at equal τ.
+    Exact on every method (identical results, gated in
+    tests/test_similarity.py):
+
+    - ``method='prefix'`` (default): the ASYMMETRIC prefix filter —
+      containment ≥ τ means |A∩B| ≥ ⌈τ·|A|⌉ for A the smaller set, so
+      by the prefix pigeonhole A must share a shingle within its
+      |A|−⌈τ|A|⌉+1 rarest (consistent global rarity order, the same
+      sampled-hot kernel as :func:`jaccard_similarity_join`) against
+      B's FULL set — only the SMALLER side prunes, the larger side
+      cannot (that asymmetry is what keeps a 100-shingle doc findable
+      inside a 10⁶-shingle doc). Candidate volume is Σ df_prefix ·
+      df_full per shingle instead of Σ df² — hot boilerplate shingles
+      sort to the END of every ordering, so they almost never enter a
+      prefix and the blowup term vanishes. PPJoin's positional filter
+      prunes again before any array ships (overlap ≤ matches +
+      remaining positions on either side, against α = ⌈τ|A|⌉), then
+      the exact array_intersect verify on hash arrays decides. No
+      length filter exists for containment (ANY size ratio can
+      qualify — the operator's point), which is exactly why the
+      prefix, not a size band, has to carry the pruning at scale.
+    - ``method='prefix-exact'``: same pruning under the textbook
+      corpus-wide df order (one extra corpus-scale aggregate).
+    - ``method='allpairs'``: the plain shingle self-join + pair count
+      (Σ df² — small corpora only).
     """
-    # one row per doc, three consumers (both self-join sides + sizes) —
-    # same persist rationale as the Jaccard prefix path above; released
-    # by the caller via release_persisted().
-    arr = _tracked_persist(shingle_array(df, id_col, text_col, n))
-    sh = arr.select("id", F.explode("shingles").alias("shingle"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                       & (F.col("a.id") < F.col("b.id")))
-               .groupBy(F.col("a.id").alias("id_a"),
-                        F.col("b.id").alias("id_b"))
-               .agg(F.count("*").alias("n_common")))
-    sizes = arr.select("id", "set_size")
-    sa = sizes.select(F.col("id").alias("id_a"),
-                      F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"),
-                      F.col("set_size").alias("size_b"))
+    arr = shingle_array(df, id_col, text_col, n)
+    if method == "allpairs":
+        # one row per doc, three consumers (both self-join sides +
+        # sizes) — same persist rationale as the prefix kernel;
+        # released by the caller via release_persisted().
+        arr = _tracked_persist(arr)
+        sh = arr.select("id", F.explode("shingles").alias("shingle"))
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                           & (F.col("a.id") < F.col("b.id")))
+                   .groupBy(F.col("a.id").alias("id_a"),
+                            F.col("b.id").alias("id_b"))
+                   .agg(F.count("*").alias("n_common")))
+        sizes = arr.select("id", "set_size")
+        sa = sizes.select(F.col("id").alias("id_a"),
+                          F.col("set_size").alias("size_a"))
+        sb = sizes.select(F.col("id").alias("id_b"),
+                          F.col("set_size").alias("size_b"))
+        cont = (F.col("n_common").cast("double")
+                / F.least("size_a", "size_b"))
+        return (common.join(sa, "id_a").join(sb, "id_b")
+                      .withColumn("containment", cont)
+                      .where(F.col("containment") >= threshold)
+                      .select("id_a", "id_b", "size_a", "size_b",
+                              "n_common", "containment"))
+    if method not in ("prefix", "prefix-exact"):
+        raise ValueError(
+            "method must be 'prefix', 'prefix-exact' or 'allpairs'")
+    ordered = _rarity_ordered(arr, method, sample_mod, hot_min)
+    # the SMALLER side's prefix (ε guards the ceil exactly like the
+    # Jaccard path: an integral τ·|A| rounding UP would shorten the
+    # prefix and silently miss true pairs)
+    prefix_len = (F.col("set_size")
+                  - F.ceil(F.col("set_size") * F.lit(float(threshold))
+                           - F.lit(1e-9)).cast("int")
+                  + 1)
+    small = ordered.select(
+        "id", "set_size",
+        F.posexplode(F.slice("ordered_shingles", 1, prefix_len))
+         .alias("pos", "shingle"))
+    full = ordered.select(
+        "id", "set_size",
+        F.posexplode("ordered_shingles").alias("pos", "shingle"))
+    s, t = small.alias("s"), full.alias("t")
+    # role assignment: the smaller set (ties by id) is the prefix
+    # side — every qualifying pair is nominated exactly through its
+    # smaller member's prefix against the larger member's full set
+    smaller = ((F.col("s.set_size") < F.col("t.set_size"))
+               | ((F.col("s.set_size") == F.col("t.set_size"))
+                  & (F.col("s.id") < F.col("t.id"))))
+    cand = (s.join(t, (F.col("s.shingle") == F.col("t.shingle"))
+                     & (F.col("s.id") != F.col("t.id")) & smaller)
+             .groupBy(F.col("s.id").alias("id_s"),
+                      F.col("t.id").alias("id_t"),
+                      F.col("s.set_size").alias("size_s"),
+                      F.col("t.set_size").alias("size_t"))
+             .agg(F.count("*").alias("_c"),
+                  F.max("s.pos").alias("_is"),
+                  F.max("t.pos").alias("_it")))
+    # positional upper bound vs α = ⌈τ·|A|⌉ (ε: err low, never prune
+    # a boundary-true pair)
+    alpha = F.ceil(F.col("size_s") * F.lit(float(threshold))
+                   - F.lit(1e-9))
+    ubound = (F.col("_c")
+              + F.least(F.col("size_s") - F.col("_is") - 1,
+                        F.col("size_t") - F.col("_it") - 1))
+    cand = (cand.where(ubound >= alpha)
+                .select(F.least("id_s", "id_t").alias("id_a"),
+                        F.greatest("id_s", "id_t").alias("id_b")))
+    sets = ordered.select("id", "ordered_shingles", "set_size")
+    verified = (cand
+                .join(sets.select(F.col("id").alias("id_a"),
+                                  F.col("ordered_shingles").alias("sh_a"),
+                                  F.col("set_size").alias("size_a")),
+                      "id_a")
+                .join(sets.select(F.col("id").alias("id_b"),
+                                  F.col("ordered_shingles").alias("sh_b"),
+                                  F.col("set_size").alias("size_b")),
+                      "id_b")
+                .withColumn("n_common",
+                            F.size(F.array_intersect("sh_a", "sh_b"))))
     cont = (F.col("n_common").cast("double")
             / F.least("size_a", "size_b"))
-    return (common.join(sa, "id_a").join(sb, "id_b")
-                  .withColumn("containment", cont)
-                  .where(F.col("containment") >= threshold)
-                  .select("id_a", "id_b", "size_a", "size_b",
-                          "n_common", "containment"))
+    return (verified.withColumn("containment", cont)
+                    .where(F.col("containment") >= threshold)
+                    .select("id_a", "id_b", "size_a", "size_b",
+                            "n_common", "containment"))
 
 
 def edit_distance_join(df: DataFrame, id_col: str, name_col: str,

@@ -104,13 +104,16 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("simhash_near_dup_pairs")  # rows-only: xxhash64 has no DuckDB twin
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs within hamming distance 3 of each other's
-    SimHash: pigeonhole chunk equi-join (any pair within radius r
-    collides on ≥1 of r+1 chunks) + exact bit_count verify — the
-    hamming analog of MinHash banding. Exactness of the pigeonhole
-    candidate generation is property-tested in
+    SimHash: pigeonhole block-combination equi-join (any pair within
+    radius k matches exactly on ≥1 of the C(blocks, k) combinations of
+    blocks−k blocks; block count auto-sized to corpus cardinality so
+    candidate volume stays ~linear at any scale) + exact bit_count
+    verify — the hamming analog of MinHash banding. Exactness of the
+    pigeonhole candidate generation is property-tested in
     tests/test_similarity.py."""
     d = load_table(spark, sf_dir, "documents")
-    return S.simhash_near_dup(d, "doc_id", "text", max_hamming=3)
+    return S.simhash_near_dup(d, "doc_id", "text", max_hamming=3,
+                              n=table_row_count(sf_dir, "documents"))
 
 
 @query("winnow_near_dup_pairs")  # rows-only: xxhash64 has no DuckDB twin
@@ -415,11 +418,11 @@ def q_near_dup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                              num_hashes=64, bands=16, rows=4,
                              threshold=_JACCARD_THRESHOLD)
           .select("id_a", "id_b", F.lit("minhash").alias("method")))
-    # radius 3 keeps the pigeonhole pieces 16 bits wide (65k-value
-    # buckets); a loose radius like 12 would shrink pieces to 4 bits
-    # and degrade the banding toward all-pairs — never n² (module
-    # docstring contract)
-    sh = (S.simhash_near_dup(d, "doc_id", "text", max_hamming=3)
+    # radius 3 with n-sized block combinations (see simhash_near_dup):
+    # candidate volume stays ~linear at any corpus size — never n²
+    # (module docstring contract)
+    sh = (S.simhash_near_dup(d, "doc_id", "text", max_hamming=3,
+                             n=table_row_count(sf_dir, "documents"))
           .select("id_a", "id_b", F.lit("simhash").alias("method")))
     wn = (S.winnow_near_dup(d, "doc_id", "text", k=5, window=4,
                             min_shared=2)

@@ -243,3 +243,23 @@ def test_pareto_front_excludes_null_criteria(spark):
          (3, "g", None, 9), (4, "g", 9.0, None)], schema)
     got = {r.id for r in pareto_front_2d(df, "x", "y", ["g"]).collect()}
     assert got == {1, 2}  # both on the front; NULL rows excluded
+
+
+def test_cap_per_group_salted_equals_single_window(spark, sf_dir):
+    """The two-phase salted top-cap must be row- and rank-identical to
+    the naive one-window plan for any salt count — the skew defense
+    can never change which rows a source keeps."""
+    from distributed_deduplicator_spark.sources import load_table
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = {(r.doc_id, r.source, r.rk)
+            for r in P.cap_per_group(d, "source", "doc_id", cap=7,
+                                     salts=1).collect()}
+    assert base
+    for s in (2, 16, 64):
+        got = {(r.doc_id, r.source, r.rk)
+               for r in P.cap_per_group(d, "source", "doc_id", cap=7,
+                                        salts=s).collect()}
+        assert got == base, f"salts={s} changed the kept set/ranks"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cap and salts"):
+        P.cap_per_group(d, "source", "doc_id", cap=0)

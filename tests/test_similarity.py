@@ -664,3 +664,110 @@ def test_ivf_index_add_repairs_stale_manifest(spark, emb, tmp_path):
     got = spark.read.parquet(f"{idx}/manifest").head()["nmembers"]
     assert got == n + batch.count()   # healed, not (n-100)+batch
     assert got == S._parquet_dir_row_count(f"{idx}/members")
+
+
+def test_simhash_blocks_autosize_and_equality(spark, docs):
+    """Manku-style block generalization: (1) the auto-sizer keeps the
+    classic k+1 split while it's affordable and widens the effective
+    key once the fixed split would go quadratic, under the table cap;
+    (2) ANY legal block count yields the identical pair set (pigeonhole
+    completeness + exact verify) — the scale knob can never change
+    results."""
+    k = 3
+    # fixture scales: the k+1 split's expected collisions are tiny
+    assert S._simhash_blocks(k, 500) == 4
+    assert S._simhash_blocks(k, 1_000_000) == 4
+    # at 10^9 docs the fixed split is n^2/2^16 pairs; auto widens
+    b_big = S._simhash_blocks(k, 1_000_000_000)
+    assert b_big > 4
+    import math as _m
+    keybits = (b_big - k) * (64 // b_big)
+    assert (_m.comb(b_big, k) * 1_000_000_000 / 2 ** keybits
+            <= S._SIMHASH_CAND_BUDGET)
+    assert _m.comb(b_big, k) <= S._SIMHASH_MAX_TABLES
+    # k=0 degenerates to the single full-width block
+    assert S._simhash_blocks(0, 10**12) == 1
+
+    base = {(r.id_a, r.id_b, r.hamming)
+            for r in S.simhash_near_dup(docs, "doc_id", "text",
+                                        max_hamming=k, blocks=4).collect()}
+    for b in (6, 8):
+        got = {(r.id_a, r.id_b, r.hamming)
+               for r in S.simhash_near_dup(docs, "doc_id", "text",
+                                           max_hamming=k,
+                                           blocks=b).collect()}
+        assert got == base, f"blocks={b} changed the result set"
+    with pytest.raises(ValueError, match="blocks"):
+        S.simhash_near_dup(docs, "doc_id", "text", max_hamming=3,
+                           blocks=3)
+
+
+def test_winnow_max_df_cap(spark, docs):
+    """The boilerplate-fingerprint cap: (1) no-op on the fixtures
+    (every df sits far below the default 1000) — capped and uncapped
+    results are identical; (2) with a cap below the corpus's hottest
+    fingerprint df, pairs nominated ONLY by that fingerprint drop and
+    n_shared counts sub-cap fingerprints only, matching a brute-force
+    twin that applies the same df filter."""
+    base = {(r.id_a, r.id_b, r.n_shared)
+            for r in S.winnow_near_dup(docs, "doc_id", "text", k=5,
+                                       window=4, min_shared=2,
+                                       max_df=None).collect()}
+    capped = {(r.id_a, r.id_b, r.n_shared)
+              for r in S.winnow_near_dup(docs, "doc_id", "text", k=5,
+                                         window=4, min_shared=2).collect()}
+    assert capped == base
+    # brute-force twin with a deliberately tiny cap
+    fps = {r.id: list(r.fingerprints)
+           for r in S.winnow_fingerprints(docs, "doc_id", "text",
+                                          k=5, window=4).collect()}
+    from collections import Counter
+    df_count = Counter(f for v in fps.values() for f in set(v))
+    cap = 3
+    kept = {i: {f for f in set(v) if df_count[f] <= cap}
+            for i, v in fps.items()}
+    ids = sorted(kept)
+    expected = {(a, b, len(kept[a] & kept[b]))
+                for i, a in enumerate(ids) for b in ids[i + 1:]
+                if len(kept[a] & kept[b]) >= 2}
+    got = {(r.id_a, r.id_b, r.n_shared)
+           for r in S.winnow_near_dup(docs, "doc_id", "text", k=5,
+                                      window=4, min_shared=2,
+                                      max_df=cap).collect()}
+    assert got == expected
+    assert max(df_count.values()) > cap, "cap must bind for this gate"
+
+
+def test_containment_methods_identical(spark, docs):
+    """The asymmetric prefix filter is candidate PRUNING only: all
+    three methods must return the identical pair set with identical
+    counts (prefix theorem completeness: |A∩B| ≥ ⌈τ|A|⌉ forces a match
+    inside the smaller set's rarest |A|−⌈τ|A|⌉+1 against the larger's
+    full set; the positional bound only discards pairs that cannot
+    reach α; the verify is exact)."""
+    def norm(rows):
+        return sorted((r.id_a, r.id_b, r.size_a, r.size_b,
+                       r.n_common, round(r.containment, 9))
+                      for r in rows)
+    base = norm(S.containment_join(docs, "doc_id", "text", n=3,
+                                   threshold=0.6,
+                                   method="allpairs").collect())
+    S.release_persisted()
+    assert base, "fixture should contain contained near-dups"
+    for m in ("prefix", "prefix-exact"):
+        got = norm(S.containment_join(docs, "doc_id", "text", n=3,
+                                      threshold=0.6, method=m).collect())
+        S.release_persisted()
+        assert got == base, f"method={m} diverged from allpairs"
+    # a low threshold exercises long prefixes and the α=0 boundary
+    lo = norm(S.containment_join(docs, "doc_id", "text", n=3,
+                                 threshold=0.05,
+                                 method="allpairs").collect())
+    S.release_persisted()
+    lp = norm(S.containment_join(docs, "doc_id", "text", n=3,
+                                 threshold=0.05,
+                                 method="prefix").collect())
+    S.release_persisted()
+    assert lp == lo
+    with pytest.raises(ValueError, match="method"):
+        S.containment_join(docs, "doc_id", "text", method="bogus")
