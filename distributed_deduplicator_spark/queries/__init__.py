@@ -101,9 +101,14 @@ _ROTATION_HEAD = [
     "timeseries_gapfill", "token_budget_pack", "train_test_split_hash",
     "user_event_journey", "window_fill_forward", "window_lag_lead",
     "winnow_near_dup_pairs",
-    # r5-banked reference-core dedup/relational refresh (oldest green
-    # evidence after the r4 tail clears this round)
-    "dedup_first_wins", "dedup_arbitrate_ledger", "filter_project",
+    # late round-8 plan change (containment's asymmetric prefix filter
+    # became the default): takes the lowest-priority stale slot —
+    # filter_project (r5-banked, code unchanged, full-drive-covered)
+    # yields per the plan-changed-beats-stale-refresh policy
+    "containment_ngram_pairs",
+    # r5-banked reference-core dedup refresh (oldest green evidence
+    # after the r4 tail clears this round)
+    "dedup_first_wins", "dedup_arbitrate_ledger",
 ]
 
 
