@@ -154,12 +154,14 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str,
     kept subset a uniform sample of the group, not its head.
 
     Two-phase exact top-cap, not one window: a single window partition
-    per group serializes the HOTTEST group onto one task's sort — the
-    precise shape this operator exists to defend against (one crawl
-    host with 10¹⁰ pages = one 10¹⁰-row sort). Phase 1 splits each
-    group into ``salts`` deterministic hash buckets and keeps each
-    bucket's ``cap`` smallest; phase 2 ranks the ≤ cap·salts survivors
-    per group — bounded regardless of group size. Output-identical to
+    per group serializes the HOTTEST group onto one task's sort.
+    Phase 1 splits each group into ``salts`` deterministic hash
+    buckets and keeps each bucket's ``cap`` smallest — the hottest
+    task now sorts |group|/salts rows (a salts× mitigation, sized by
+    the caller to the expected skew; the phase itself stays a plain
+    hash shuffle, so raising salts costs nothing but bucket count);
+    phase 2 ranks the ≤ cap·salts survivors per group — THAT side is
+    bounded regardless of group size. Output-identical to
     the naive window: a row dropped in phase 1 has > cap smaller rows
     in its own bucket (all globally smaller too), so its true rank
     exceeds cap; and any survivor ranked ≤ cap in phase 2 has ALL its

@@ -919,7 +919,12 @@ def winnow_near_dup(df: DataFrame, id_col: str, text_col: str,
     analytics only). Fixture dfs sit far below the default cap, so
     results there are identical with or without it (gated in
     tests/test_similarity.py)."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    # per-doc linear table with 3-4 consumers (df count + both
+    # self-join sides) — persist it so the tokenize→gram-hash→window-
+    # min pipeline runs once, not per consumer (same rationale as
+    # _rarity_ordered; released by the caller via release_persisted())
+    fp = _tracked_persist(winnow_fingerprints(df, id_col, text_col,
+                                              k, window))
     ex = fp.select("id", F.explode("fingerprints").alias("fp"))
     if max_df is not None:
         hot = (ex.groupBy("fp").agg(F.count("*").alias("_df"))
@@ -1336,12 +1341,26 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
     """
     k = max_hamming
     if blocks is None:
+        # module sizing convention (_corpus_size_for_sizing): pass n
+        # from catalog stats, or pay one loudly-warned count(). The
+        # safe-at-scale default matters MORE here than laziness — an
+        # unknown-n fallback to the k+1 split would be the quadratic
+        # blowup this auto-sizing exists to prevent.
         blocks = _simhash_blocks(
             k, _corpus_size_for_sizing(df, n, "simhash_near_dup"))
     if not (k < blocks <= 64):
         raise ValueError(
             f"simhash_near_dup: need max_hamming < blocks <= 64, got "
             f"blocks={blocks}, max_hamming={k}")
+    if math.comb(blocks, min(k, blocks)) > _SIMHASH_MAX_TABLES:
+        # an explicit split must obey the same table ceiling the auto
+        # path enforces: C(40, 20) combination tuples would hang the
+        # DRIVER at plan build, long before any Spark job
+        raise ValueError(
+            f"simhash_near_dup: C(blocks={blocks}, k={k}) = "
+            f"{math.comb(blocks, min(k, blocks))} join tables exceeds "
+            f"the {_SIMHASH_MAX_TABLES}-table ceiling — lower blocks "
+            "or raise max_hamming granularity")
     base_w = 64 // blocks
     sig = simhash64(df, id_col, text_col)
 

@@ -48,7 +48,7 @@ from distributed_deduplicator_spark.queries import dedup_queries  # noqa: F401,E
 from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 
 # Round-8 verification rotation (see VERIFIED.md for the cross-round
-# ledger). The first 50 names are pinned (1 + 8 + 38 + 3): the ONE
+# ledger). The first 50 names are pinned (1 + 8 + 38 + 1 + 2): the ONE
 # query that has never had a driver correctness row (exactsubstr_prune,
 # added after the r07 window was pinned — its green row closes the
 # ledger at 179/179), the EIGHT queries whose executed plans changed in
@@ -65,17 +65,23 @@ from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 # partitions. ann_ivf_topk's new candidate cap does NOT bind at the
 # driver SF, so its r7-green executed plan is unchanged), the 38
 # queries whose newest driver row is round 3/4 — the staleness tail
-# (agg_distinct r3 plus every r4-banked row, which includes the other
-# three tuned streaming drains: stream_enrich_counts /
-# stream_session_windows / stream_sliding_counts), and 3 of the
+# (agg_distinct r3 plus every r4-banked row; NOTE for the r09
+# rotation: several tail rows are ALSO late-round-8 plan changes, not
+# just staleness refreshes — the other three tuned streaming drains
+# (stream_enrich_counts / stream_session_windows /
+# stream_sliding_counts), the scale-defaults audit's
+# simhash_near_dup_pairs / winnow_near_dup_pairs / near_dup_ensemble
+# (block-combination keys, max_df anti-join) and source_cap_sample
+# (salted two-phase cap) — treat their r08 rows as plan-changed
+# evidence, not unchanged-code banking — plus containment_ngram_pairs
+# near the window close (asymmetric prefix default), and 2 of the
 # r5-banked reference-core dedup rows (oldest green evidence after
-# the r4 tail clears; the other four r5 rows — dedup_incremental,
-# filter_project's relational siblings agg_global / join_star_revenue
-# / pricing_summary — yield their slots to the plan-changed streaming
-# drains and stay covered by the round's full local drive).
-# Everything after the window keeps module registration order. Update
-# this list each round as the window rotates; an unknown name fails
-# import.
+# the r4 tail clears; the other five r5 rows — dedup_incremental,
+# filter_project, agg_global, join_star_revenue, pricing_summary —
+# yield their slots to plan-changed queries and stay covered by the
+# round's full local drives). Everything after the window keeps
+# module registration order. Update this list each round as the
+# window rotates; an unknown name fails import.
 _ROTATION_HEAD = [
     # never driver-verified (round-7 post-pin addition)
     "exactsubstr_prune",

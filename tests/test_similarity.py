@@ -771,3 +771,12 @@ def test_containment_methods_identical(spark, docs):
     assert lp == lo
     with pytest.raises(ValueError, match="method"):
         S.containment_join(docs, "doc_id", "text", method="bogus")
+
+
+def test_simhash_explicit_blocks_table_ceiling(spark, docs):
+    """An explicit block split must obey the same table ceiling the
+    auto path enforces — C(40, 20) combination tuples would hang the
+    driver at plan build before any Spark job runs."""
+    with pytest.raises(ValueError, match="ceiling"):
+        S.simhash_near_dup(docs, "doc_id", "text", max_hamming=20,
+                           blocks=40)
