@@ -769,10 +769,23 @@ def ivf_index_add(emb_new: DataFrame, index_dir: str, dim: int = 64,
     # self-healing any stale manifest a prior crashed add left behind.
     # Remote indexes (no local footers) fall back to manifest +
     # observed batch; with neither, sizing stays explicit.
+    # OSError covers missing dirs (FileNotFoundError) and Arrow IO
+    # errors; ValueError covers pyarrow's ArrowInvalid on a truncated
+    # part file — e.g. debris of the very crash this refresh exists to
+    # repair. Either way the member APPEND above already succeeded, so
+    # a footer-read failure must degrade to the manifest fallback (with
+    # a warning), never abort the completed add.
     try:
         nlist = _parquet_dir_row_count(f"{index_dir}/centroids")
         nmembers = _parquet_dir_row_count(f"{index_dir}/members")
-    except FileNotFoundError:
+    except (OSError, ValueError) as exc:
+        if not isinstance(exc, FileNotFoundError):
+            import warnings
+            warnings.warn(
+                f"ivf_index_add: footer refresh under {index_dir!r} "
+                f"failed ({type(exc).__name__}: {exc}); falling back "
+                "to the manifest sidecar — the append itself succeeded",
+                RuntimeWarning, stacklevel=2)
         try:
             row = spark.read.parquet(f"{index_dir}/manifest").head()
         except Exception:  # noqa: BLE001 — no manifest either

@@ -90,8 +90,19 @@ def drain_shuffle_partitions(spark: SparkSession, sf_dir: str,
     the session setting is unavailable, e.g. remote fixture dirs —
     sizing is an optimization, never a requirement.
     """
+    def _source_bytes(path: str) -> int:
+        # a fixture table may be a Spark-written DIRECTORY of part
+        # files; getsize on a directory returns the inode size (~4 KB),
+        # which would silently collapse every drain to the floor count —
+        # sum the contained files instead
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path) for f in files)
+        return os.path.getsize(path)
+
     try:
-        total = sum(os.path.getsize(f"{sf_dir}/{t}.parquet")
+        total = sum(_source_bytes(f"{sf_dir}/{t}.parquet")
                     for t in tables)
         session = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (OSError, TypeError, ValueError):
@@ -127,14 +138,19 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
     eviction; eviction is irrelevant to a drained query's output. It
     is therefore safe exactly when emitted rows never wait on the
     watermark: inner stream joins, dropDuplicates(WithinWatermark),
-    timeout-free (apply|transform)InPandasWithState, and any
-    complete/update-mode sink. The append-mode shapes that DO defer
-    emission to watermark/timeout advance — streaming aggregates,
-    outer/anti stream joins, stateful operators with a registered
-    timeout — are rejected here (enforced, not just documented: a
-    rows-only caller would otherwise get a silently empty/partial
-    drain). Equality of the legal classes against their batch twins
-    and the rejections are pinned in tests/test_streaming_sinks.py.
+    timeout-free (apply|transform)InPandasWithState, any complete-mode
+    sink, and timeout-free update-mode sinks. The shapes that DO defer
+    emission to watermark/timeout advance are rejected here (enforced,
+    not just documented: a rows-only caller would otherwise get a
+    silently empty/partial drain): in append mode, streaming
+    aggregates, outer/anti stream joins, and stateful operators with a
+    registered timeout; in update mode, the stateful-timeout shape
+    alone (its timed-out groups still emit in LATER batches, while
+    update-mode aggregates and joins emit every change as it happens,
+    so they stay legal). Complete mode re-emits the full result each
+    batch — nothing defers. Equality of the legal classes against
+    their batch twins and the rejections are pinned in
+    tests/test_streaming_sinks.py.
 
     ``shuffle_partitions`` (see drain_shuffle_partitions) bounds the
     per-micro-batch state-store fan-out for the duration of this drain;
@@ -143,15 +159,18 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
     """
     if output_mode not in ("append", "complete", "update"):
         raise ValueError(f"unsupported output_mode: {output_mode!r}")
-    if not no_data_batch and output_mode == "append":
-        # Three append-mode shapes defer emission to watermark/timeout
-        # advance, which under availableNow happens in the trailing
-        # no-data batch — skipping it silently drops their final rows:
-        # streaming aggregates (windowed/session groupBy emit a window
-        # only once the watermark passes it), outer/anti stream joins
+    if not no_data_batch and output_mode in ("append", "update"):
+        # Shapes that defer emission to watermark/timeout advance —
+        # which under availableNow happens in the trailing no-data
+        # batch — would silently drop their final rows if it is
+        # skipped. In APPEND mode three shapes defer: streaming
+        # aggregates (windowed/session groupBy emit a window only once
+        # the watermark passes it), outer/anti stream joins
         # (null-padded / anti matches emit on state eviction), and
         # stateful operators with a registered timeout (timed-out
-        # groups emit in later batches). Match the NODES in the
+        # groups emit in later batches). In UPDATE mode only the
+        # stateful-timeout shape defers — update-mode aggregates and
+        # joins emit each change as it happens. Match the NODES in the
         # analyzed plan, each requiring the ~ streaming marker — a
         # static-side Aggregate (e.g. a pre-aggregated dimension joined
         # onto the stream) prints WITHOUT ~ and is emission-safe, and a
@@ -159,20 +178,31 @@ def run_stream_to_df(stream_df: DataFrame, spark: SparkSession,
         # ~Join LeftOuter over a STATIC right side is also rejected
         # (conservative: the text form can't cheaply distinguish it
         # from stream-stream) — such callers keep the default.
+        # The timeout alternation matches BOTH spellings: the classic
+        # GroupStateTimeout names (ProcessingTimeTimeout /
+        # EventTimeTimeout, printed by FlatMapGroupsWithState /
+        # applyInPandasWithState) AND the bare TimeMode names
+        # (ProcessingTime / EventTime) that Spark 4.1's
+        # TransformWithState nodes print — the \b keeps NoTime and
+        # column names like eventTimeCol from matching. Timeout forms
+        # are listed first so the longer token wins.
         plan = stream_df._jdf.queryExecution().analyzed().toString()
-        deferred = (
+        timeout_shape = (
+            r"~\w*(?:FlatMapGroups|TransformWithState)\w*"
+            r"[^\n]*(?:ProcessingTimeTimeout|EventTimeTimeout"
+            r"|ProcessingTime\b|EventTime\b)")
+        deferred = timeout_shape if output_mode == "update" else (
             r"(?m)^[\s+:\-]*~Aggregate\b"
             r"|^[\s+:\-]*~Join (LeftOuter|RightOuter|FullOuter|LeftAnti)\b"
-            r"|~\w*(?:FlatMapGroups|TransformWithState)\w*"
-            r"[^\n]*(?:ProcessingTimeTimeout|EventTimeTimeout)")
+            r"|" + timeout_shape)
         if re.search(deferred, plan):
             raise ValueError(
-                "no_data_batch=False with an append-mode shape whose "
-                "emission waits on the watermark or a timeout "
-                "(streaming aggregate, outer/anti stream join, or "
-                "stateful timeout): its final rows are only emitted by "
-                "the trailing watermark batch — drain with the "
-                "default, or use complete/update mode")
+                "no_data_batch=False with a shape whose emission waits "
+                "on the watermark or a timeout (append-mode streaming "
+                "aggregate / outer or anti stream join, or a stateful "
+                "timeout in append or update mode): its final rows are "
+                "only emitted by the trailing watermark batch — drain "
+                "with the default no_data_batch, or use complete mode")
     out = scratch_dir("stream_result")
     # pre-create: a drain that schedules ZERO micro-batches (possible
     # for an empty source in foreachBatch mode) would otherwise leave

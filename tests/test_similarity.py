@@ -666,6 +666,35 @@ def test_ivf_index_add_repairs_stale_manifest(spark, emb, tmp_path):
     assert got == S._parquet_dir_row_count(f"{idx}/members")
 
 
+def test_ivf_index_add_footer_parse_error_falls_back(
+        spark, emb, tmp_path):
+    """A truncated part file in members/ (debris of the crash scenario
+    the refresh exists to repair) must not abort ivf_index_add after
+    the member append already succeeded: the footer refresh falls back
+    to manifest + observed batch with a warning (ADVICE r8)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+    idx = str(tmp_path / "ivf")
+    n = emb.count()
+    S.ivf_index_build(emb, idx, n=n)
+    S.release_persisted()
+    before = spark.read.parquet(f"{idx}/manifest").head()["nmembers"]
+    assert before == n
+    # plant a corrupt footer: pyarrow raises (not FileNotFoundError)
+    with open(f"{tmp_path}/ivf/members/zzz_corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+    batch = (emb.where(F.col("vec_id") % 13 == 0)
+                .withColumn("vec_id", F.col("vec_id") + 3_000_000))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        S.ivf_index_add(batch, idx)   # must not raise
+    assert any("footer refresh" in str(w.message) for w in caught)
+    # manifest advanced by the observed batch from the pre-add count
+    got = spark.read.parquet(f"{idx}/manifest").head()["nmembers"]
+    assert got == n + batch.count()
+
+
 def test_simhash_blocks_autosize_and_equality(spark, docs):
     """Manku-style block generalization: (1) the auto-sizer keeps the
     classic k+1 split while it's affordable and widens the effective

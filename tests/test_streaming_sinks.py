@@ -431,3 +431,129 @@ def test_no_data_batch_guard_scope(spark, sf_dir):
     with pytest.raises(ValueError, match="no_data_batch"):
         run_stream_to_df(ttl_dedup_stateful(ev, 60, evict_state=True),
                          spark, no_data_batch=False)
+
+
+def test_no_data_batch_rejects_tws_timers(spark, sf_dir):
+    """A transformWithState plan with timers registered (timeMode =
+    processingTime) defers its timer emissions past the last data
+    batch, so no_data_batch=False must reject it — in BOTH append and
+    update mode. Spark prints TWS's TimeMode as bare ProcessingTime /
+    EventTime (not the GroupStateTimeout spellings), which is exactly
+    the spelling gap ADVICE r8 flagged. Plan-build needs no protobuf,
+    so this runs everywhere. The timer-free TWS plan (timeMode=none)
+    must stay legal at guard level (it fails later only where protobuf
+    is absent, which is a capability gate, not the guard's business)."""
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        events_stream, run_stream_to_df)
+    from distributed_deduplicator_spark.streaming.stateful import (
+        ttl_dedup_tws, tws_available)
+
+    ev = events_stream(spark, sf_dir)
+    timed = ttl_dedup_tws(ev, 60, evict_state=True)
+    with pytest.raises(ValueError, match="no_data_batch"):
+        run_stream_to_df(timed, spark, no_data_batch=False)
+    with pytest.raises(ValueError, match="no_data_batch"):
+        run_stream_to_df(timed, spark, output_mode="update",
+                         no_data_batch=False)
+    if not tws_available():
+        # guard-level legality of the timer-free plan: the rejection
+        # must come from the state runtime (protobuf), NOT the guard
+        untimed = ttl_dedup_tws(ev, 60, evict_state=False)
+        with pytest.raises(Exception) as exc_info:
+            run_stream_to_df(untimed, spark, no_data_batch=False)
+        assert "no_data_batch" not in str(exc_info.value)
+
+
+def test_no_data_batch_update_mode_scope(spark, sf_dir):
+    """Update mode with no_data_batch=False: a stateful operator with
+    a registered timeout is rejected (its timed-out groups emit in
+    LATER batches even in update mode), while an update-mode streaming
+    aggregate stays legal — it emits each change as it happens, so the
+    trailing watermark batch adds nothing."""
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        run_stream_to_df, stream_windowed_counts)
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        events_stream)
+    from distributed_deduplicator_spark.streaming.stateful import (
+        ttl_dedup_stateful)
+
+    with pytest.raises(ValueError, match="no_data_batch"):
+        run_stream_to_df(
+            ttl_dedup_stateful(events_stream(spark, sf_dir), 60,
+                               evict_state=True),
+            spark, output_mode="update", no_data_batch=False)
+
+    agg = stream_windowed_counts(spark, sf_dir)
+    got = run_stream_to_df(agg, spark, output_mode="update",
+                           no_data_batch=False, shuffle_partitions=4)
+    # one availableNow batch → the update drain equals the final result
+    want = run_stream_to_df(stream_windowed_counts(spark, sf_dir),
+                            spark, output_mode="complete",
+                            shuffle_partitions=4)
+    assert _same(got, want)
+
+
+def test_drain_shuffle_partitions_directory_source(spark, sf_dir,
+                                                   tmp_path):
+    """A fixture table that is a Spark-written DIRECTORY must size by
+    the sum of its part files, not the directory inode (~4 KB, which
+    would silently collapse every drain to the floor)."""
+    from distributed_deduplicator_spark.streaming.dedup_stream import (
+        _DRAIN_BYTES_PER_PARTITION, drain_shuffle_partitions)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dir_sf = str(tmp_path / "dirsf")
+    ev.repartition(8).write.parquet(f"{dir_sf}/events.parquet")
+
+    import os
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _d, files in os.walk(f"{dir_sf}/events.parquet")
+        for f in files)
+    want = max(4, -(-total // _DRAIN_BYTES_PER_PARTITION))
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert drain_shuffle_partitions(spark, dir_sf, "events") == \
+        min(session, want)
+    # floor semantics survive the directory path
+    assert drain_shuffle_partitions(spark, dir_sf, "events",
+                                    floor=session) == session
+
+
+def test_ttl_verdicts_matches_naive_loop():
+    """The searchsorted jump kernel must equal the row-at-a-time TTL
+    recurrence on arbitrary sorted inputs, ttls, and carried state —
+    including ttl=0 (everything accepted) and heavy ties."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from distributed_deduplicator_spark.streaming.stateful import (
+        _ttl_verdicts)
+
+    def naive(ts_us, last_us, ttl_us):
+        verdicts = []
+        for t_us in ts_us:
+            t_us = int(t_us)
+            if last_us is None or t_us - last_us >= ttl_us:
+                verdicts.append("SUCCESS")
+                last_us = t_us
+            else:
+                verdicts.append("DUPLICATE")
+        return verdicts, last_us
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.lists(st.integers(min_value=0, max_value=300),
+                    max_size=60),
+        ttl=st.integers(min_value=0, max_value=100),
+        last=st.one_of(st.none(),
+                       st.integers(min_value=-50, max_value=300)),
+    )
+    def check(ts, ttl, last):
+        arr = np.sort(np.asarray(ts, dtype="int64"))
+        got_v, got_last = _ttl_verdicts(arr, last, ttl)
+        want_v, want_last = naive(arr, last, ttl)
+        assert got_v == want_v
+        assert got_last == want_last
+
+    check()
