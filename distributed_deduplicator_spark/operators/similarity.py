@@ -1533,7 +1533,7 @@ def pq_query_tables(unit: DataFrame, codebooks: DataFrame, m: int,
 
 
 def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
-                   nprobe: int | None = None, m: int = 16, ksub: int = 16,
+                   nprobe: int | None = None, m: int = 32, ksub: int = 16,
                    rerank: int | None = None, id_col: str = "vec_id",
                    vec_col: str = "embedding", dim: int = 64,
                    n: int | None = None, residual: bool = False,
@@ -1559,11 +1559,27 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     dominates once n passes ~10⁵ (n=100k/nlist=316 → 6 probes, not
     75), bounding both the per-list ADC gather and the number of 2 KB
     qtab replicas each query ships; pass ``nprobe`` explicitly to
-    trade wire volume for recall. ``m=16`` (4-dim subspaces): at m=8
-    the ADC quantization error ate the IVF candidate recall the lists
-    had paid for (drive recall@5 0.35 vs the 0.47 IVF ceiling at
-    sf0.01) — doubling the subspaces doubles code bytes (still 4×
-    smaller than the vectors) and closes most of that gap.
+    trade wire volume for recall. ``m=32`` (2-dim subspaces): each m
+    doubling halves the per-subspace quantization error that ate the
+    IVF candidate recall the lists had paid for (drive recall@5 at
+    sf0.01: m=8 0.35 → m=16 0.767 → m=32 0.778 — the IVF list
+    ceiling itself; sf0.1: m=16 0.693 → m=32 0.757, clearing the 0.7
+    line the other ANN paths hold at bench scale). Codes are m·4 bits
+    = 16 bytes/vector, still a 16× traffic cut vs the 64-double
+    vectors, and the encode scan is m-INDEPENDENT (n·ksub·dim
+    multiply-adds), so the costs that double are only the broadcast
+    codebook (512 tiny rows), the per-query table (4 KB), and the
+    per-candidate ADC gather — measured wall at sf0.1 actually FELL
+    (18.6 → 16.5 s, the better shortlist converges the re-rank
+    window). The SAME-BUDGET alternative (m=32, ksub=4 — 8 bytes)
+    measured WORSE than m=16 at both SFs (0.760/0.676): on
+    near-uniform fixtures, 4 codewords in a 2-dim subspace is too
+    coarse — finer subspaces only pay when the per-subspace codebook
+    keeps its resolution. An OPQ-style rotation (Ge et al. CVPR'13)
+    was considered and NOT taken: its gain comes from decorrelating
+    subspaces, and these fixtures are isotropic by construction — the
+    rotation has nothing to decorrelate (the same reasoning the
+    residual path's measured inversion confirmed empirically).
 
     ``rerank=None`` → 16·k: on low-contrast corpora the ADC shortlist
     is the recall bottleneck, and deepening the EXACT re-rank pass is

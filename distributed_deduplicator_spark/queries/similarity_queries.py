@@ -347,13 +347,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivfpq_topk")  # rows-only: approximate by construction
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors approximate top-5 via IVF-PQ two-stage retrieval:
-    IVF lists prune candidates, 16×16 Lloyd-refined
+    IVF lists prune candidates, 32×16 Lloyd-refined
     product-quantization codes score them by ADC lookup (codes travel
     through the candidate join, never vectors), exact re-rank of the
     ADC top-16k. The memory-bound ANN shape for corpora whose vectors
     don't fit executor memory. Recall vs brute force asserted in
-    tests/test_similarity.py (0.77 at the gate SF, 98.6% of the IVF
-    list ceiling)."""
+    tests/test_similarity.py (0.778 at the gate SF — the IVF list
+    ceiling itself — and 0.757 at sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_ivfpq_topk(emb, k=_TOPK,
                             n=table_row_count(sf_dir, "embeddings"))

@@ -186,3 +186,45 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def plant_clone_families(docs: DataFrame, n_families: int = 100,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         id_offset: int = 10_000_000) -> DataFrame:
+    """Augment a documents table with deterministic near-duplicate
+    clone FAMILIES, for quality-gate measurement (drive + pytest).
+
+    The synthetic fixtures carry only ~25 organic near-dup pairs at
+    the sf0.01 gate scale — a precision/recall gate over a truth set
+    that small can barely fail, which is weak evidence for the
+    MinHash/ensemble operators. This helper plants ``n_families``
+    families (a hash-sampled base doc plus two token-dropped clones:
+    every 8th token and every 9th token removed), yielding ~3
+    verifiable pairs per family with 3-gram Jaccard comfortably above
+    the 0.35 registry threshold but well below 1.0 — the regime the
+    banding S-curve is supposed to catch. Everything derives from
+    xxhash64 orderings and fixed drop strides: same corpus in, same
+    clones out, any partitioning.
+
+    Clone ids are base id + ``id_offset`` (and 2×) — callers on
+    fixture corpora (ids ≪ 10^7) get collision-free families. Truth is
+    NOT returned: the caller computes it with the exact Jaccard join
+    over the augmented corpus, so the gate measures the operator
+    against ground truth, never against this helper's intent.
+    """
+    base = (docs.withColumn("_h", F.xxhash64(F.col(id_col), F.lit(17)))
+                .orderBy("_h", id_col).limit(n_families)
+                .select(id_col, text_col))
+
+    def dropped(stride: int, offset: int) -> DataFrame:
+        toks = F.split(F.col(text_col), r"\s+")
+        kept = F.filter(toks, lambda x, i: i % stride != 0)
+        return base.select(
+            (F.col(id_col) + offset).alias(id_col),
+            F.array_join(kept, " ").alias(text_col))
+
+    clones = dropped(8, id_offset).unionByName(dropped(9, 2 * id_offset))
+    # keep only the two columns the similarity operators read; callers
+    # needing other columns join them back from the original table
+    return docs.select(id_col, text_col).unionByName(clones)

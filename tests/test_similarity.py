@@ -39,6 +39,42 @@ def test_minhash_precision_and_recall(spark, docs):
         assert recall >= 0.8, f"strong-pair recall {recall}"
 
 
+def test_minhash_recall_on_planted_clone_families(spark, docs):
+    """P/R gate over a truth set DENSE enough to fail: the fixtures
+    carry only ~25 organic near-dup pairs at the gate SF, so the
+    corpus is augmented with 100 deterministic clone families (~300
+    extra true pairs in the 0.4-0.6 Jaccard band — the regime where
+    the 16x4 banding S-curve neither catches everything nor nothing).
+    Truth is the exact Jaccard join over the augmented corpus, never
+    the planting intent — and the recall bar is the S-CURVE
+    EXPECTATION computed from each truth pair's exact Jaccard
+    (collision prob 1-(1-j^4)^16), so the gate fails BOTH ways: a
+    banding regression (broken band key, dropped table) undershoots
+    it, and an impossibly-good result (e.g. candidate generation
+    quietly gone all-pairs) overshoots it. Measured at sf0.01:
+    recall 0.768 vs expectation 0.715."""
+    from distributed_deduplicator_spark.sources.fixtures import (
+        plant_clone_families)
+    aug = plant_clone_families(docs, n_families=100)
+    truth = S.jaccard_similarity_join(
+        aug, "doc_id", "text", n=3, threshold=THRESH).collect()
+    S.release_persisted()
+    assert len(truth) >= 200, f"planted truth too thin: {len(truth)}"
+    exact = {(r.id_a, r.id_b) for r in truth}
+    expected = sum(1 - (1 - r.jaccard ** 4) ** 16
+                   for r in truth) / len(truth)
+    approx = {(r.id_a, r.id_b)
+              for r in S.minhash_near_dup(
+                  aug, "doc_id", "text", n=3, num_hashes=64, bands=16,
+                  rows=4, threshold=THRESH).collect()}
+    S.release_persisted()
+    # exact-verify step => precision stays 1.0 even on planted clones
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert expected - 0.10 <= recall <= min(1.0, expected + 0.15), \
+        f"planted-clone recall {recall:.4f} vs S-curve {expected:.4f}"
+
+
 def test_simhash_similar_docs_close(spark, docs):
     sig = S.simhash64(docs, "doc_id", "text")
     n = sig.count()
@@ -159,11 +195,13 @@ def test_ivfpq_recall_and_exact_rerank(spark, emb):
     rows = approx.collect()
     approx_pairs = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
-    # round-8 defaults (Lloyd-refined codebooks + 16·k exact rerank):
-    # measured 0.767 at sf0.01 — 98.6% of the 0.778 IVF list ceiling
-    # (0.693 at sf0.1 vs its 0.759 ceiling); was 0.574 under the
-    # round-7 raw-seed/4·k defaults and 0.35 at round-6's nprobe=4/m=8.
-    assert recall >= 0.7, f"IVF-PQ recall {recall}"
+    # round-9 default m=32 (2-dim subspaces): measured 0.778 at sf0.01
+    # — the IVF list ceiling itself — and 0.757 at sf0.1 (vs its 0.759
+    # ceiling); m=16 was 0.767/0.693, the round-7 raw-seed/4·k
+    # defaults 0.574, round-6's nprobe=4/m=8 0.35. The same-budget
+    # m=32/ksub=4 variant measured WORSE than m=16 (0.760/0.676) and
+    # was not taken.
+    assert recall >= 0.72, f"IVF-PQ recall {recall}"
     ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
     for r in rows:
         if (r.query_id, r.neighbor_id) in ex:
