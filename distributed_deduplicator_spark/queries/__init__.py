@@ -47,74 +47,64 @@ from distributed_deduplicator_spark.queries import text_queries  # noqa: F401,E4
 from distributed_deduplicator_spark.queries import dedup_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 
-# Round-8 verification rotation (see VERIFIED.md for the cross-round
-# ledger). The first 50 names are pinned (1 + 8 + 38 + 1 + 2): the ONE
-# query that has never had a driver correctness row (exactsubstr_prune,
-# added after the r07 window was pinned — its green row closes the
-# ledger at 179/179), the EIGHT queries whose executed plans changed in
-# round 8 (ann_lsh_topk: n-scaled table count + target_bucket=128;
-# ann_ivfpq_topk: Lloyd-refined codebooks + 16·k rerank + qc-carrying
-# probes; ann_ivf_persisted_topk: manifest sidecar + observed member
-# write in the build, capped auto-nprobe in the query path;
-# dup_span_stats: Spark side factored onto the shared
-# operators/pipeline.dup_span_stats_df kernel; and the four streaming
-# drains not already in the r4 tail below — stream_dedup_watermark /
-# stream_windowed_counts / stream_ttl_dedup_stateful /
-# stream_stream_attribution — whose availableNow drain now runs
-# without the trailing no-data batch on source-sized shuffle
-# partitions. ann_ivf_topk's new candidate cap does NOT bind at the
-# driver SF, so its r7-green executed plan is unchanged), the 38
-# queries whose newest driver row is round 3/4 — the staleness tail
-# (agg_distinct r3 plus every r4-banked row; NOTE for the r09
-# rotation: several tail rows are ALSO late-round-8 plan changes, not
-# just staleness refreshes — the other three tuned streaming drains
-# (stream_enrich_counts / stream_session_windows /
-# stream_sliding_counts), the scale-defaults audit's
-# simhash_near_dup_pairs / winnow_near_dup_pairs / near_dup_ensemble
-# (block-combination keys, max_df anti-join) and source_cap_sample
-# (salted two-phase cap) — treat their r08 rows as plan-changed
-# evidence, not unchanged-code banking — plus containment_ngram_pairs
-# near the window close (asymmetric prefix default), and 2 of the
-# r5-banked reference-core dedup rows (oldest green evidence after
-# the r4 tail clears; the other five r5 rows — dedup_incremental,
-# filter_project, agg_global, join_star_revenue, pricing_summary —
-# yield their slots to plan-changed queries and stay covered by the
-# round's full local drives). Everything after the window keeps
-# module registration order. Update this list each round as the
-# window rotates; an unknown name fails import.
+# Round-9 verification rotation (see VERIFIED.md for the cross-round
+# ledger; the retired round-8 window is recorded there). The first 50
+# names are pinned (2 + 39 + 9):
+# - the TWO queries whose code changed in round 9: ann_ivfpq_topk
+#   (default m 16 → 32 — 2-dim subspaces; recall@5 0.757 at sf0.1,
+#   clearing the 0.7 line, executed plan differs in the codebook/
+#   qtab/ADC widths) and stream_ttl_dedup_stateful (the stateful fn
+#   body rewritten onto the numpy lexsort + searchsorted jump kernel
+#   — same logical plan, different Python in the stateful operator,
+#   re-windowed under the changed-code rule; identity property- and
+#   parity-gated locally). The round's other changes touch no
+#   registered query's executed path: the drain-guard extensions only
+#   REJECT shapes no registered drain uses, drain sizing's directory
+#   branch can't trigger on single-file fixtures, ivf_index_add's
+#   error handling is API-surface (pytest-gated), and the
+#   dedup_savings persist experiment was REVERTED (negative result,
+#   BENCH.md).
+# - the 39 queries whose newest driver row is round 5 — the entire
+#   staleness tail (after this round no query's newest evidence
+#   predates r6). Includes the five that yielded their r8 slots
+#   (dedup_incremental, filter_project, agg_global, join_star_revenue,
+#   pricing_summary).
+# - 9 round-6-banked rows: the three r6 rows-only entries first
+#   (weakest evidence class — decontaminate_bloom, hll_sketch_rollup,
+#   stream_minhash_neardup), then the streaming/sink representatives
+#   (stream_upsert_ledger, parquet_roundtrip_agg, multimodal_resize),
+#   dedup_savings_by_source (perf-investigated this round, code
+#   unchanged — the green row pins that), and two TPC-H tails
+#   (min_cost_supplier, important_part_value). The remaining 34
+#   r6-banked rows queue for r10.
+# Everything after the window keeps module registration order. Update
+# this list each round as the window rotates; an unknown name fails
+# import.
 _ROTATION_HEAD = [
-    # never driver-verified (round-7 post-pin addition)
-    "exactsubstr_prune",
-    # code changed in round 8 (executed plans differ at the gate SF)
-    "ann_lsh_topk", "ann_ivfpq_topk", "ann_ivf_persisted_topk",
-    "dup_span_stats",
-    "stream_dedup_watermark", "stream_windowed_counts",
-    "stream_ttl_dedup_stateful", "stream_stream_attribution",
-    # newest driver row r3 (agg_distinct) / r4 — staleness refresh
-    "agg_distinct",
-    "asof_join_orders", "attribution_window_join",
-    "benchmark_decontaminate", "chunk_dedup_stats", "corpus_mix_weights",
-    "cosine_topk", "dedup_within_ttl", "embedding_norm_stats",
-    "embedding_quantize_dedup", "frequent_tokens_approx",
-    "guarded_process", "multimodal_audio_windows",
-    "multimodal_content_hash", "multimodal_frame_sample",
-    "multimodal_stats", "near_dup_clusters", "near_dup_ensemble",
-    "repetition_filter", "rolling_hour_stats", "session_stats",
-    "sessionize_events", "simhash_near_dup_pairs", "source_cap_sample",
-    "stratified_sample_lang", "stream_enrich_counts",
-    "stream_session_windows", "stream_sliding_counts",
-    "text_lang_profile", "text_length_quantiles", "text_top_bigrams",
-    "timeseries_gapfill", "token_budget_pack", "train_test_split_hash",
-    "user_event_journey", "window_fill_forward", "window_lag_lead",
-    "winnow_near_dup_pairs",
-    # late round-8 plan change (containment's asymmetric prefix filter
-    # became the default): takes the lowest-priority stale slot —
-    # filter_project (r5-banked, code unchanged, full-drive-covered)
-    # yields per the plan-changed-beats-stale-refresh policy
-    "containment_ngram_pairs",
-    # r5-banked reference-core dedup refresh (oldest green evidence
-    # after the r4 tail clears this round)
-    "dedup_first_wins", "dedup_arbitrate_ledger",
+    # code changed in round 9
+    "ann_ivfpq_topk", "stream_ttl_dedup_stateful",
+    # newest driver row r5 — the staleness tail, cleared whole
+    "activity_profile_topk", "agg_approx_distinct", "agg_global",
+    "bigram_lift_topk", "chunk_sliding_windows", "dedup_incremental",
+    "dedup_rate_by_hour", "doc_dup_ngram_stats", "filter_project",
+    "forecast_revenue", "funnel_conversion", "incremental_rollup_merge",
+    "jaccard_dedup_clusters", "jaccard_keep_best", "jaccard_keep_one",
+    "jaccard_ngram_pairs", "join_star_revenue", "large_order_customers",
+    "late_shipment_counts", "local_supplier_volume", "market_share",
+    "minhash_near_dup", "multimodal_feature_neardup",
+    "multimodal_features", "pricing_summary", "product_profit_by_nation",
+    "promo_revenue", "sales_opportunity_by_nation",
+    "simhash_fingerprints", "sketch_distinct_users",
+    "small_qty_order_revenue", "table_diff_reconcile",
+    "text_fingerprint_dedup", "text_lang_id", "text_quality_filter",
+    "text_winnow_fingerprints", "top_supplier_revenue",
+    "user_state_history", "variant_shred_stats",
+    # r6-banked refresh: rows-only trio, streaming/sink reps,
+    # the perf-investigated report, two TPC-H tails
+    "decontaminate_bloom", "hll_sketch_rollup", "stream_minhash_neardup",
+    "stream_upsert_ledger", "parquet_roundtrip_agg", "multimodal_resize",
+    "dedup_savings_by_source", "min_cost_supplier",
+    "important_part_value",
 ]
 
 
