@@ -714,10 +714,14 @@ def _ivf_index_stats(spark, index_dir: str) -> tuple[int, int]:
     default works on hdfs://s3a:// index dirs instead of raising
     (pre-round-8 behavior). An index with neither (remote AND built by
     something that skipped the manifest) must size explicitly."""
+    # same exception family as ivf_index_add's refresh: OSError covers
+    # missing dirs and Arrow IO errors, ValueError covers ArrowInvalid
+    # on a truncated part file (crash debris) — either way the manifest
+    # fallback below is the right answer, not a raw parse error
     try:
         return (_parquet_dir_row_count(f"{index_dir}/centroids"),
                 _parquet_dir_row_count(f"{index_dir}/members"))
-    except FileNotFoundError:
+    except (OSError, ValueError):
         pass
     try:
         row = spark.read.parquet(f"{index_dir}/manifest").head()
@@ -1557,7 +1561,7 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     ADDITIONALLY capped so a query's expected candidate count
     (nprobe·n/nlist) stays ≤ ~2048 — the cap, not the power law,
     dominates once n passes ~10⁵ (n=100k/nlist=316 → 6 probes, not
-    75), bounding both the per-list ADC gather and the number of 2 KB
+    75), bounding both the per-list ADC gather and the number of 4 KB
     qtab replicas each query ships; pass ``nprobe`` explicitly to
     trade wire volume for recall. ``m=32`` (2-dim subspaces): each m
     doubling halves the per-subspace quantization error that ate the
@@ -1583,10 +1587,12 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
 
     ``rerank=None`` → 16·k: on low-contrast corpora the ADC shortlist
     is the recall bottleneck, and deepening the EXACT re-rank pass is
-    the cheapest lever — measured recall@5 at sf0.01: 0.616 at 4·k →
-    0.720 at 8·k → 0.767 at 16·k, i.e. 98.6% of the 0.778 IVF
-    list-candidate ceiling (sf0.1: 0.693 vs its 0.759 ceiling). The
-    re-rank join's wire bill is rerank·n skinny rows picking up two
+    the cheapest lever — the 16·k depth was established at m=16
+    (recall@5 at sf0.01: 0.616 at 4·k → 0.720 at 8·k → 0.767 at
+    16·k) and carries over unchanged to the m=32 default, where the
+    sharper ADC shortlist lifts the same re-rank to the 0.778 ceiling
+    (see the m paragraph above for the current numbers). The re-rank
+    join's wire bill is rerank·n skinny rows picking up two
     dim-double vectors, so at extreme n it is the term to tune DOWN
     (or raise ``m``) when wire, not recall, binds.
 
@@ -1617,8 +1623,9 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
         # auto nprobe, additionally capped so a query's expected
         # candidate volume (nprobe·n/nlist) stays ~2048: the cap
         # bounds both the per-list ADC gather work and — the binding
-        # wire cost — the number of 2 KB qtab replicas each query
-        # ships (one per probed list). Uncapped, ⌈nlist^0.75⌉ at
+        # wire cost — the number of m·ksub·8-byte qtab replicas (4 KB
+        # at the m=32 default) each query ships (one per probed
+        # list). Uncapped, ⌈nlist^0.75⌉ at
         # n=100k meant 75 qtab replicas × 100k queries through one
         # shuffle; the earlier declarative ADC join additionally
         # materialized a qtab per CANDIDATE row and failed the 10×

@@ -190,8 +190,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 def plant_clone_families(docs: DataFrame, n_families: int = 100,
                          id_col: str = "doc_id",
-                         text_col: str = "text",
-                         id_offset: int = 10_000_000) -> DataFrame:
+                         text_col: str = "text") -> DataFrame:
     """Augment a documents table with deterministic near-duplicate
     clone FAMILIES, for quality-gate measurement (drive + pytest).
 
@@ -207,8 +206,14 @@ def plant_clone_families(docs: DataFrame, n_families: int = 100,
     xxhash64 orderings and fixed drop strides: same corpus in, same
     clones out, any partitioning.
 
-    Clone ids are base id + ``id_offset`` (and 2×) — callers on
-    fixture corpora (ids ≪ 10^7) get collision-free families. Truth is
+    Clone ids are NEGATIVE: clone s of base b gets id −(2·b + s + 1).
+    Fixture doc ids are non-negative at every SF (the sf1 generator
+    replicates docs at +10M/+20M/… id offsets, so any positive
+    additive offset can COLLIDE with a real doc id — a duplicate
+    doc_id with a different text silently corrupts both the truth
+    join and the operator under test; measured as a spurious ±0.8%
+    P/R flip at sf1 before this scheme). Negative ids are injective
+    in (b, s) and disjoint from every corpus id by sign. Truth is
     NOT returned: the caller computes it with the exact Jaccard join
     over the augmented corpus, so the gate measures the operator
     against ground truth, never against this helper's intent.
@@ -217,14 +222,14 @@ def plant_clone_families(docs: DataFrame, n_families: int = 100,
                 .orderBy("_h", id_col).limit(n_families)
                 .select(id_col, text_col))
 
-    def dropped(stride: int, offset: int) -> DataFrame:
+    def dropped(stride: int, slot: int) -> DataFrame:
         toks = F.split(F.col(text_col), r"\s+")
         kept = F.filter(toks, lambda x, i: i % stride != 0)
         return base.select(
-            (F.col(id_col) + offset).alias(id_col),
+            (-(F.col(id_col) * 2 + slot + 1)).alias(id_col),
             F.array_join(kept, " ").alias(text_col))
 
-    clones = dropped(8, id_offset).unionByName(dropped(9, 2 * id_offset))
+    clones = dropped(8, 0).unionByName(dropped(9, 1))
     # keep only the two columns the similarity operators read; callers
     # needing other columns join them back from the original table
     return docs.select(id_col, text_col).unionByName(clones)

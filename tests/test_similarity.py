@@ -51,8 +51,10 @@ def test_minhash_recall_on_planted_clone_families(spark, docs):
     (collision prob 1-(1-j^4)^16), so the gate fails BOTH ways: a
     banding regression (broken band key, dropped table) undershoots
     it, and an impossibly-good result (e.g. candidate generation
-    quietly gone all-pairs) overshoots it. Measured at sf0.01:
-    recall 0.768 vs expectation 0.715."""
+    quietly gone all-pairs) overshoots it. Measured: 0.768 at the
+    test SF (sf0.001); the sf0.01 drive records 0.6955 vs its own
+    expectation 0.715 (LOCAL_DRIVE_r09.json quality) — both inside
+    the band, both far from the old always-1.0 gate."""
     from distributed_deduplicator_spark.sources.fixtures import (
         plant_clone_families)
     aug = plant_clone_families(docs, n_families=100)
@@ -677,6 +679,14 @@ def test_ivf_index_stats_manifest_fallback(spark, emb, tmp_path, monkeypatch):
     monkeypatch.setattr(S, "_parquet_dir_row_count", boom)
     nlist, nmembers = S._ivf_index_stats(spark, idx)
     assert nmembers == emb.count() and nlist >= 4
+    # a CORRUPT footer (pyarrow ArrowInvalid, a ValueError — crash
+    # debris) must take the same manifest fallback, not propagate
+    def corrupt(path):
+        raise ValueError(f"simulated ArrowInvalid under {path}")
+    monkeypatch.setattr(S, "_parquet_dir_row_count", corrupt)
+    nlist2, nmembers2 = S._ivf_index_stats(spark, idx)
+    assert (nlist2, nmembers2) == (nlist, nmembers)
+    monkeypatch.setattr(S, "_parquet_dir_row_count", boom)
     with _pytest.raises(FileNotFoundError, match="pass nprobe"):
         S._ivf_index_stats(spark, str(tmp_path / "nowhere"))
 

@@ -78,22 +78,60 @@ def quality_metrics(spark, sf_dir, qs) -> dict:
     # ONE linear corpus scan, and recall over 256×k edges is a tight
     # estimate (SE ≈ 1.3% at recall 0.75). The ANN queries themselves
     # still run over ALL vectors; only the measurement is sampled.
+    from distributed_deduplicator_spark.sources.fixtures import (
+        table_row_count)
     emb = load_table(spark, sf_dir, "embeddings")
     k = 5  # _TOPK in queries/similarity_queries.py
-    n_emb = emb.count()
-    sampled = n_emb > 20_000
+    n_emb = table_row_count(sf_dir, "embeddings")  # footer, no job
+    # sf0.1 (10k vectors) keeps the historical full all-pairs truth;
+    # anything larger (sf1 = 20k) samples — the all-pairs cost is
+    # n²/10⁸ interpreted-fold minutes and 20k was already a 20+ min
+    # single-task stall
+    sampled = n_emb > 10_000
     if sampled:
-        qsample = (emb.withColumn("_h", F.xxhash64(F.col("vec_id"),
-                                                   F.lit(9)))
-                      .orderBy("_h", "vec_id").limit(256).drop("_h"))
-        truth_queries = qsample
+        # Driver-side numpy ground truth: 256 hash-sampled queries ×
+        # the full corpus is one ~0.8-GFLOP float64 GEMM — milliseconds
+        # in BLAS, and exactly as exact as the distributed operator.
+        # The Spark brute-force path is NOT used here because a
+        # 256-query broadcast join over a one-split corpus file
+        # evaluates the cosine fold (ArrayAggregate, a CodegenFallback
+        # expression) interpreted on a single task — measured 20+ min
+        # at 50k vectors, the very stall that killed the r8 sf1
+        # quality tier. Ground truth for a diagnostic is the one place
+        # a driver-side compute is the right tool: |queries| is fixed
+        # at 256 and the corpus matrix (50k × 64 doubles ≈ 25 MB)
+        # collects once.
+        import numpy as np
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        # the same deterministic hash-sample the drive would plant:
+        # xxhash64(vec_id, 9) ascending — computed JVM-side so the
+        # sample matches across runs and engines
+        samp = (emb.select("vec_id",
+                           F.xxhash64(F.col("vec_id"), F.lit(9))
+                            .alias("_h"))
+                   .orderBy("_h", "vec_id").limit(256).collect())
+        sample_ids = {r.vec_id for r in samp}
+        qpos = np.searchsorted(ids, np.array(sorted(sample_ids)))
+        sims = mat[qpos] @ mat.T
+        exact = set()
+        for row_i, qid in zip(range(len(qpos)), sorted(sample_ids)):
+            s = sims[row_i].copy()
+            s[np.searchsorted(ids, qid)] = -np.inf  # no self-match
+            # top-k by (cosine desc, neighbor_id asc) — the operator's
+            # tie-break; lexsort on (-s, ids) gives exactly that
+            top = np.lexsort((ids, -s))[:k]
+            exact.update((int(qid), int(ids[t])) for t in top)
     else:
-        truth_queries = emb
-    exact = {(r.query_id, r.neighbor_id)
-             for r in S.cosine_topk_bruteforce(emb, truth_queries, k=k)
-                       .select("query_id", "neighbor_id").collect()}
-    sample_ids = {q for q, _ in exact}
-    S.release_persisted()
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in S.cosine_topk_bruteforce(emb, emb, k=k)
+                           .select("query_id", "neighbor_id").collect()}
+        sample_ids = {q for q, _ in exact}
+        S.release_persisted()
     for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk"):
         approx = {(r.query_id, r.neighbor_id)
                   for r in qs[name](spark, sf_dir)
