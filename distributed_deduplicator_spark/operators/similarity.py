@@ -1960,8 +1960,14 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("query_vec"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("neighbor_vec"))
+    # fanout: the broadcast nested-loop join's parallelism is the
+    # CORPUS side's split count, and a single-row-group fixture file
+    # scans as ONE split — |corpus|·|queries| interpreted cosine folds
+    # (higher-order functions are CodegenFallback) then run on one
+    # core (measured: 20+ min at 20k×20k — the r8 sf1 quality stall).
+    # At real scale the repartition is a no-op (thousands of splits).
+    c = fanout(emb.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("neighbor_vec")))
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
                .withColumn("cosine", cosine(F.col("query_vec"),
                                             F.col("neighbor_vec"))))

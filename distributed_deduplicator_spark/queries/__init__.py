@@ -69,14 +69,23 @@ from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 #   predates r6). Includes the five that yielded their r8 slots
 #   (dedup_incremental, filter_project, agg_global, join_star_revenue,
 #   pricing_summary).
-# - 9 round-6-banked rows: the three r6 rows-only entries first
+# - 7 round-6-banked rows: the three r6 rows-only entries first
 #   (weakest evidence class — decontaminate_bloom, hll_sketch_rollup,
 #   stream_minhash_neardup), then the streaming/sink representatives
-#   (stream_upsert_ledger, parquet_roundtrip_agg, multimodal_resize),
-#   dedup_savings_by_source (perf-investigated this round, code
-#   unchanged — the green row pins that), and two TPC-H tails
-#   (min_cost_supplier, important_part_value). The remaining 34
-#   r6-banked rows queue for r10.
+#   (stream_upsert_ledger, parquet_roundtrip_agg, multimodal_resize)
+#   and dedup_savings_by_source (perf-investigated this round, code
+#   unchanged — the green row pins that).
+# - 2 LATE round-9 plan changes: cosine_topk and knn_label_vote
+#   inherit cosine_topk_bruteforce's new corpus-side fanout (the
+#   broadcast nested-loop join's parallelism is the corpus split
+#   count; a one-split fixture file serialized |corpus|·|queries|
+#   interpreted cosine folds onto one core — no-op repartition at
+#   real scale, knn sf1 6.3→2.35 s, oracle-exact at sf0.01+sf0.1).
+#   They take the two lowest-priority stale slots (the TPC-H tails
+#   min_cost_supplier / important_part_value yield, per the
+#   plan-changed-beats-stale-refresh policy) — the third consumer,
+#   activity_profile_topk, already sits in the r5 tail above. The
+#   remaining 36 r6-banked rows queue for r10.
 # Everything after the window keeps module registration order. Update
 # this list each round as the window rotates; an unknown name fails
 # import.
@@ -100,11 +109,12 @@ _ROTATION_HEAD = [
     "text_winnow_fingerprints", "top_supplier_revenue",
     "user_state_history", "variant_shred_stats",
     # r6-banked refresh: rows-only trio, streaming/sink reps,
-    # the perf-investigated report, two TPC-H tails
+    # the perf-investigated report
     "decontaminate_bloom", "hll_sketch_rollup", "stream_minhash_neardup",
     "stream_upsert_ledger", "parquet_roundtrip_agg", "multimodal_resize",
-    "dedup_savings_by_source", "min_cost_supplier",
-    "important_part_value",
+    "dedup_savings_by_source",
+    # late round-9 plan change (bruteforce corpus fanout)
+    "cosine_topk", "knn_label_vote",
 ]
 
 
