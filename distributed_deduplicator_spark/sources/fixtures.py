@@ -144,15 +144,26 @@ def fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     files = df.inputFiles()
+    # A plan with NO file-backed leaves (post-shuffle/derived — e.g.
+    # an aggregate handed to cosine_topk_bruteforce as its corpus)
+    # already gets its parallelism from spark.sql.shuffle.partitions,
+    # and probing df.rdd on it EXECUTES the upstream shuffle stages
+    # under AQE — a construction-time Spark job, which the registry
+    # bans plan-shape-wide (tests/test_plan_shapes.py caught exactly
+    # this when the brute-force corpus fanout landed). Leave it alone.
+    if not files:
+        return df
     # len(inputFiles) is cheap (a file-index lookup) but it is an UPPER
     # bound on split count for many-small-files directories — Spark
     # packs small files into shared FilePartitions, so 100 tiny files
     # can scan as ~4 splits. It is exact for the single-file fixtures
     # (the hot path, where the RDD compile's 0.5-1.5 s driver cost is
     # worth avoiding); for multi-file inputs fall through to the exact
-    # df.rdd.getNumPartitions() so a packed scan still fans out.
-    if len(files) <= 1:
-        current = len(files) or df.rdd.getNumPartitions()
+    # df.rdd.getNumPartitions() so a packed scan still fans out (the
+    # callers' inputs are narrow selects over file sources, where
+    # .rdd compiles without executing anything).
+    if len(files) == 1:
+        current = 1
     else:
         current = df.rdd.getNumPartitions()
     if current < target:
