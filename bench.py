@@ -58,8 +58,47 @@ HEADLINE = [
 ]
 
 
+def _competing_spark_jvms() -> list[int]:
+    """Pids of JVMs already running on this box that look like Spark
+    drivers/executors (cmdline mentions both java and spark). Called
+    BEFORE this bench creates its own session, so every hit is a
+    FOREIGN session. Rationale (BENCH.md round-9 root cause): the only
+    reproduced source of in-sweep timing inflation was a concurrent
+    Spark session competing for the same cores — a bench number taken
+    on a non-idle box must carry its own contamination flag rather
+    than read as a code regression. Best-effort: /proc scan, empty on
+    platforms without it."""
+    pids: list[int] = []
+    try:
+        entries = os.listdir("/proc")
+    except OSError:
+        return pids
+    for ent in entries:
+        if not ent.isdigit() or int(ent) == os.getpid():
+            continue
+        try:
+            with open(f"/proc/{ent}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ").lower()
+        except OSError:
+            continue
+        if b"java" in cmd and b"spark" in cmd:
+            pids.append(int(ent))
+    return pids
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # solo-run probe: must run BEFORE get_session so our own JVM (a
+    # child py4j gateway) can't self-flag
+    foreign_jvms = _competing_spark_jvms()
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
+    if foreign_jvms:
+        print(f"  WARNING: {len(foreign_jvms)} foreign Spark JVM(s) "
+              f"running (pids {foreign_jvms}) — timings below are "
+              "contaminated by CPU contention", file=sys.stderr)
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -93,12 +132,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
     print(json.dumps({
         "metric": "headline_query_suite_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # solo-run contract (BENCH.md): nonzero foreign_spark_jvms
+        # means another Spark session shared the box during this run —
+        # read `value` against a clean-session band, not as a code
+        # regression. loadavg is the softer corroborating signal
+        # (includes non-Spark load; 1-min average at start/end).
+        "contention": {
+            "foreign_spark_jvms": len(foreign_jvms),
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
+        },
     }))
     spark.stop()
 

@@ -500,22 +500,52 @@ def _auto_nprobe(nlist: int) -> int:
     return min(int(nlist), max(4, int(math.ceil(nlist ** 0.75))))
 
 
+def _candidate_budget(n: int) -> int:
+    """Per-query expected-candidate cap for the ANN auto-sizing paths:
+    ``max(2048, 64·⌊√n⌋)``.
+
+    Why √n and not a flat cap (the round-9 shape): all-pairs IVF
+    top-k INESCAPABLY pays n·nlist = n^1.5 distance computations just
+    selecting each query's probe lists (nlist ≈ √n). A per-query
+    scoring budget of 64√n keeps total candidate-scoring work at
+    64·n^1.5 — the SAME asymptotic order as that probe-selection scan
+    — so the cap never changes the operator's asymptotics; it only
+    prevents the ⌈nlist^0.75⌉ probe power law from going
+    near-brute-force (uncapped candidates grow n^0.875/query, total
+    n^1.88). The round-9 FLAT 2048 cap under-spent instead: scoring
+    shrank to o(assignment) while the scanned fraction (2048/n) and
+    recall decayed measurably with corpus growth — at n=20k the flat
+    cap was DOMINATED on both axes (recall 0.477 @ 12.1 s vs the
+    uncapped power law's 0.780 @ 7.2 s, BENCH.md round-9 knob table).
+    Under this curve the power law stays unclipped through n ≈ 65k
+    (where n^0.875 = 64√n), covering every measured fixture scale;
+    past it the scanned fraction decays as 64/√n — far slower than
+    2048/n — and recall beyond the budget remains the caller's
+    explicit nprobe/tables knob, same contract as before. The 2048
+    floor keeps sub-√n-budget corpora (n < ~1800) at full historical
+    coverage."""
+    return max(2048, 64 * math.isqrt(max(int(n), 0)))
+
+
 def _pq_list_scorer(rerank: int, m: int, ksub: int):
     """Build the cogrouped per-list ADC scorer for
     :func:`ann_ivfpq_topk`: f(members_pdf(id, list_id, codes),
     probes_pdf(query_id, list_id, qtab[, qc])) → (query_id,
     neighbor_id, adc) — the list's per-query ADC top-(rerank+1).
 
-    ADC(q, x) = [qc +] Σ_s qtab[s·ksub + code_s(x)], computed as m
-    numpy table-gathers over the (queries × members) matrix. Under
-    residual encoding (codes quantize x − c_list) the optional ``qc``
-    column carries the exact dot(q, c_list) for this probe, making
-    ADC scores COMPARABLE ACROSS LISTS in the global shortlist window
-    — without it the per-list residual scores would be offset by a
-    different missing dot(q, c) per list. Codes/qtab are
-    sub_id-/slot-keyed MAPS (sparse-codebook safe — see pq_encode);
-    a subspace missing from a member's codes gathers a sentinel slot
-    holding 0.0, exactly the declarative fold's coalesce-to-0.
+    ADC(q, x) = [qc +] Σ_s qtab[s·ksub + code_s(x)], computed as ONE
+    BLAS GEMM against a 0/1 code-indicator matrix (see inline note).
+    Under residual encoding (codes quantize x − c_list) the optional
+    ``qc`` column carries the exact dot(q, c_list) for this probe,
+    making ADC scores COMPARABLE ACROSS LISTS in the global shortlist
+    window — without it the per-list residual scores would be offset
+    by a different missing dot(q, c) per list. Codes are a
+    sub_id-keyed MAP (sparse-codebook safe — see pq_encode); qtab is
+    a DENSE slot-indexed array<double> (pq_query_tables — it rides
+    the probe fan-out join, so it must cross Arrow as a numpy block,
+    not as per-entry map conversions). A subspace missing from a
+    member's codes gathers a sentinel slot holding 0.0, exactly the
+    declarative fold's coalesce-to-0.
     rerank+1 so dropping a self-match still leaves rerank candidates;
     the global skinny window above takes the final shortlist.
     Module-level so the gather/sentinel/tie-break logic is
@@ -538,14 +568,26 @@ def _pq_list_scorer(rerank: int, m: int, ksub: int):
             for s, c in (cell.items() if isinstance(cell, dict)
                          else dict(cell).items()):
                 codes[r, int(s)] = int(s) * ksub + int(c)
+        # qtab arrives as a DENSE positional array (pq_query_tables) —
+        # one vstack, no per-entry Python conversion; column `sent` is
+        # the zero sentinel for absent subspaces
         qt = np.zeros((len(q_pdf), sent + 1), dtype=np.float64)
-        for r, cell in enumerate(q_pdf["qtab"]):
-            for slot, v in (cell.items() if isinstance(cell, dict)
-                            else dict(cell).items()):
-                qt[r, int(slot)] = float(v)
-        adc = np.zeros((len(q_pdf), len(m_pdf)), dtype=np.float64)
-        for s in range(m):
-            adc += qt[:, codes[:, s]]
+        qt[:, :sent] = np.vstack([np.asarray(c, dtype=np.float64)
+                                  for c in q_pdf["qtab"]])
+        # ADC as ONE BLAS GEMM against a 0/1 code-indicator matrix:
+        # adc[q, x] = Σ_s qt[q, slot(x, s)] = (qt @ onehot)[q, x] with
+        # onehot[slot, x] = 1 iff member x's subspace-s code maps to
+        # slot. The loop this replaces (for s: adc += qt[:, codes[:, s]])
+        # was memory-bound, materializing m=32 full (queries × members)
+        # fancy-gather copies per list — ~1 GB of traffic per probed
+        # list at sf1, measured 58-120 s for the whole query vs ~30 s
+        # through the GEMM. Absent subspaces hit the sentinel slot
+        # (qt[:, sent] = 0): repeated (sent, x) writes collapse to one
+        # indicator, but each absent term added 0 either way.
+        onehot = np.zeros((sent + 1, len(m_pdf)), dtype=np.float64)
+        onehot[codes.ravel(),
+               np.repeat(np.arange(len(m_pdf)), m)] = 1.0
+        adc = qt @ onehot
         if "qc" in q_pdf.columns:
             adc += q_pdf["qc"].to_numpy(dtype=np.float64)[:, None]
         return _per_query_topx(adc, q_pdf["query_id"].to_numpy(),
@@ -584,16 +626,18 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     if nprobe is None:
         # ⌈nlist^0.75⌉ keeps recall from the constant-nprobe decay,
         # capped so a query's EXPECTED candidate count (nprobe·n/nlist)
-        # stays ≤ ~2048 — without the cap the power law turns
-        # near-brute-force at scale (n=10⁹: 2372 of 31623 lists ≈
-        # 7.5e7 candidates/query, total work ~n^1.88; capped, total
-        # GEMM work is a linear 2048·n). The cap only binds past the
-        # gate SFs (fixtures: 2048·nlist/n ≫ nlist^0.75), so the
-        # drive-measured recall there is the uncapped figure; at scale
-        # recall beyond the budget is the caller's explicit knob, the
-        # same contract as ann_ivfpq_topk.
+        # stays ≤ _candidate_budget(n) = max(2048, 64√n) — total
+        # scoring work then matches the n·nlist assignment scan's
+        # n^1.5 order instead of going near-brute-force (uncapped
+        # power law: n^1.88 total). See _candidate_budget for why the
+        # round-9 flat 2048 was re-curved (dominated on both axes at
+        # n=20k). The cap binds only past n≈65k — at every fixture
+        # scale the drive-measured recall is the uncapped power-law
+        # figure; beyond the budget, recall is the caller's explicit
+        # knob, the same contract as ann_ivfpq_topk.
         nprobe = min(_auto_nprobe(nlist),
-                     max(4, (2048 * nlist) // sized_n))
+                     max(4, (_candidate_budget(sized_n) * nlist)
+                         // sized_n))
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     # the centroid table (nlist×dim doubles) and the assignment table
     # (n×nprobe ids) each feed TWO consumers; without pinning them the
@@ -717,12 +761,24 @@ def _ivf_index_stats(spark, index_dir: str) -> tuple[int, int]:
     # same exception family as ivf_index_add's refresh: OSError covers
     # missing dirs and Arrow IO errors, ValueError covers ArrowInvalid
     # on a truncated part file (crash debris) — either way the manifest
-    # fallback below is the right answer, not a raw parse error
+    # fallback below is the right answer, not a raw parse error. A
+    # non-FileNotFoundError here means CORRUPT footers on a local
+    # index, and the manifest can be stale after a crashed add (the
+    # next successful add self-heals it) — warn like ivf_index_add
+    # does so auto-sizing from a possibly-stale count is visible,
+    # never silent. FileNotFoundError stays quiet: that is the normal
+    # remote-index path, not corruption.
     try:
         return (_parquet_dir_row_count(f"{index_dir}/centroids"),
                 _parquet_dir_row_count(f"{index_dir}/members"))
-    except (OSError, ValueError):
-        pass
+    except (OSError, ValueError) as exc:
+        if not isinstance(exc, FileNotFoundError):
+            import warnings
+            warnings.warn(
+                f"_ivf_index_stats: footer read under {index_dir!r} "
+                f"failed ({type(exc).__name__}: {exc}); auto-sizing "
+                "from the manifest sidecar, which may be stale after "
+                "a crashed add", RuntimeWarning, stacklevel=2)
     try:
         row = spark.read.parquet(f"{index_dir}/manifest").head()
     except Exception as exc:  # noqa: BLE001 — unify the sizing error
@@ -841,11 +897,13 @@ def ann_ivf_query_index(spark, index_dir: str, queries: DataFrame,
         # stored-index statistics (local parquet footers, else the
         # manifest sidecar — works on remote index dirs too): the auto
         # default matches what an in-memory ann_ivf_topk over the same
-        # corpus would pick, including the ~2048-expected-candidate
-        # budget cap that keeps the default linear-total at scale
+        # corpus would pick, including the max(2048, 64√n) expected-
+        # candidate budget cap (_candidate_budget) that keeps default
+        # total scoring work at the assignment scan's n^1.5 order
         nlist, nmembers = _ivf_index_stats(spark, index_dir)
+        nm = max(nmembers, 4)
         nprobe = min(_auto_nprobe(nlist),
-                     max(4, (2048 * nlist) // max(nmembers, 4)))
+                     max(4, (_candidate_budget(nm) * nlist) // nm))
     cents = spark.read.parquet(f"{index_dir}/centroids")
     members = spark.read.parquet(f"{index_dir}/members")
     qu = unit_vectors(queries, id_col, vec_col)
@@ -1519,21 +1577,52 @@ def pq_encode(unit: DataFrame, codebooks: DataFrame, m: int, ksub: int,
 def pq_query_tables(unit: DataFrame, codebooks: DataFrame, m: int,
                     ksub: int, dim: int) -> DataFrame:
     """Per-query ADC lookup table: dot(query subvector, centroid) for
-    every (sub_id, code), as a map keyed ``sub_id·ksub + code``.
-    Returns (id, qtab map<int, double>)."""
+    every (sub_id, code), as a DENSE positional array indexed by
+    ``slot = sub_id·ksub + code`` (length m·ksub; slots absent from a
+    sparse codebook hold 0.0 — no member can carry such a code, so
+    the value is never read). Returns (id, qtab array<double>).
+
+    Dense array, not the slot-keyed map it used to be: the qtab rides
+    the probe fan-out join (one replica per probed list), and Arrow
+    moves array<double> into the cogrouped scorer as a numpy block —
+    the map<int,double> encoding forced a per-entry Python dict
+    conversion inside every task, ~420M entries at sf1/nprobe=41
+    (n·nprobe·m·ksub), measured as the dominant IVF-PQ cost once the
+    ADC itself went through the one-hot GEMM. The slot scatter
+    (sparse-codebook alignment safety) happens in ONE Arrow
+    mapInPandas pass over the n QUERY rows — never per probe, and
+    never as a JVM transform(sequence, element_at) projection: that
+    higher-order-function spelling is CodegenFallback-interpreted and
+    its 512 linear map scans per row measured ~50 s at sf1 on their
+    own."""
+    import numpy as np
+    import pandas as pd
+
     dsub = dim // m
+    size = m * ksub
     sub = F.slice("unit", F.col("sub_id") * dsub + 1, dsub)
     dot = F.aggregate(F.zip_with(sub, "ccent", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, v: acc + v)
-    slot = (F.col("sub_id") * ksub + F.col("code")).alias("slot")
-    # MAP keyed by slot (see pq_encode) — alignment-free under sparse
-    # codebooks; every encoded (sub_id, code) is present by
-    # construction (both sides enumerate the same codebook rows)
+    slot = (F.col("sub_id") * ksub + F.col("code")) \
+        .cast("int").alias("slot")
+
+    def densify(it):
+        # one (slot, dot) struct list per query — a single aggregate,
+        # so slot/dot pairing never depends on cross-aggregate
+        # iteration order
+        for pdf in it:
+            out = np.zeros((len(pdf), size), dtype=np.float64)
+            for r, cell in enumerate(pdf["_sd"]):
+                for e in cell:
+                    out[r, int(e["slot"])] = float(e["dot"])
+            yield pd.DataFrame({"id": pdf["id"], "qtab": list(out)})
+
     return (unit.crossJoin(F.broadcast(codebooks))
                 .select("id", slot, dot.alias("dot"))
                 .groupBy("id")
-                .agg(F.map_from_entries(F.collect_list(
-                    F.struct("slot", "dot"))).alias("qtab")))
+                .agg(F.collect_list(F.struct("slot", "dot"))
+                      .alias("_sd"))
+                .mapInPandas(densify, "id long, qtab array<double>"))
 
 
 def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
@@ -1621,17 +1710,20 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
         nlist = max(4, int(math.sqrt(sized_n)))
     if nprobe is None:
         # auto nprobe, additionally capped so a query's expected
-        # candidate volume (nprobe·n/nlist) stays ~2048: the cap
-        # bounds both the per-list ADC gather work and — the binding
-        # wire cost — the number of m·ksub·8-byte qtab replicas (4 KB
-        # at the m=32 default) each query ships (one per probed
-        # list). Uncapped, ⌈nlist^0.75⌉ at
-        # n=100k meant 75 qtab replicas × 100k queries through one
-        # shuffle; the earlier declarative ADC join additionally
-        # materialized a qtab per CANDIDATE row and failed the 10×
-        # sweep step outright once m=16 pushed the codes table past
-        # the auto-broadcast threshold.
-        budget_cap = max(4, (2048 * nlist) // sized_n)
+        # candidate volume (nprobe·n/nlist) stays within
+        # _candidate_budget(n) = max(2048, 64√n): the cap bounds both
+        # the per-list ADC gather work and — the binding wire cost —
+        # the number of m·ksub·8-byte qtab replicas (4 KB at the m=32
+        # default) each query ships (one per probed list); under the
+        # √n curve that wire cost is nprobe ≈ 64·nlist/√n ≈ 64
+        # replicas/query at ANY capped scale (vs the flat-2048 cap's
+        # 2, which bought its cheapness with recall decaying as
+        # 2048/n — see _candidate_budget). The earlier declarative
+        # ADC join additionally materialized a qtab per CANDIDATE row
+        # and failed the 10× sweep step outright once m=16 pushed the
+        # codes table past the auto-broadcast threshold.
+        budget_cap = max(4, (_candidate_budget(sized_n) * nlist)
+                         // sized_n)
         nprobe = min(_auto_nprobe(nlist), budget_cap)
     rerank = rerank if rerank is not None else 16 * k
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
@@ -1942,7 +2034,9 @@ def cosine_neardup_blocked(emb: DataFrame, block_col: str,
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           round_dp: int | None = None) -> DataFrame:
+                           round_dp: int | None = None,
+                           corpus_min_partitions: int | None = None
+                           ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Brute force = broadcast the (bounded) query set against the full
@@ -1957,6 +2051,17 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
     repo-wide ulp-absorbing discipline — so a last-bit difference at
     the rank-k boundary cannot flip which neighbor makes the cut.
     The emitted ``cosine`` column stays the raw double either way.
+
+    Parallelism caveat: the corpus fanout below only widens
+    FILE-BACKED scans. A DERIVED corpus (post-shuffle/aggregate plan)
+    is left alone — its parallelism comes from
+    spark.sql.shuffle.partitions — so a derived corpus that is
+    GENUINELY single-partition (coalesce(1)/limit upstream) would
+    still serialize the interpreted cosine folds onto one core. Such
+    callers pass ``corpus_min_partitions`` to force a round-robin
+    repartition of the corpus side (a pure plan transform — no
+    construction-time job, unlike probing the derived plan's split
+    count), or pre-repartition before calling.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("query_vec"))
@@ -1966,8 +2071,12 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
     # (higher-order functions are CodegenFallback) then run on one
     # core (measured: 20+ min at 20k×20k — the r8 sf1 quality stall).
     # At real scale the repartition is a no-op (thousands of splits).
-    c = fanout(emb.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("neighbor_vec")))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("neighbor_vec"))
+    if corpus_min_partitions is not None:
+        c = c.repartition(int(corpus_min_partitions))
+    else:
+        c = fanout(c)
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
                .withColumn("cosine", cosine(F.col("query_vec"),
                                             F.col("neighbor_vec"))))
@@ -2072,10 +2181,19 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
     fixed 8×4 default measured recall@5 0.86 at n=500 collapsing to
     0.537 at n=2000 on the worst-case uniform fixtures; the auto
     default measures 0.995 / 0.918. Tables are additionally capped at
-    2048/target_bucket so the EXPECTED per-query candidate volume
-    (tables·bucket) stays ≤ ~2048 — the same linear-total budget as
-    the capped IVF paths; recall beyond the budget is the caller's
-    explicit knob. ``n`` comes from catalog/file statistics (planning
+    _candidate_budget(n)/target_bucket so the EXPECTED per-query
+    candidate volume (tables·bucket) stays within the same
+    max(2048, 64√n) budget as the capped IVF paths (the round-9 flat
+    2048/target_bucket clipped the growth curve from n≈2000 — the
+    very scale band it was fitted on; under the √n budget the 0.22
+    curve is the OPERATIVE sizing at any realistic n and the cap is
+    only the brute-force backstop). Unlike IVF probes, each table
+    costs a full projection + explode pass, so the auto default stays
+    on the fitted growth curve rather than spending the whole budget;
+    recall beyond it is the caller's explicit tables/planes knob
+    (BENCH.md round-10 LSH knob table documents the measured
+    recall-per-second knee and the per-n recall floor on the
+    isotropic worst case). ``n`` comes from catalog/file statistics (planning
     business — see :func:`ann_ivf_topk` on why the count() fallback
     must not run at scale). The fixtures are near-uniform random
     (top-5 cosine ≈ 0.32) — the hardest case for LSH.
@@ -2083,10 +2201,23 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
     if num_planes is None or num_tables is None:
         n = _corpus_size_for_sizing(emb, n, "ann_lsh_topk")
     if num_planes is None:
-        num_planes = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
+        # round(), not ceil(): ceil biased the realized expected
+        # bucket to [target_bucket/2, target_bucket] — systematically
+        # HALF the target — which matters because per-table cost is
+        # dominated by the fixed n-row project/explode/shuffle pass,
+        # not by bucket candidates, so under-full buckets buy less
+        # recall per second. round() centers occupancy on
+        # target_bucket (geometric-mean sense, [tb/√2, tb·√2]). At
+        # the gate SFs (n=500/2000) both round and ceil give 2/4
+        # planes — identical plans; at n=20k round lands on the
+        # MEASURED recall-per-second knee: planes 7 → recall@5 0.727
+        # @ 52 s vs ceil's 8 → 0.547 @ 47 s and the 16-table flat-cap
+        # default's 0.374 @ 21 s (BENCH.md round-10 LSH knob table).
+        num_planes = max(2, round(math.log2(max(n, 2) / target_bucket)))
     if num_tables is None:
         grow = math.ceil(8.75 * (max(n, 2) / target_bucket) ** 0.22)
-        num_tables = max(4, min(grow, max(4, 2048 // target_bucket)))
+        num_tables = max(4, min(grow, max(
+            4, _candidate_budget(n) // target_bucket)))
     u = unit_vectors(emb, id_col, vec_col)
     b = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col, dim,
                        unit=u)

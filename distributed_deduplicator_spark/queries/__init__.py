@@ -47,74 +47,73 @@ from distributed_deduplicator_spark.queries import text_queries  # noqa: F401,E4
 from distributed_deduplicator_spark.queries import dedup_queries  # noqa: F401,E402
 from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 
-# Round-9 verification rotation (see VERIFIED.md for the cross-round
-# ledger; the retired round-8 window is recorded there). The first 50
-# names are pinned (2 + 39 + 9):
-# - the TWO queries whose code changed in round 9: ann_ivfpq_topk
-#   (default m 16 → 32 — 2-dim subspaces; recall@5 0.757 at sf0.1,
-#   clearing the 0.7 line, executed plan differs in the codebook/
-#   qtab/ADC widths) and stream_ttl_dedup_stateful (the stateful fn
-#   body rewritten onto the numpy lexsort + searchsorted jump kernel
-#   — same logical plan, different Python in the stateful operator,
-#   re-windowed under the changed-code rule; identity property- and
-#   parity-gated locally). The round's other changes touch no
-#   registered query's executed path: the drain-guard extensions only
-#   REJECT shapes no registered drain uses, drain sizing's directory
-#   branch can't trigger on single-file fixtures, ivf_index_add's
-#   error handling is API-surface (pytest-gated), and the
-#   dedup_savings persist experiment was REVERTED (negative result,
-#   BENCH.md).
-# - the 39 queries whose newest driver row is round 5 — the entire
-#   staleness tail (after this round no query's newest evidence
-#   predates r6). Includes the five that yielded their r8 slots
-#   (dedup_incremental, filter_project, agg_global, join_star_revenue,
-#   pricing_summary).
-# - 7 round-6-banked rows: the three r6 rows-only entries first
-#   (weakest evidence class — decontaminate_bloom, hll_sketch_rollup,
-#   stream_minhash_neardup), then the streaming/sink representatives
-#   (stream_upsert_ledger, parquet_roundtrip_agg, multimodal_resize)
-#   and dedup_savings_by_source (perf-investigated this round, code
-#   unchanged — the green row pins that).
-# - 2 LATE round-9 plan changes: cosine_topk and knn_label_vote
-#   inherit cosine_topk_bruteforce's new corpus-side fanout (the
-#   broadcast nested-loop join's parallelism is the corpus split
-#   count; a one-split fixture file serialized |corpus|·|queries|
-#   interpreted cosine folds onto one core — no-op repartition at
-#   real scale, knn sf1 6.3→2.35 s, oracle-exact at sf0.01+sf0.1).
-#   They take the two lowest-priority stale slots (the TPC-H tails
-#   min_cost_supplier / important_part_value yield, per the
-#   plan-changed-beats-stale-refresh policy) — the third consumer,
-#   activity_profile_topk, already sits in the r5 tail above. The
-#   remaining 36 r6-banked rows queue for r10.
+# STANDING FRESHNESS POLICY (round 10+): each round's 50-slot window
+# takes (1) every query whose code/plan changed that round — the
+# changed-code rule, plan-changed beats stale-refresh — then (2) the
+# remaining slots (~45 in a typical round) refresh the OLDEST-banked
+# driver rows first (rows-only entries before oracle rows within the
+# same age class — weakest evidence class first; ties broken
+# alphabetically for determinism). With 179 registered queries and
+# ~45 refresh slots/round, every query's newest driver row is at most
+# 4 rounds old in steady state. VERIFIED.md carries the cross-round
+# ledger and per-round histograms.
+#
+# Round-10 verification rotation. The first 50 names are pinned
+# (4 + 35 + 11):
+# - the FOUR ANN queries whose auto-sizing code changed in round 10:
+#   the flat ~2048-candidate budget cap was re-curved to
+#   _candidate_budget(n) = max(2048, 64√n) (operators/similarity.py —
+#   total scoring work now matches the n·nlist assignment scan's
+#   n^1.5 order; the flat cap was measured DOMINATED at n=20k:
+#   recall 0.477 @ 12.1 s vs uncapped 0.780 @ 7.2 s, BENCH.md).
+#   At the driver's gate SF (n=500) the budget floor keeps every
+#   executed plan IDENTICAL; they re-window under the changed-code
+#   rule anyway. Round 10's other code changes touch no registered
+#   query's executed path: cosine_topk_bruteforce gained an optional
+#   corpus_min_partitions escape hatch (default path plan-identical —
+#   parity asserted in tests), _ivf_index_stats warns on corrupt-
+#   footer fallback (API surface, pytest-gated), drain sizing treats
+#   a 0-byte source sum as unavailable (can't trigger on the
+#   fixtures), and bench.py gained a solo-run contamination probe
+#   (tooling).
+# - the 35 queries whose newest driver row is round 6 — the entire
+#   r6-banked queue from VERIFIED.md (after this round no query's
+#   newest evidence predates r7).
+# - 11 round-7-banked rows, oldest-first per the standing policy:
+#   kll_value_quantiles first (the only r7 rows-only entry), then the
+#   first 10 r7 oracle rows alphabetically.
 # Everything after the window keeps module registration order. Update
 # this list each round as the window rotates; an unknown name fails
 # import.
 _ROTATION_HEAD = [
-    # code changed in round 9
-    "ann_ivfpq_topk", "stream_ttl_dedup_stateful",
-    # newest driver row r5 — the staleness tail, cleared whole
-    "activity_profile_topk", "agg_approx_distinct", "agg_global",
-    "bigram_lift_topk", "chunk_sliding_windows", "dedup_incremental",
-    "dedup_rate_by_hour", "doc_dup_ngram_stats", "filter_project",
-    "forecast_revenue", "funnel_conversion", "incremental_rollup_merge",
-    "jaccard_dedup_clusters", "jaccard_keep_best", "jaccard_keep_one",
-    "jaccard_ngram_pairs", "join_star_revenue", "large_order_customers",
-    "late_shipment_counts", "local_supplier_volume", "market_share",
-    "minhash_near_dup", "multimodal_feature_neardup",
-    "multimodal_features", "pricing_summary", "product_profit_by_nation",
-    "promo_revenue", "sales_opportunity_by_nation",
-    "simhash_fingerprints", "sketch_distinct_users",
-    "small_qty_order_revenue", "table_diff_reconcile",
-    "text_fingerprint_dedup", "text_lang_id", "text_quality_filter",
-    "text_winnow_fingerprints", "top_supplier_revenue",
-    "user_state_history", "variant_shred_stats",
-    # r6-banked refresh: rows-only trio, streaming/sink reps,
-    # the perf-investigated report
-    "decontaminate_bloom", "hll_sketch_rollup", "stream_minhash_neardup",
-    "stream_upsert_ledger", "parquet_roundtrip_agg", "multimodal_resize",
-    "dedup_savings_by_source",
-    # late round-9 plan change (bruteforce corpus fanout)
-    "cosine_topk", "knn_label_vote",
+    # code changed in round 10 (ANN candidate-budget re-curve)
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
+    "ann_ivf_persisted_topk",
+    # newest driver row r6 — the whole r6 queue
+    "basket_part_pairs_lift", "bigram_lm_quality",
+    "blocklist_scrub_stats", "bpe_pair_counts",
+    "cluster_size_histogram", "corpus_filter_funnel",
+    "cross_source_overlap", "curriculum_quality_bins",
+    "dsir_importance_weights", "embedding_similarity_histogram",
+    "event_p99_exceeders", "event_rate_anomaly",
+    "event_transition_matrix", "important_part_value",
+    "join_key_skew_profile", "lang_confusion_matrix",
+    "length_outlier_mad", "min_cost_supplier", "ngram_novelty_scores",
+    "open_orders_backlog", "parts_supplier_counts",
+    "promo_part_shippers", "retention_cohorts", "soft_dedup_weights",
+    "source_token_drift", "suppliers_kept_waiting", "tfidf_top_terms",
+    "token_length_exact_quantiles", "token_simpson_diversity",
+    "unigram_lm_quality", "unpivot_lineitem_measures",
+    "value_drift_by_day", "vocab_coverage_topk", "vocab_growth",
+    "zipf_rank_freq",
+    # r7-banked refresh, oldest-first: rows-only entry first, then
+    # alphabetical
+    "kll_value_quantiles",
+    "asof_join_forward_orders", "asof_join_nearest_orders",
+    "correlated_above_avg", "cube_orders", "custdist_order_counts",
+    "dedup_exact_distinct", "dedup_first_wins_winners",
+    "dedup_latest_state", "disjunctive_predicate_revenue",
+    "embedding_cosine_neardup",
 ]
 
 

@@ -107,6 +107,15 @@ def drain_shuffle_partitions(spark: SparkSession, sf_dir: str,
         session = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (OSError, TypeError, ValueError):
         return None
+    if total <= 0:
+        # an existing-but-empty directory (or one whose subtrees
+        # os.walk silently skipped as unreadable) sums to 0 bytes —
+        # that is "sizing unavailable", the same degradation as a
+        # missing file above, NOT evidence the source is tiny; sizing
+        # from it would collapse the drain to the floor count while a
+        # missing file keeps the session default. Keep both paths
+        # consistent: no usable size → session default.
+        return None
     want = max(floor, -(-total // _DRAIN_BYTES_PER_PARTITION))
     return min(session, want)
 

@@ -190,3 +190,29 @@ def test_auto_nprobe_formula():
     assert S._auto_nprobe(22) == 11        # ceil(22^0.75)
     assert S._auto_nprobe(44) == 18        # ceil(44^0.75)
     assert S._auto_nprobe(31623) == 2372   # 7.5% of lists at n=1e9
+
+
+def test_candidate_budget_curve():
+    """max(2048, 64·⌊√n⌋): floor below n≈1800, √n-scaled above — the
+    round-10 re-curve of the flat 2048 cap (dominated at n=20k:
+    recall 0.477 @ 12.1 s vs the uncapped power law's 0.780 @ 7.2 s,
+    BENCH.md). Effective nprobe follows from it."""
+    import math
+    assert S._candidate_budget(500) == 2048    # floor (gate SF)
+    assert S._candidate_budget(0) == 2048
+    assert S._candidate_budget(2000) == 2816   # 64·44
+    assert S._candidate_budget(20000) == 9024  # 64·141 (sf1)
+    assert S._candidate_budget(10**9) == 64 * 31622
+    # effective auto nprobe at the measured scales: gate SFs keep
+    # their historical uncapped-power-law settings; sf1 lifts 14→41
+    # (the BENCH.md-measured better-on-both-axes point); at n=1e9 the
+    # budget caps nprobe near 64 — total scoring work stays at the
+    # n·nlist assignment scan's n^1.5 order
+    def eff(n):
+        nlist = max(4, int(math.sqrt(n)))
+        return min(S._auto_nprobe(nlist),
+                   max(4, (S._candidate_budget(n) * nlist) // n))
+    assert eff(500) == 11
+    assert eff(2000) == 18
+    assert eff(20000) == 41
+    assert 60 <= eff(10**9) <= 64

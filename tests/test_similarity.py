@@ -465,9 +465,9 @@ def test_pq_list_scorer_gather_sentinel_and_tiebreak():
     import pandas as pd
 
     m, ksub = 2, 4
-    # qtab slots: sub 0 → 0..3, sub 1 → 4..7
-    qtab = {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0,
-            4: 10.0, 5: 20.0, 6: 30.0, 7: 40.0}
+    # qtab slots: sub 0 → 0..3, sub 1 → 4..7 — DENSE positional array
+    # (pq_query_tables contract)
+    qtab = np.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0])
     members = pd.DataFrame({
         "list_id": [9] * 4,
         "id": [3, 1, 2, 7],
@@ -516,10 +516,14 @@ def test_pq_list_scorer_matches_python_adc_bruteforce():
     qtabs = [{s * ksub + c: float(rng.normal())
               for s in range(m) for c in range(ksub)}
              for _ in range(nq)]
+    # dicts drive the python reference below; the scorer itself takes
+    # the dense positional encoding (pq_query_tables contract)
+    qarrs = [np.array([qd[i] for i in range(m * ksub)])
+             for qd in qtabs]
     members = pd.DataFrame({"list_id": [1] * nm, "id": np.arange(nm),
                             "codes": codes})
     probes = pd.DataFrame({"list_id": [1] * nq,
-                           "query_id": np.arange(nq), "qtab": qtabs})
+                           "query_id": np.arange(nq), "qtab": qarrs})
     got = S._pq_list_scorer(rerank, m, ksub)(members, probes)
     for qi in range(nq):
         adc = [sum(qtabs[qi][s * ksub + c] for s, c in codes[i].items())
@@ -593,7 +597,9 @@ def test_pq_list_scorer_qc_offset():
     import pandas as pd
 
     m, ksub = 2, 4
-    qtab = {0: 1.0, 1: 2.0, 4: 10.0, 5: 20.0}
+    # DENSE slot-indexed qtab (pq_query_tables contract): slots
+    # {0,1,4,5} populated, the rest 0.0
+    qtab = np.array([1.0, 2.0, 0.0, 0.0, 10.0, 20.0, 0.0, 0.0])
     members = pd.DataFrame({
         "list_id": [9] * 2,
         "id": [1, 2],
@@ -677,14 +683,22 @@ def test_ivf_index_stats_manifest_fallback(spark, emb, tmp_path, monkeypatch):
     def boom(path):
         raise FileNotFoundError(f"simulated remote dir {path}")
     monkeypatch.setattr(S, "_parquet_dir_row_count", boom)
-    nlist, nmembers = S._ivf_index_stats(spark, idx)
+    # the remote-dir (FileNotFoundError) fallback is the NORMAL path —
+    # it must stay silent
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        nlist, nmembers = S._ivf_index_stats(spark, idx)
     assert nmembers == emb.count() and nlist >= 4
     # a CORRUPT footer (pyarrow ArrowInvalid, a ValueError — crash
-    # debris) must take the same manifest fallback, not propagate
+    # debris) must take the same manifest fallback, not propagate —
+    # but WARN (like ivf_index_add's refresh): the manifest can be
+    # stale after a crashed add, so sizing from it must be visible
     def corrupt(path):
         raise ValueError(f"simulated ArrowInvalid under {path}")
     monkeypatch.setattr(S, "_parquet_dir_row_count", corrupt)
-    nlist2, nmembers2 = S._ivf_index_stats(spark, idx)
+    with _pytest.warns(RuntimeWarning, match="may be stale"):
+        nlist2, nmembers2 = S._ivf_index_stats(spark, idx)
     assert (nlist2, nmembers2) == (nlist, nmembers)
     monkeypatch.setattr(S, "_parquet_dir_row_count", boom)
     with _pytest.raises(FileNotFoundError, match="pass nprobe"):
@@ -857,3 +871,31 @@ def test_simhash_explicit_blocks_table_ceiling(spark, docs):
     with pytest.raises(ValueError, match="ceiling"):
         S.simhash_near_dup(docs, "doc_id", "text", max_hamming=20,
                            blocks=40)
+
+
+def test_bruteforce_corpus_min_partitions_escape_hatch(spark, emb):
+    """ADVICE r9: fanout() leaves DERIVED (no file-backed leaves)
+    corpora alone — a genuinely single-partition derived corpus
+    (coalesce(1) upstream) would serialize the interpreted cosine
+    folds onto one core. corpus_min_partitions is the documented
+    escape hatch: it must insert a round-robin repartition as a PURE
+    plan transform (no construction-time Spark job) and leave values
+    identical to the default path."""
+    derived = emb.coalesce(1).select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") % 97 == 0)
+    sc = spark.sparkContext
+    group = "bruteforce-min-partitions-probe"
+    sc.setJobGroup(group, "assert no jobs during construction")
+    try:
+        forced = S.cosine_topk_bruteforce(derived, q, k=3,
+                                          corpus_min_partitions=8)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = list(sc.statusTracker().getJobIdsForGroup(group))
+    assert jobs == [], f"construction triggered jobs: {jobs}"
+    plan = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan or "REPARTITION" in plan, plan
+    default = S.cosine_topk_bruteforce(derived, q, k=3)
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert sorted(map(tuple, forced.select(*cols).collect())) == \
+        sorted(map(tuple, default.select(*cols).collect()))

@@ -662,3 +662,68 @@ def test_merge_upsert_null_keys_match_merge_semantics(spark, tmp_path):
         assert spark.table(name).count() == 3  # NOT 4: null replaced
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_merge_upsert_native_merge_into_on_delta(tmp_path):
+    """The MERGE INTO branch of merge_upsert (sources/sinks.py) is dead
+    code on this container (no Delta/Iceberg) — this test gives it an
+    engine wherever delta-spark IS installed, so the native branch
+    carries end-to-end evidence off this box instead of forever hiding
+    behind the rewrite fallback.
+
+    Runs in a SUBPROCESS because Delta needs its SQL extension + catalog
+    configured at SparkSession BUILD time — the suite's shared session
+    can't gain them post-hoc, and a second differently-configured
+    session in one JVM is not supported. The child builds a
+    delta-configured local session, creates a Delta table, calls
+    merge_upsert, and asserts route == "merge_into" plus the same
+    source-wins end state the fallback tests pin."""
+    import importlib.util
+    import os
+    import subprocess
+    import sys
+
+    if importlib.util.find_spec("delta") is None:
+        pytest.skip("delta-spark not installed — merge_upsert's native "
+                    "MERGE INTO branch has no row-level engine here; "
+                    "the rewrite fallback is the tested path "
+                    "(sources/sinks.py merge_upsert)")
+
+    script = f"""
+import os
+from delta import configure_spark_with_delta_pip
+from pyspark.sql import SparkSession
+builder = (SparkSession.builder.master("local[2]")
+    .appName("delta-merge-probe")
+    .config("spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension")
+    .config("spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", {str(tmp_path / "wh")!r}))
+spark = configure_spark_with_delta_pip(builder).getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+base = spark.createDataFrame(
+    [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"])
+base.write.format("delta").mode("errorifexists") \\
+    .option("path", {str(tmp_path / "tbl")!r}) \\
+    .saveAsTable("t_delta_merge")
+from distributed_deduplicator_spark.sources.sinks import merge_upsert
+src = spark.createDataFrame([(2, "B", 99.0), (4, "d", 40.0)],
+                            ["k", "s", "v"])
+route = merge_upsert(spark, "t_delta_merge", src, ["k"])
+assert route == "merge_into", f"expected native branch, got {{route}}"
+got = {{r.k: (r.s, r.v) for r in spark.table("t_delta_merge").collect()}}
+assert got == {{1: ("a", 10.0), 2: ("B", 99.0),
+                3: ("c", 30.0), 4: ("d", 40.0)}}, got
+# idempotent re-merge through the SAME native route
+assert merge_upsert(spark, "t_delta_merge", src, ["k"]) == "merge_into"
+assert {{r.k: (r.s, r.v)
+        for r in spark.table("t_delta_merge").collect()}} == got
+print("DELTA_MERGE_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600, cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DELTA_MERGE_OK" in proc.stdout

@@ -1,0 +1,175 @@
+"""Recall@k + wall sweep over the ANN auto-sizing knobs — the
+measurement harness behind BENCH.md's knob tables (round 9: the flat
+2048 candidate cap vs explicit nprobe/tables; round 10: the
+_candidate_budget re-curve).
+
+Ground truth: exact cosine top-k for a deterministic 256-query
+hash-sample (xxhash64(vec_id, 9) ascending — identical to
+tools/local_drive.py's sampled tier), computed driver-side as one
+numpy float64 GEMM and RANKED ON THE 6-DP-ROUNDED cosine (the repo's
+ulp-absorbing discipline) so a rank-k boundary tie can't flip between
+the normalize-then-GEMM truth and the JVM dot/(norm·norm) fold. For
+corpora ≤ 10k vectors every query is measured (same switch as the
+drive).
+
+Wall: one timed .collect() per configuration (the recall pass IS the
+timing pass — collected rows are (query, neighbor) id pairs only).
+Persisted subtrees are released between configurations so no config
+subsidizes the next.
+
+Usage:
+  python tools/ann_knob_sweep.py [sf_dir] [out_json]
+defaults: /root/repo/.scratch/sf1  stderr-only
+Configs are edited in CONFIGS below — this is a measurement tool, not
+an API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from distributed_deduplicator_spark import get_session  # noqa: E402
+from distributed_deduplicator_spark.operators import (  # noqa: E402
+    similarity as S)
+from distributed_deduplicator_spark.sources import load_table  # noqa: E402
+from distributed_deduplicator_spark.sources.fixtures import (  # noqa: E402
+    table_row_count)
+
+K = 5
+
+
+def exact_truth(spark, emb, n_emb: int):
+    """(sample_ids, exact_edges) — exact top-K edges for the sampled
+    (or, ≤10k, all) query ids, 6-dp-rounded ranking."""
+    import numpy as np
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    if n_emb > 10_000:
+        samp = (emb.select("vec_id",
+                           F.xxhash64(F.col("vec_id"), F.lit(9))
+                            .alias("_h"))
+                   .orderBy("_h", "vec_id").limit(256).collect())
+        sample_ids = sorted(r.vec_id for r in samp)
+    else:
+        sample_ids = [int(i) for i in ids]
+    qpos = np.searchsorted(ids, np.array(sample_ids))
+    sims = mat[qpos] @ mat.T
+    exact = set()
+    for row_i, qid in enumerate(sample_ids):
+        s = sims[row_i].copy()
+        s[np.searchsorted(ids, qid)] = -np.inf
+        top = np.lexsort((ids, -np.round(s, 6)))[:K]
+        exact.update((int(qid), int(ids[t])) for t in top)
+    return set(sample_ids), exact
+
+
+def measure(name, fn, sample_ids, exact):
+    t0 = time.perf_counter()
+    got = {(r.query_id, r.neighbor_id)
+           for r in fn().select("query_id", "neighbor_id").collect()
+           if r.query_id in sample_ids}
+    wall = round(time.perf_counter() - t0, 2)
+    S.release_persisted()
+    recall = round(len(got & exact) / len(exact), 4)
+    print(f"  {name}: recall@{K}={recall} wall={wall}s", file=sys.stderr)
+    return {"recall": recall, "wall_s": wall}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_session("ann-knob-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_row_count(sf_dir, "embeddings")
+    print(f"n={n} building exact truth...", file=sys.stderr)
+    sample_ids, exact = exact_truth(spark, emb, n)
+
+    import math
+    nlist = max(4, int(math.sqrt(n)))
+    # the round-9 flat-2048-budget defaults, for same-session
+    # old-vs-new comparisons (cold-start and box state cancel out)
+    old_np = min(S._auto_nprobe(nlist), max(4, (2048 * nlist) // n))
+    old_tables = max(4, min(
+        math.ceil(8.75 * (max(n, 2) / 128) ** 0.22), 16))
+
+    CONFIGS = [
+        ("ivf_auto", lambda: S.ann_ivf_topk(emb, k=K, n=n)),
+        ("ivfpq_auto", lambda: S.ann_ivfpq_topk(emb, k=K, n=n)),
+        ("lsh_auto", lambda: S.ann_lsh_topk(emb, k=K, n=n)),
+    ]
+    if os.environ.get("ANN_SWEEP_OLD", "0") == "1":
+        CONFIGS += [
+            (f"ivf_old_np{old_np}",
+             lambda: S.ann_ivf_topk(emb, k=K, n=n, nlist=nlist,
+                                    nprobe=old_np)),
+            (f"ivfpq_old_np{old_np}",
+             lambda: S.ann_ivfpq_topk(emb, k=K, n=n, nlist=nlist,
+                                      nprobe=old_np)),
+            (f"lsh_old_t{old_tables}",
+             lambda: S.ann_lsh_topk(emb, k=K, n=n,
+                                    num_tables=old_tables)),
+            # warm repeat of the new auto defaults — JIT/first-scan
+            # drift check against the cold readings above
+            ("ivf_auto_warm", lambda: S.ann_ivf_topk(emb, k=K, n=n)),
+            ("ivfpq_auto_warm",
+             lambda: S.ann_ivfpq_topk(emb, k=K, n=n)),
+        ]
+    if os.environ.get("ANN_SWEEP_EXTRA", "0") == "1":
+        CONFIGS += [
+            ("lsh_t27_p7",
+             lambda: S.ann_lsh_topk(emb, k=K, n=n, num_tables=27,
+                                    num_planes=7)),
+            ("lsh_t32_p6",
+             lambda: S.ann_lsh_topk(emb, k=K, n=n, num_tables=32,
+                                    num_planes=6)),
+        ]
+    if os.environ.get("ANN_SWEEP_NLIST", "0") == "1":
+        # VERDICT r9 #6: recall vs nlist at the gate SFs. Two controls:
+        # (a) fixed nlist·nprobe (the verdict's formula — holds the
+        # assignment-rank work steady while the probed FRACTION falls
+        # as 1/nlist²), and (b) fixed probed fraction nprobe/nlist = ½
+        # (holds expected candidates steady — isolates pure list-
+        # granularity/quantization loss). The auto point (√n lists,
+        # power-law probes) anchors both.
+        prod = nlist * S._auto_nprobe(nlist)
+
+        def ivf_at(nl, np_):
+            np_ = max(1, min(nl, np_))
+            return (f"ivf_nl{nl}_np{np_}",
+                    lambda: S.ann_ivf_topk(emb, k=K, n=n, nlist=nl,
+                                           nprobe=np_))
+        seen = set()
+        for nl in (max(4, nlist // 2), nlist, int(nlist * 1.5),
+                   nlist * 2, nlist * 3):
+            for cfg in (ivf_at(nl, max(1, prod // nl)),      # (a)
+                        ivf_at(nl, max(1, nl // 2))):        # (b)
+                if cfg[0] not in seen:
+                    seen.add(cfg[0])
+                    CONFIGS.append(cfg)
+
+    out = {"sf_dir": sf_dir, "n": n, "k": K,
+           "truth": f"{len(sample_ids)} queries"}
+    for name, fn in CONFIGS:
+        out[name] = measure(name, fn, sample_ids, exact)
+    print(json.dumps(out))
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(out, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
