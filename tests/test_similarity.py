@@ -626,7 +626,7 @@ def test_pq_list_scorer_qc_offset():
 
 def test_lsh_auto_table_sizing_recall(spark, emb):
     """The round-8 auto defaults (target_bucket=128, table count grown
-    with n and capped at the ~2048-candidate budget) must hold
+    with n and capped at the max(2048, 64√n) candidate budget) must hold
     recall@5 ≥ 0.9 at the gate SF — the fixed 8-table default decayed
     0.86 → 0.537 across one 10× step (measured 0.995 / 0.918 under
     the auto defaults at sf0.01 / sf0.1)."""
