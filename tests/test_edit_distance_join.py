@@ -216,3 +216,33 @@ def test_candidate_budget_curve():
     assert eff(2000) == 18
     assert eff(20000) == 41
     assert 60 <= eff(10**9) <= 64
+
+
+def test_lsh_auto_sizing_curves():
+    """Pin the round-10 LSH auto-sizing decisions (ann_lsh_topk with
+    num_tables/num_planes None): planes = round(log2(n/target_bucket))
+    centers expected bucket occupancy ON the target (ceil biased it to
+    half — BENCH.md round-10 LSH knob table), and the table growth
+    curve ceil(8.75·(n/tb)^0.22) is the OPERATIVE sizing under the
+    max(2048, 64√n)/tb cap at any realistic n."""
+    import math
+
+    def planes(n, tb=128):
+        return max(2, round(math.log2(max(n, 2) / tb)))
+
+    def tables(n, tb=128):
+        grow = math.ceil(8.75 * (max(n, 2) / tb) ** 0.22)
+        return max(4, min(grow, max(4, S._candidate_budget(n) // tb)))
+
+    # gate SFs keep their historical plane counts (plans identical)
+    assert planes(500) == 2
+    assert planes(2000) == 4
+    # sf1 lands on the measured recall-per-second knee (27 x 7)
+    assert planes(20000) == 7
+    assert tables(20000) == 27
+    # the round-9 flat cap clipped the growth curve from n≈2000; the
+    # √n budget leaves it operative (cap 2816//128 = 22 > grow 17)
+    assert tables(2000) == 17
+    # at extreme n the growth curve still binds, not the cap
+    assert tables(10**9) == 288
+    assert S._candidate_budget(10**9) // 128 > 288
