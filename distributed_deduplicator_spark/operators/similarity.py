@@ -1580,7 +1580,7 @@ def pq_query_tables(unit: DataFrame, codebooks: DataFrame, m: int,
     every (sub_id, code), as a DENSE positional array indexed by
     ``slot = sub_id·ksub + code`` (length m·ksub; slots absent from a
     sparse codebook hold 0.0 — no member can carry such a code, so
-    the value is never read). Returns (id, qtab array<double>).
+    the value is never read). Returns (id, qtab array<float>).
 
     Dense array, not the slot-keyed map it used to be: the qtab rides
     the probe fan-out join (one replica per probed list), and Arrow
@@ -1611,18 +1611,25 @@ def pq_query_tables(unit: DataFrame, codebooks: DataFrame, m: int,
         # so slot/dot pairing never depends on cross-aggregate
         # iteration order
         for pdf in it:
-            out = np.zeros((len(pdf), size), dtype=np.float64)
+            out = np.zeros((len(pdf), size), dtype=np.float32)
             for r, cell in enumerate(pdf["_sd"]):
                 for e in cell:
                     out[r, int(e["slot"])] = float(e["dot"])
             yield pd.DataFrame({"id": pdf["id"], "qtab": list(out)})
 
+    # float, not double: the qtab is the WIRE-dominant column (one
+    # replica per probed list — n·nprobe rows), and ADC is an
+    # approximate shortlist score whose exactness lives in the
+    # downstream re-rank on true dot products; float32's ~1e-7
+    # relative error is orders below the PQ quantization error it
+    # rides on, so halving the fan-out bytes is free (sf1 recall
+    # bit-identical at every measured knob).
     return (unit.crossJoin(F.broadcast(codebooks))
                 .select("id", slot, dot.alias("dot"))
                 .groupBy("id")
                 .agg(F.collect_list(F.struct("slot", "dot"))
                       .alias("_sd"))
-                .mapInPandas(densify, "id long, qtab array<double>"))
+                .mapInPandas(densify, "id long, qtab array<float>"))
 
 
 def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
