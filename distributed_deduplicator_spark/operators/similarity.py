@@ -527,6 +527,41 @@ def _candidate_budget(n: int) -> int:
     return max(2048, 64 * math.isqrt(max(int(n), 0)))
 
 
+def _budget_capped_nprobe(nlist: int, n: int) -> int:
+    """The IVF-family auto nprobe: the ⌈nlist^0.75⌉ power law
+    (:func:`_auto_nprobe`) capped so a query's EXPECTED candidate
+    count (nprobe·n/nlist) stays within :func:`_candidate_budget`.
+    One definition for all three call sites (in-memory IVF, IVF-PQ,
+    persisted-index query) — and the function the sizing unit tests
+    pin, so a regression here cannot hide behind a test-local copy of
+    the formula."""
+    n = max(int(n), 1)
+    return min(_auto_nprobe(nlist),
+               max(4, (_candidate_budget(n) * int(nlist)) // n))
+
+
+def _lsh_auto_sizing(n: int, target_bucket: int = 128) -> tuple[int, int]:
+    """(num_tables, num_planes) for :func:`ann_lsh_topk`'s auto path.
+
+    planes = round(log2(n/target_bucket)) — round, NOT ceil, so the
+    realized expected bucket occupancy centers on target_bucket
+    instead of ceil's systematic half-target bias (per-table cost is
+    dominated by the fixed n-row pass; at n=20k the difference is the
+    measured recall-per-second knee: planes 7 → recall@5 0.727 @
+    ~52 s vs ceil's 8 → 0.547 @ ~47 s, BENCH.md round-10 table).
+    tables = the fitted growth curve ceil(8.75·(n/tb)^0.22), capped
+    by the shared candidate budget (the cap is a backstop — the
+    curve is operative at any realistic n). Module-level and
+    unit-test-pinned for the same reason as
+    :func:`_budget_capped_nprobe`."""
+    n = max(int(n), 2)
+    planes = max(2, round(math.log2(n / target_bucket)))
+    grow = math.ceil(8.75 * (n / target_bucket) ** 0.22)
+    tables = max(4, min(grow, max(
+        4, _candidate_budget(n) // target_bucket)))
+    return tables, planes
+
+
 def _pq_list_scorer(rerank: int, m: int, ksub: int):
     """Build the cogrouped per-list ADC scorer for
     :func:`ann_ivfpq_topk`: f(members_pdf(id, list_id, codes),
@@ -541,7 +576,7 @@ def _pq_list_scorer(rerank: int, m: int, ksub: int):
     window — without it the per-list residual scores would be offset
     by a different missing dot(q, c) per list. Codes are a
     sub_id-keyed MAP (sparse-codebook safe — see pq_encode); qtab is
-    a DENSE slot-indexed array<double> (pq_query_tables — it rides
+    a DENSE slot-indexed array<float> (pq_query_tables — it rides
     the probe fan-out join, so it must cross Arrow as a numpy block,
     not as per-entry map conversions). A subspace missing from a
     member's codes gathers a sentinel slot holding 0.0, exactly the
@@ -635,9 +670,7 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
         # scale the drive-measured recall is the uncapped power-law
         # figure; beyond the budget, recall is the caller's explicit
         # knob, the same contract as ann_ivfpq_topk.
-        nprobe = min(_auto_nprobe(nlist),
-                     max(4, (_candidate_budget(sized_n) * nlist)
-                         // sized_n))
+        nprobe = _budget_capped_nprobe(nlist, sized_n)
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     # the centroid table (nlist×dim doubles) and the assignment table
     # (n×nprobe ids) each feed TWO consumers; without pinning them the
@@ -901,9 +934,7 @@ def ann_ivf_query_index(spark, index_dir: str, queries: DataFrame,
         # candidate budget cap (_candidate_budget) that keeps default
         # total scoring work at the assignment scan's n^1.5 order
         nlist, nmembers = _ivf_index_stats(spark, index_dir)
-        nm = max(nmembers, 4)
-        nprobe = min(_auto_nprobe(nlist),
-                     max(4, (_candidate_budget(nm) * nlist) // nm))
+        nprobe = _budget_capped_nprobe(nlist, max(nmembers, 4))
     cents = spark.read.parquet(f"{index_dir}/centroids")
     members = spark.read.parquet(f"{index_dir}/members")
     qu = unit_vectors(queries, id_col, vec_col)
@@ -1584,7 +1615,7 @@ def pq_query_tables(unit: DataFrame, codebooks: DataFrame, m: int,
 
     Dense array, not the slot-keyed map it used to be: the qtab rides
     the probe fan-out join (one replica per probed list), and Arrow
-    moves array<double> into the cogrouped scorer as a numpy block —
+    moves array<float> into the cogrouped scorer as a numpy block —
     the map<int,double> encoding forced a per-entry Python dict
     conversion inside every task, ~420M entries at sf1/nprobe=41
     (n·nprobe·m·ksub), measured as the dominant IVF-PQ cost once the
@@ -1655,11 +1686,13 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     Defaults: ``nprobe=None`` → :func:`_auto_nprobe` (⌈nlist^0.75⌉,
     floor 4 — the constant-4 default's recall decayed with scale)
     ADDITIONALLY capped so a query's expected candidate count
-    (nprobe·n/nlist) stays ≤ ~2048 — the cap, not the power law,
-    dominates once n passes ~10⁵ (n=100k/nlist=316 → 6 probes, not
-    75), bounding both the per-list ADC gather and the number of 4 KB
-    qtab replicas each query ships; pass ``nprobe`` explicitly to
-    trade wire volume for recall. ``m=32`` (2-dim subspaces): each m
+    (nprobe·n/nlist) stays within :func:`_candidate_budget` =
+    max(2048, 64√n) — under the √n curve the power law runs unclipped
+    through n ≈ 65k, and past that the cap holds nprobe near
+    64·nlist/√n ≈ 64 (n=100k/nlist=316 → 63 probes), bounding both
+    the per-list ADC work and the number of ~2 KB float32 qtab
+    replicas each query ships; pass ``nprobe`` explicitly to trade
+    wire volume for recall. ``m=32`` (2-dim subspaces): each m
     doubling halves the per-subspace quantization error that ate the
     IVF candidate recall the lists had paid for (drive recall@5 at
     sf0.01: m=8 0.35 → m=16 0.767 → m=32 0.778 — the IVF list
@@ -1668,7 +1701,7 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     = 16 bytes/vector, still a 16× traffic cut vs the 64-double
     vectors, and the encode scan is m-INDEPENDENT (n·ksub·dim
     multiply-adds), so the costs that double are only the broadcast
-    codebook (512 tiny rows), the per-query table (4 KB), and the
+    codebook (512 tiny rows), the per-query table (~2 KB), and the
     per-candidate ADC gather — measured wall at sf0.1 actually FELL
     (18.6 → 16.5 s, the better shortlist converges the re-rank
     window). The SAME-BUDGET alternative (m=32, ksub=4 — 8 bytes)
@@ -1680,6 +1713,8 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     subspaces, and these fixtures are isotropic by construction — the
     rotation has nothing to decorrelate (the same reasoning the
     residual path's measured inversion confirmed empirically).
+    (The "costs that double" with m include the per-query table —
+    m·ksub float32 slots ≈ 2 KB at the m=32 default.)
 
     ``rerank=None`` → 16·k: on low-contrast corpora the ADC shortlist
     is the recall bottleneck, and deepening the EXACT re-rank pass is
@@ -1720,7 +1755,7 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
         # candidate volume (nprobe·n/nlist) stays within
         # _candidate_budget(n) = max(2048, 64√n): the cap bounds both
         # the per-list ADC gather work and — the binding wire cost —
-        # the number of m·ksub·8-byte qtab replicas (4 KB at the m=32
+        # the number of m·ksub·4-byte qtab replicas (~2 KB at the m=32
         # default) each query ships (one per probed list); under the
         # √n curve that wire cost is nprobe ≈ 64·nlist/√n ≈ 64
         # replicas/query at ANY capped scale (vs the flat-2048 cap's
@@ -1729,9 +1764,7 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
         # ADC join additionally materialized a qtab per CANDIDATE row
         # and failed the 10× sweep step outright once m=16 pushed the
         # codes table past the auto-broadcast threshold.
-        budget_cap = max(4, (_candidate_budget(sized_n) * nlist)
-                         // sized_n)
-        nprobe = min(_auto_nprobe(nlist), budget_cap)
+        nprobe = _budget_capped_nprobe(nlist, sized_n)
     rerank = rerank if rerank is not None else 16 * k
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
     cents = _tracked_persist(ivf_centroids(u, nlist, dim))
@@ -2065,10 +2098,14 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
     spark.sql.shuffle.partitions — so a derived corpus that is
     GENUINELY single-partition (coalesce(1)/limit upstream) would
     still serialize the interpreted cosine folds onto one core. Such
-    callers pass ``corpus_min_partitions`` to force a round-robin
-    repartition of the corpus side (a pure plan transform — no
-    construction-time job, unlike probing the derived plan's split
-    count), or pre-repartition before calling.
+    callers pass ``corpus_min_partitions`` (a pure plan transform —
+    no construction-time job, unlike probing the derived plan's
+    split count), or pre-repartition before calling. MIN semantics
+    are honored where the split count is knowable job-free
+    (file-backed scans go through fanout, which only ever WIDENS);
+    on a derived plan the value is applied as an exact round-robin
+    repartition — the caller is asserting the plan is narrow, and a
+    wide derived corpus should not pass it at all.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("query_vec"))
@@ -2081,7 +2118,14 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
     c = emb.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("neighbor_vec"))
     if corpus_min_partitions is not None:
-        c = c.repartition(int(corpus_min_partitions))
+        # file-backed plans keep fanout's never-shrink contract (the
+        # split count is knowable job-free there); only a derived
+        # plan — where no job-free probe exists — takes the exact
+        # repartition the caller asserted
+        if c.inputFiles():
+            c = fanout(c, min_partitions=int(corpus_min_partitions))
+        else:
+            c = c.repartition(int(corpus_min_partitions))
     else:
         c = fanout(c)
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -2176,8 +2220,12 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
     on the wire.
 
     ``num_planes=None`` adapts to corpus size: planes =
-    ceil(log2(n / target_bucket)), keeping expected bucket occupancy
-    ≈ target_bucket so per-table join work stays ~n·target_bucket at
+    round(log2(n / target_bucket)) — round, NOT ceil: ceil biased the
+    realized expected bucket to half the target, and per-table cost
+    is dominated by the fixed n-row pass, so under-full buckets buy
+    less recall per second (the measured cliff is in the inline
+    comment below). Expected occupancy stays centered on
+    target_bucket so per-table join work stays ~n·target_bucket at
     any scale (the knob that keeps this sub-quadratic at 100 TB).
     ``num_tables=None`` grows the table count with n —
     ceil(8.75·(n/target_bucket)^0.22), the same shape as IVF's
@@ -2207,24 +2255,15 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
     """
     if num_planes is None or num_tables is None:
         n = _corpus_size_for_sizing(emb, n, "ann_lsh_topk")
-    if num_planes is None:
-        # round(), not ceil(): ceil biased the realized expected
-        # bucket to [target_bucket/2, target_bucket] — systematically
-        # HALF the target — which matters because per-table cost is
-        # dominated by the fixed n-row project/explode/shuffle pass,
-        # not by bucket candidates, so under-full buckets buy less
-        # recall per second. round() centers occupancy on
-        # target_bucket (geometric-mean sense, [tb/√2, tb·√2]). At
-        # the gate SFs (n=500/2000) both round and ceil give 2/4
-        # planes — identical plans; at n=20k round lands on the
-        # MEASURED recall-per-second knee: planes 7 → recall@5 0.727
-        # @ 52 s vs ceil's 8 → 0.547 @ 47 s and the 16-table flat-cap
-        # default's 0.374 @ 21 s (BENCH.md round-10 LSH knob table).
-        num_planes = max(2, round(math.log2(max(n, 2) / target_bucket)))
-    if num_tables is None:
-        grow = math.ceil(8.75 * (max(n, 2) / target_bucket) ** 0.22)
-        num_tables = max(4, min(grow, max(
-            4, _candidate_budget(n) // target_bucket)))
+        # round-vs-ceil planes rationale and the measured knee live in
+        # _lsh_auto_sizing's docstring (unit-test-pinned there). At
+        # the gate SFs (n=500/2000) round and ceil agree (2/4 planes —
+        # identical plans); at n=20k round lands on the knee.
+        auto_tables, auto_planes = _lsh_auto_sizing(n, target_bucket)
+        if num_planes is None:
+            num_planes = auto_planes
+        if num_tables is None:
+            num_tables = auto_tables
     u = unit_vectors(emb, id_col, vec_col)
     b = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col, dim,
                        unit=u)

@@ -203,15 +203,16 @@ def test_candidate_budget_curve():
     assert S._candidate_budget(2000) == 2816   # 64·44
     assert S._candidate_budget(20000) == 9024  # 64·141 (sf1)
     assert S._candidate_budget(10**9) == 64 * 31622
-    # effective auto nprobe at the measured scales: gate SFs keep
-    # their historical uncapped-power-law settings; sf1 lifts 14→41
-    # (the BENCH.md-measured better-on-both-axes point); at n=1e9 the
-    # budget caps nprobe near 64 — total scoring work stays at the
-    # n·nlist assignment scan's n^1.5 order
+    # effective auto nprobe at the measured scales — through the
+    # PRODUCTION helper all three IVF call sites use
+    # (_budget_capped_nprobe), so a formula regression can't hide
+    # behind a test-local copy. Gate SFs keep their historical
+    # uncapped-power-law settings; sf1 lifts 14→41 (the
+    # BENCH.md-measured point); at n=1e9 the budget caps nprobe near
+    # 64 — total scoring work stays at the n·nlist assignment scan's
+    # n^1.5 order
     def eff(n):
-        nlist = max(4, int(math.sqrt(n)))
-        return min(S._auto_nprobe(nlist),
-                   max(4, (S._candidate_budget(n) * nlist) // n))
+        return S._budget_capped_nprobe(max(4, int(math.sqrt(n))), n)
     assert eff(500) == 11
     assert eff(2000) == 18
     assert eff(20000) == 41
@@ -219,20 +220,20 @@ def test_candidate_budget_curve():
 
 
 def test_lsh_auto_sizing_curves():
-    """Pin the round-10 LSH auto-sizing decisions (ann_lsh_topk with
-    num_tables/num_planes None): planes = round(log2(n/target_bucket))
-    centers expected bucket occupancy ON the target (ceil biased it to
-    half — BENCH.md round-10 LSH knob table), and the table growth
-    curve ceil(8.75·(n/tb)^0.22) is the OPERATIVE sizing under the
-    max(2048, 64√n)/tb cap at any realistic n."""
-    import math
+    """Pin the round-10 LSH auto-sizing decisions through the
+    PRODUCTION helper ann_lsh_topk calls (_lsh_auto_sizing — not a
+    test-local re-derivation, so reverting round() to ceil() or
+    touching the 8.75/0.22 growth constants fails HERE): planes =
+    round(log2(n/target_bucket)) centers expected bucket occupancy ON
+    the target (ceil biased it to half — BENCH.md round-10 LSH knob
+    table), and the table growth curve ceil(8.75·(n/tb)^0.22) is the
+    OPERATIVE sizing under the max(2048, 64√n)/tb cap at any
+    realistic n."""
+    def planes(n):
+        return S._lsh_auto_sizing(n)[1]
 
-    def planes(n, tb=128):
-        return max(2, round(math.log2(max(n, 2) / tb)))
-
-    def tables(n, tb=128):
-        grow = math.ceil(8.75 * (max(n, 2) / tb) ** 0.22)
-        return max(4, min(grow, max(4, S._candidate_budget(n) // tb)))
+    def tables(n):
+        return S._lsh_auto_sizing(n)[0]
 
     # gate SFs keep their historical plane counts (plans identical)
     assert planes(500) == 2

@@ -46,9 +46,24 @@ from distributed_deduplicator_spark.sources.fixtures import (  # noqa: E402
 K = 5
 
 
-def exact_truth(spark, emb, n_emb: int):
-    """(sample_ids, exact_edges) — exact top-K edges for the sampled
-    (or, ≤10k, all) query ids, 6-dp-rounded ranking."""
+def numpy_exact_truth(spark, emb, k: int, sample: int | None = 256):
+    """(sample_ids, exact_edges): driver-side numpy exact cosine top-k
+    ground truth for ANN recall measurement — THE shared
+    truth-discipline implementation (tools/local_drive.py's sampled
+    tier imports it; this sweep uses it at every size), so the
+    deterministic xxhash64(vec_id, 9) sample, the self-match mask,
+    and the 6-dp-rounded (cosine desc, neighbor_id asc) ranking — the
+    repo's ulp-absorbing tie-break, cf. round_dp in
+    cosine_topk_bruteforce — can never drift apart between the
+    BENCH.md knob tables and the LOCAL_DRIVE artifacts. A one-sided
+    trade documented here once: rounding also means two GENUINELY
+    distinct cosines within 1e-6 at the rank-k boundary tie-break by
+    id in the truth while an operator ranking raw doubles may keep
+    the other one — both failure modes are rank-boundary-rare; the
+    rounded form was chosen because cross-float-op-order ulp flips
+    (normalize-then-GEMM vs dot/(norm·norm)) are systematic while
+    1e-6-close distinct cosines on these fixtures are not.
+    ``sample=None`` → every vector is a query."""
     import numpy as np
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
@@ -56,11 +71,11 @@ def exact_truth(spark, emb, n_emb: int):
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
-    if n_emb > 10_000:
+    if sample is not None and len(ids) > sample:
         samp = (emb.select("vec_id",
                            F.xxhash64(F.col("vec_id"), F.lit(9))
                             .alias("_h"))
-                   .orderBy("_h", "vec_id").limit(256).collect())
+                   .orderBy("_h", "vec_id").limit(sample).collect())
         sample_ids = sorted(r.vec_id for r in samp)
     else:
         sample_ids = [int(i) for i in ids]
@@ -70,9 +85,16 @@ def exact_truth(spark, emb, n_emb: int):
     for row_i, qid in enumerate(sample_ids):
         s = sims[row_i].copy()
         s[np.searchsorted(ids, qid)] = -np.inf
-        top = np.lexsort((ids, -np.round(s, 6)))[:K]
+        top = np.lexsort((ids, -np.round(s, 6)))[:k]
         exact.update((int(qid), int(ids[t])) for t in top)
     return set(sample_ids), exact
+
+
+def exact_truth(spark, emb, n_emb: int):
+    """Sweep-local wrapper: sampled above 10k vectors (the same
+    switch as the drive), all-queries numpy truth below."""
+    return numpy_exact_truth(spark, emb, K,
+                             sample=256 if n_emb > 10_000 else None)
 
 
 def measure(name, fn, sample_ids, exact):

@@ -21,9 +21,12 @@ import time
 import duckdb
 
 # runnable as `python tools/local_drive.py` (script sys.path[0] is
-# tools/, not the repo root the entry module lives in)
+# tools/, not the repo root the entry module lives in); tools/ itself
+# is added too so the shared truth helper (ann_knob_sweep) imports
+# even when this module is imported rather than run as a script
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
@@ -100,38 +103,14 @@ def quality_metrics(spark, sf_dir, qs) -> dict:
         # quality tier. Ground truth for a diagnostic is the one place
         # a driver-side compute is the right tool: |queries| is fixed
         # at 256 and the corpus matrix (50k × 64 doubles ≈ 25 MB)
-        # collects once.
-        import numpy as np
-        rows = emb.select("vec_id", "embedding").collect()
-        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-        mat = np.array([r.embedding for r in rows], dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        order = np.argsort(ids)
-        ids, mat = ids[order], mat[order]
-        # the same deterministic hash-sample the drive would plant:
-        # xxhash64(vec_id, 9) ascending — computed JVM-side so the
-        # sample matches across runs and engines
-        samp = (emb.select("vec_id",
-                           F.xxhash64(F.col("vec_id"), F.lit(9))
-                            .alias("_h"))
-                   .orderBy("_h", "vec_id").limit(256).collect())
-        sample_ids = {r.vec_id for r in samp}
-        qpos = np.searchsorted(ids, np.array(sorted(sample_ids)))
-        sims = mat[qpos] @ mat.T
-        exact = set()
-        for row_i, qid in zip(range(len(qpos)), sorted(sample_ids)):
-            s = sims[row_i].copy()
-            s[np.searchsorted(ids, qid)] = -np.inf  # no self-match
-            # top-k by (cosine desc, neighbor_id asc) — the operator's
-            # tie-break; lexsort on (-s, ids) gives exactly that.
-            # Rank on the 6-dp-rounded cosine (the repo's ulp-absorbing
-            # discipline, cf. round_dp in cosine_topk_bruteforce): this
-            # truth evaluates normalize-then-GEMM in a different float
-            # op order than the JVM fold's dot/(norm·norm), so a raw
-            # rank-k boundary tie can flip by one ulp between truth and
-            # operator at SFs where no bit-identical cross-check ran.
-            top = np.lexsort((ids, -np.round(s, 6)))[:k]
-            exact.update((int(qid), int(ids[t])) for t in top)
+        # collects once. The implementation is SHARED with the knob
+        # sweep (tools/ann_knob_sweep.numpy_exact_truth — the
+        # deterministic xxhash64 sample, the self-mask, and the
+        # 6-dp-rounded tie-break live there, once), so BENCH.md knob
+        # tables and these drive artifacts can never use divergent
+        # truth disciplines.
+        from ann_knob_sweep import numpy_exact_truth
+        sample_ids, exact = numpy_exact_truth(spark, emb, k, sample=256)
     else:
         exact = {(r.query_id, r.neighbor_id)
                  for r in S.cosine_topk_bruteforce(emb, emb, k=k)
