@@ -55,6 +55,10 @@ HEADLINE = [
     # tuned availableNow drain (no-data batch skipped, source-sized
     # state-store fan-out) — the knobs' regressions stay visible
     "stream_stream_attribution",
+    # round-10 addition: the IVF-PQ path carries this round's
+    # candidate-budget re-curve + one-hot-GEMM ADC + dense float32
+    # qtab — its wall is the canary for the Arrow-path rewrites
+    "ann_ivfpq_topk",
 ]
 
 
