@@ -562,10 +562,10 @@ def _lsh_auto_sizing(n: int, target_bucket: int = 128) -> tuple[int, int]:
     return tables, planes
 
 
-def _pq_list_scorer(rerank: int, m: int, ksub: int):
+def _pq_list_scorer(rerank: int, m: int, ksub: int, cent=None):
     """Build the cogrouped per-list ADC scorer for
     :func:`ann_ivfpq_topk`: f(members_pdf(id, list_id, codes),
-    probes_pdf(query_id, list_id, qtab[, qc])) → (query_id,
+    probes_pdf(query_id, list_id, qtab|qunit[, qc])) → (query_id,
     neighbor_id, adc) — the list's per-query ADC top-(rerank+1).
 
     ADC(q, x) = [qc +] Σ_s qtab[s·ksub + code_s(x)], computed as ONE
@@ -575,12 +575,31 @@ def _pq_list_scorer(rerank: int, m: int, ksub: int):
     making ADC scores COMPARABLE ACROSS LISTS in the global shortlist
     window — without it the per-list residual scores would be offset
     by a different missing dot(q, c) per list. Codes are a
-    sub_id-keyed MAP (sparse-codebook safe — see pq_encode); qtab is
-    a DENSE slot-indexed array<float> (pq_query_tables — it rides
-    the probe fan-out join, so it must cross Arrow as a numpy block,
-    not as per-entry map conversions). A subspace missing from a
-    member's codes gathers a sentinel slot holding 0.0, exactly the
-    declarative fold's coalesce-to-0.
+    sub_id-keyed MAP (sparse-codebook safe — see pq_encode).
+
+    The per-query ADC table arrives one of two ways:
+
+    - ``qunit`` (the engine default, round-11): the probe row carries
+      the query's float32 unit vector (dim·4 ≈ 256 B) and the qtab is
+      computed IN-TASK as m tiny (Q×dsub)@(dsub×ksub) GEMMs against
+      ``cent`` — a driver-collected (m, ksub, dsub) float64 codebook
+      array closed over at plan-build time (m·ksub·dsub doubles,
+      n-INDEPENDENT — ~8 KB at the m=32 default). Rationale: the qtab
+      (m·ksub·4 B ≈ 2 KB) was the probe fan-out join's dominant wire
+      payload (one replica per (query, probed list) — n·nprobe rows),
+      while recomputing it costs Q·dim·ksub flops per list (~0.1% of
+      the ADC GEMM itself). Shipping the 8× smaller qunit and
+      rebuilding the table next to the data is the classic
+      ship-function-not-data trade. Slots absent from a sparse
+      codebook hold 0.0 in ``cent`` — identical to the dense-qtab
+      contract (no member can carry such a code).
+    - ``qtab``: a precomputed DENSE slot-indexed array<float> (the
+      pre-round-11 wire format, kept for the legacy
+      ``probe_payload='qtab'`` A/B path and as the direct numerics
+      surface the unit tests drive with hand-built tables).
+
+    A subspace missing from a member's codes gathers a sentinel slot
+    holding 0.0, exactly the declarative fold's coalesce-to-0.
     rerank+1 so dropping a self-match still leaves rerank candidates;
     the global skinny window above takes the final shortlist.
     Module-level so the gather/sentinel/tie-break logic is
@@ -603,12 +622,23 @@ def _pq_list_scorer(rerank: int, m: int, ksub: int):
             for s, c in (cell.items() if isinstance(cell, dict)
                          else dict(cell).items()):
                 codes[r, int(s)] = int(s) * ksub + int(c)
-        # qtab arrives as a DENSE positional array (pq_query_tables) —
-        # one vstack, no per-entry Python conversion; column `sent` is
-        # the zero sentinel for absent subspaces
         qt = np.zeros((len(q_pdf), sent + 1), dtype=np.float64)
-        qt[:, :sent] = np.vstack([np.asarray(c, dtype=np.float64)
-                                  for c in q_pdf["qtab"]])
+        if "qtab" in q_pdf.columns:
+            # precomputed DENSE positional array — one vstack, no
+            # per-entry Python conversion
+            qt[:, :sent] = np.vstack([np.asarray(c, dtype=np.float64)
+                                      for c in q_pdf["qtab"]])
+        else:
+            # qunit mode: rebuild the table in-task. qmat is the
+            # float32 wire payload upcast once; per subspace s,
+            # qt[:, s·ksub:(s+1)·ksub] = q_s @ cent_s^T — m tiny
+            # GEMMs, Q·dim·ksub flops total for the group.
+            qmat = np.vstack([np.asarray(c, dtype=np.float64)
+                              for c in q_pdf["qunit"]])
+            dsub = qmat.shape[1] // m
+            qsub = qmat.reshape(len(q_pdf), m, dsub)
+            for s in range(m):
+                qt[:, s * ksub:(s + 1) * ksub] = qsub[:, s, :] @ cent[s].T
         # ADC as ONE BLAS GEMM against a 0/1 code-indicator matrix:
         # adc[q, x] = Σ_s qt[q, slot(x, s)] = (qt @ onehot)[q, x] with
         # onehot[slot, x] = 1 iff member x's subspace-s code maps to
@@ -1654,13 +1684,17 @@ def pq_query_tables(unit: DataFrame, codebooks: DataFrame, m: int,
     # downstream re-rank on true dot products; float32's ~1e-7
     # relative error is orders below the PQ quantization error it
     # rides on, so halving the fan-out bytes is free (sf1 recall
-    # bit-identical at every measured knob).
+    # bit-identical at every measured knob). The id field keeps the
+    # input's type (ADVICE r10: hard-coding `id long` narrowed the
+    # previously type-preserving aggregation for string/int32 ids).
+    id_type = unit.schema["id"].dataType.simpleString()
     return (unit.crossJoin(F.broadcast(codebooks))
                 .select("id", slot, dot.alias("dot"))
                 .groupBy("id")
                 .agg(F.collect_list(F.struct("slot", "dot"))
                       .alias("_sd"))
-                .mapInPandas(densify, "id long, qtab array<float>"))
+                .mapInPandas(densify,
+                             f"id {id_type}, qtab array<float>"))
 
 
 def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
@@ -1668,7 +1702,8 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
                    rerank: int | None = None, id_col: str = "vec_id",
                    vec_col: str = "embedding", dim: int = 64,
                    n: int | None = None, residual: bool = False,
-                   cb_refine: bool = True) -> DataFrame:
+                   cb_refine: bool = True,
+                   probe_payload: str = "qunit") -> DataFrame:
     """IVF-PQ two-stage retrieval — the memory-bound 100 TB ANN shape:
     IVF lists prune candidates (~nprobe/nlist of the corpus per query),
     asymmetric-distance PQ scores them from ``m`` byte codes instead of
@@ -1742,6 +1777,15 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     worst case. ``cb_refine=True`` applies one Lloyd step to the
     sampled PQ codebooks (see :func:`pq_codebooks`), worth +0.04-0.06
     recall at identical query cost.
+
+    ``probe_payload`` selects what each (query, probed list) row
+    carries into the cogrouped scorer: ``'qunit'`` (default) ships
+    the dim·4-byte float32 unit vector and rebuilds the ADC table
+    in-task from a plan-time-collected codebook (see
+    :func:`_pq_list_scorer` — the round-11 8× cut on the probe
+    join's dominant wire payload); ``'qtab'`` is the legacy
+    precomputed-table wire, kept for A/B measurement (BENCH.md
+    round-11 table).
     """
     if nlist is None or nprobe is None:
         # only auto-sizing needs the corpus cardinality — a call with
@@ -1799,23 +1843,17 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     cb = _tracked_persist(pq_codebooks(enc_in, m, ksub, dim,
                                        refine=cb_refine))
     codes = pq_encode(enc_in, cb, m, ksub, dim)
-    # the query table stays a function of the RAW query vector — its
-    # entries are dot(q_s, codeword_s), list-independent, so one qtab
-    # per query serves every probed list (under residual encoding the
-    # codewords are residual cells; the per-probe dot(q, c_list)
-    # offset rides the probes as qc)
-    qtabs = pq_query_tables(u, cb, m, ksub, dim)
     # Per-list cogrouped ADC, the same shape as IVF-flat's GEMM stage:
     # members carry their m-byte codes once per list, probing queries
-    # carry their qtab once per probed list, and the (queries × members)
-    # ADC matrix is a numpy table-gather inside the task — candidate
-    # rows NEVER materialize (the declarative alternative joined a
-    # 2 KB qtab onto every candidate row: ~390 GB through one
-    # exchange at n=100k unless the planner happened to broadcast the
-    # codes side). Per-list top-(rerank+1) under (adc desc,
-    # neighbor_id asc) is a superset of the global ADC top-rerank
-    # restricted to that list — same exactness argument as
-    # _ivf_list_scorer — so the skinny global window below recovers
+    # carry their ADC payload once per probed list, and the
+    # (queries × members) ADC matrix is a numpy table-gather inside
+    # the task — candidate rows NEVER materialize (the declarative
+    # alternative joined a 2 KB qtab onto every candidate row:
+    # ~390 GB through one exchange at n=100k unless the planner
+    # happened to broadcast the codes side). Per-list top-(rerank+1)
+    # under (adc desc, neighbor_id asc) is a superset of the global
+    # ADC top-rerank restricted to that list — same exactness argument
+    # as _ivf_list_scorer — so the skinny global window below recovers
     # IVF-PQ's exact shortlist semantics.
     members = r1.join(codes, "id")
     # qc (the exact dot(q, c_list)) ONLY under residual encoding —
@@ -1825,13 +1863,42 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
                   F.col("centroid_id").alias("list_id")]
     if residual:
         probe_cols.append(F.col("cdot").alias("qc"))
-    probes = (assigns.select(*probe_cols)
-                     .join(qtabs.withColumnRenamed("id", "query_id"),
-                           "query_id"))
+    if probe_payload == "qunit":
+        # round-11 wire cut (VERDICT r10 #2): the probe row ships the
+        # query's float32 unit vector (dim·4 ≈ 256 B) instead of the
+        # m·ksub·4 ≈ 2 KB qtab, and the scorer rebuilds each query's
+        # table in-task from the codebook — collected driver-side
+        # ONCE at plan-build time (m·ksub rows, n-INDEPENDENT; this
+        # is index metadata, not data through the driver). The qtab
+        # entries are then float64 dots of float32-rounded inputs —
+        # the same ~1e-7 rounding the old float32 qtab wire already
+        # carried, orders below the PQ quantization error either way.
+        import numpy as np
+        dsub = dim // m
+        cent = np.zeros((m, ksub, dsub), dtype=np.float64)
+        for row in cb.collect():
+            cent[int(row["sub_id"]), int(row["code"]), :] = row["ccent"]
+        probes = (assigns.select(*probe_cols)
+                         .join(u.select(F.col("id").alias("query_id"),
+                                        F.transform(
+                                            "unit",
+                                            lambda x: x.cast("float"))
+                                         .alias("qunit")),
+                               "query_id"))
+        scorer = _pq_list_scorer(rerank, m, ksub, cent=cent)
+    else:
+        # legacy qtab wire (the pre-round-11 shape, kept for A/B
+        # measurement): one dense table per query, precomputed as a
+        # distributed pass and replicated per probed list by the join
+        qtabs = pq_query_tables(u, cb, m, ksub, dim)
+        probes = (assigns.select(*probe_cols)
+                         .join(qtabs.withColumnRenamed("id", "query_id"),
+                               "query_id"))
+        scorer = _pq_list_scorer(rerank, m, ksub)
     scored = (members.groupBy("list_id")
                      .cogroup(probes.groupBy("list_id"))
                      .applyInPandas(
-                         _pq_list_scorer(rerank, m, ksub),
+                         scorer,
                          "query_id long, neighbor_id long, adc double"))
     w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(),
                                                    F.col("neighbor_id"))
@@ -2103,9 +2170,10 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
     split count), or pre-repartition before calling. MIN semantics
     are honored where the split count is knowable job-free
     (file-backed scans go through fanout, which only ever WIDENS);
-    on a derived plan the value is applied as an exact round-robin
-    repartition — the caller is asserting the plan is narrow, and a
-    wide derived corpus should not pass it at all.
+    on a derived plan — where no job-free split probe exists — the
+    repartition target is max(value, spark.sql.shuffle.partitions),
+    so the knob can widen a narrow derived plan but never shrink a
+    wide post-shuffle one below the session's shuffle width.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("query_vec"))
@@ -2119,13 +2187,21 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                    F.col(vec_col).alias("neighbor_vec"))
     if corpus_min_partitions is not None:
         # file-backed plans keep fanout's never-shrink contract (the
-        # split count is knowable job-free there); only a derived
-        # plan — where no job-free probe exists — takes the exact
-        # repartition the caller asserted
+        # split count is knowable job-free there); a derived plan —
+        # where no job-free split probe exists — takes an exact
+        # repartition, CLAMPED to spark.sql.shuffle.partitions so the
+        # MIN in the name can never SHRINK a wide post-shuffle corpus
+        # (ADVICE r10: repartition(8) on a 200-partition derived plan
+        # would serialize the very folds the knob parallelizes; a
+        # genuinely narrow plan — coalesce(1)/limit — still widens to
+        # at least the requested floor either way)
         if c.inputFiles():
             c = fanout(c, min_partitions=int(corpus_min_partitions))
         else:
-            c = c.repartition(int(corpus_min_partitions))
+            c = c.repartition(max(
+                int(corpus_min_partitions),
+                int(emb.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"))))
     else:
         c = fanout(c)
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -2208,7 +2284,8 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
                  num_tables: int | None = None,
                  num_planes: int | None = None, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64,
-                 target_bucket: int = 128, n: int | None = None) -> DataFrame:
+                 target_bucket: int = 128, n: int | None = None,
+                 unit_wire: str = "float32") -> DataFrame:
     """Approximate all-pairs top-k: cosine top-k over LSH-collided pairs.
 
     The scale path vs brute force: candidate generation is per-(table,
@@ -2279,13 +2356,32 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
              .select(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"))
              .distinct())
+    # unit_wire='float32' (default): the scoring join copies TWO
+    # dim-element unit arrays onto every surviving candidate pair —
+    # the join's dominant payload (at sf1: 2×512 B × ~2.6M distinct
+    # pairs) — and the float64 low bits it would preserve are recall-
+    # irrelevant (the fold below upcasts per element, so products and
+    # the accumulator stay float64; only the INPUTS carry float32's
+    # ~6e-8 relative rounding — two orders below the 1e-6 rank-key
+    # rounding the ANN truth discipline already absorbs, and the
+    # emitted approximate `cosine` keeps its documented contract).
+    # 'float64' is the pre-round-11 wire, kept for A/B (BENCH.md).
+    if unit_wire == "float32":
+        uw = u.select("id", F.transform(
+            "unit", lambda x: x.cast("float")).alias("unit"))
+        dot = F.aggregate(
+            F.zip_with("qu", "nu",
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+    else:
+        uw = u
+        dot = _dot_indexed("qu", "nu", dim)
     scored = (cand
-              .join(u.select(F.col("id").alias("id_a"),
-                             F.col("unit").alias("qu")), "id_a")
-              .join(u.select(F.col("id").alias("id_b"),
-                             F.col("unit").alias("nu")), "id_b")
-              .select("id_a", "id_b",
-                      _dot_indexed("qu", "nu", dim).alias("cosine")))
+              .join(uw.select(F.col("id").alias("id_a"),
+                              F.col("unit").alias("qu")), "id_a")
+              .join(uw.select(F.col("id").alias("id_b"),
+                              F.col("unit").alias("nu")), "id_b")
+              .select("id_a", "id_b", dot.alias("cosine")))
     pairs = (scored.select(F.explode(F.array(
                  F.struct(F.col("id_a").alias("query_id"),
                           F.col("id_b").alias("neighbor_id"),

@@ -58,62 +58,56 @@ from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 # 4 rounds old in steady state. VERIFIED.md carries the cross-round
 # ledger and per-round histograms.
 #
-# Round-10 verification rotation. The first 50 names are pinned
-# (4 + 35 + 11):
-# - the FOUR ANN queries whose auto-sizing code changed in round 10:
-#   the flat ~2048-candidate budget cap was re-curved to
-#   _candidate_budget(n) = max(2048, 64√n) (operators/similarity.py —
-#   total scoring work now matches the n·nlist assignment scan's
-#   n^1.5 order; the flat cap was measured DOMINATED at n=20k:
-#   recall 0.477 @ 12.1 s vs uncapped 0.780 @ 7.2 s, BENCH.md).
-#   At the driver's gate SF (n=500) the budget floor keeps every
-#   executed plan IDENTICAL; they re-window under the changed-code
-#   rule anyway. Round 10's other code changes touch no registered
-#   query's executed path: cosine_topk_bruteforce gained an optional
-#   corpus_min_partitions escape hatch (default path plan-identical —
-#   parity asserted in tests), _ivf_index_stats warns on corrupt-
-#   footer fallback (API surface, pytest-gated), drain sizing treats
-#   a 0-byte source sum as unavailable (can't trigger on the
-#   fixtures), and bench.py gained a solo-run contamination probe
-#   (tooling).
-# - the 35 queries whose newest driver row is round 6 — the entire
-#   r6-banked queue from VERIFIED.md (after this round no query's
-#   newest evidence predates r7).
-# - 11 round-7-banked rows, oldest-first per the standing policy:
-#   kll_value_quantiles first (the only r7 rows-only entry), then the
-#   first 10 r7 oracle rows alphabetically.
+# Round-11 verification rotation. The first 50 names are pinned
+# (2 + 35 + 13):
+# - the TWO ANN queries whose executed plan changed in round 11
+#   (changed-code rule): ann_ivfpq_topk's probe join ships the
+#   dim·4-byte float32 query unit vector instead of the ~2 KB
+#   precomputed qtab (the ADC table is rebuilt in-task from a
+#   plan-time-collected codebook — VERDICT r10 #2), and
+#   ann_lsh_topk's scoring join attaches float32 unit vectors
+#   (upcast per element inside the float64 fold — VERDICT r10 #6).
+#   Round 11's other code changes touch no registered query's
+#   executed path: cosine_topk_bruteforce's corpus_min_partitions
+#   derived-plan branch clamps to the session shuffle width (ADVICE
+#   r10 — non-default branch, no registered caller), pq_query_tables
+#   keeps its input id type (ADVICE r10 — now only on the legacy
+#   probe_payload='qtab' A/B path), and bench.py gained the bounded
+#   calm-wait + stricter foreign-JVM match (tooling).
+# - the 35 queries whose newest driver row is round 7 — the entire
+#   r7-banked queue from VERIFIED.md (after this round no query's
+#   newest evidence predates r8).
+# - 13 round-8-banked rows, weakest-evidence-first per the standing
+#   policy: the 7 r8 rows-only entries alphabetically, then the
+#   first 6 r8 oracle rows alphabetically.
 # Everything after the window keeps module registration order. Update
 # this list each round as the window rotates; an unknown name fails
 # import.
 _ROTATION_HEAD = [
-    # code changed in round 10 (ANN candidate-budget re-curve)
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
-    "ann_ivf_persisted_topk",
-    # newest driver row r6 — the whole r6 queue
-    "basket_part_pairs_lift", "bigram_lm_quality",
-    "blocklist_scrub_stats", "bpe_pair_counts",
-    "cluster_size_histogram", "corpus_filter_funnel",
-    "cross_source_overlap", "curriculum_quality_bins",
-    "dsir_importance_weights", "embedding_similarity_histogram",
-    "event_p99_exceeders", "event_rate_anomaly",
-    "event_transition_matrix", "important_part_value",
-    "join_key_skew_profile", "lang_confusion_matrix",
-    "length_outlier_mad", "min_cost_supplier", "ngram_novelty_scores",
-    "open_orders_backlog", "parts_supplier_counts",
-    "promo_part_shippers", "retention_cohorts", "soft_dedup_weights",
-    "source_token_drift", "suppliers_kept_waiting", "tfidf_top_terms",
-    "token_length_exact_quantiles", "token_simpson_diversity",
-    "unigram_lm_quality", "unpivot_lineitem_measures",
-    "value_drift_by_day", "vocab_coverage_topk", "vocab_growth",
-    "zipf_rank_freq",
-    # r7-banked refresh, oldest-first: rows-only entry first, then
-    # alphabetical
-    "kll_value_quantiles",
-    "asof_join_forward_orders", "asof_join_nearest_orders",
-    "correlated_above_avg", "cube_orders", "custdist_order_counts",
-    "dedup_exact_distinct", "dedup_first_wins_winners",
-    "dedup_latest_state", "disjunctive_predicate_revenue",
-    "embedding_cosine_neardup",
+    # code changed in round 11 (ANN wire-format cuts)
+    "ann_ivfpq_topk", "ann_lsh_topk",
+    # newest driver row r7 — the whole r7 queue, alphabetical (no
+    # rows-only entries in this class)
+    "filtered_agg_orders", "fuzzy_name_pairs", "fuzzy_name_topk",
+    "grouping_sets_orders", "join_anti", "join_dim_broadcast",
+    "join_full_outer_counts", "join_left_order_counts", "join_semi",
+    "json_props_stats", "order_priority_check", "pareto_quality_front",
+    "percentiles_by_status", "pivot_status_counts", "predicate_in_null",
+    "price_histogram", "returned_items_by_nation", "rollup_orders",
+    "salted_skew_join_revenue", "scalar_functions",
+    "semantic_decontaminate", "semantic_dedup_keep_one", "set_ops",
+    "shipping_priority", "sql_cte_subqueries", "table_profile",
+    "text_stats", "topk_frequent_event_types", "topk_global",
+    "volume_shipping", "window_distribution_funcs", "window_first_last",
+    "window_rank_dense", "window_running_sum", "window_topk_per_group",
+    # r8-banked refresh, weakest evidence class first: the 7 r8
+    # rows-only entries alphabetically...
+    "frequent_tokens_approx", "near_dup_clusters", "near_dup_ensemble",
+    "simhash_near_dup_pairs", "stream_dedup_watermark",
+    "text_length_quantiles", "winnow_near_dup_pairs",
+    # ...then the first 6 r8 oracle rows alphabetically
+    "agg_distinct", "asof_join_orders", "attribution_window_join",
+    "benchmark_decontaminate", "chunk_dedup_stats", "corpus_mix_weights",
 ]
 
 

@@ -624,6 +624,46 @@ def test_pq_list_scorer_qc_offset():
     assert np.allclose(out["adc"], [11.5, 22.5, 10.0, 21.0])
 
 
+def test_pq_list_scorer_qunit_mode_matches_qtab_mode():
+    """The round-11 qunit wire (probe rows carry the float32 unit
+    vector; the scorer rebuilds the ADC table in-task from the
+    closed-over codebook) must emit EXACTLY what the precomputed-qtab
+    wire emits when the hand-fed qtab is built by the same
+    qsub @ cent^T products — the wire format is the only thing that
+    changed, never the scores. Covers the qc offset in qunit mode
+    too. Pure pandas — no SparkSession."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    nm, nq, m, ksub, dsub, rerank = 17, 5, 4, 8, 2, 6
+    dim = m * dsub
+    cent = rng.normal(size=(m, ksub, dsub))
+    qmat = rng.normal(size=(nq, dim))
+    qsub = qmat.reshape(nq, m, dsub)
+    qtabs = np.zeros((nq, m * ksub))
+    for s in range(m):
+        qtabs[:, s * ksub:(s + 1) * ksub] = qsub[:, s, :] @ cent[s].T
+    codes = [{s: int(rng.integers(ksub)) for s in range(m)
+              if rng.random() < 0.85}
+             for _ in range(nm)]
+    members = pd.DataFrame({"list_id": [1] * nm, "id": np.arange(nm),
+                            "codes": codes})
+    qc = rng.normal(size=nq)
+    via_qtab = pd.DataFrame({"list_id": [1] * nq,
+                             "query_id": np.arange(nq),
+                             "qtab": list(qtabs), "qc": qc})
+    via_qunit = pd.DataFrame({"list_id": [1] * nq,
+                              "query_id": np.arange(nq),
+                              "qunit": list(qmat), "qc": qc})
+    a = (S._pq_list_scorer(rerank, m, ksub)(members, via_qtab)
+         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True))
+    b = (S._pq_list_scorer(rerank, m, ksub, cent=cent)(members, via_qunit)
+         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
 def test_lsh_auto_table_sizing_recall(spark, emb):
     """The round-8 auto defaults (target_bucket=128, table count grown
     with n and capped at the max(2048, 64√n) candidate budget) must hold
@@ -898,4 +938,48 @@ def test_bruteforce_corpus_min_partitions_escape_hatch(spark, emb):
     default = S.cosine_topk_bruteforce(derived, q, k=3)
     cols = ["query_id", "neighbor_id", "rank"]
     assert sorted(map(tuple, forced.select(*cols).collect())) == \
+        sorted(map(tuple, default.select(*cols).collect()))
+
+
+def test_bruteforce_min_partitions_truly_derived_corpus(spark, emb):
+    """ADVICE r10: the coalesce(1)-over-a-file-scan corpus above still
+    reports file-backed leaves (inputFiles() non-empty), so it takes
+    the fanout branch — the exact-repartition branch the escape hatch
+    exists for needs a corpus with NO file leaves. A local-relation
+    DataFrame is that shape. Asserts the same properties (no
+    construction-time job, a Repartition in the plan, value parity)
+    plus the round-11 clamp: the repartition target is
+    max(requested, spark.sql.shuffle.partitions), so a small 'min'
+    can never SHRINK a wide derived plan."""
+    import re
+    rows = emb.select("vec_id", "embedding").limit(200).collect()
+    local = spark.createDataFrame(rows)  # local relation: no files
+    assert local.inputFiles() == [], "fixture must be file-leaf-free"
+    q = local.where(F.col("vec_id") % 97 == 0)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sc = spark.sparkContext
+    group = "bruteforce-derived-probe"
+    sc.setJobGroup(group, "assert no jobs during construction")
+    try:
+        small = S.cosine_topk_bruteforce(local, q, k=3,
+                                         corpus_min_partitions=4)
+        large = S.cosine_topk_bruteforce(
+            local, q, k=3, corpus_min_partitions=shuffle_parts + 8)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+    def repartition_n(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        m = re.search(r"Repartition (\d+)", plan)
+        assert m, f"no Repartition in derived-corpus plan:\n{plan}"
+        return int(m.group(1))
+
+    # clamped UP to the session shuffle width; an explicit larger
+    # floor is honored as given
+    assert repartition_n(small) == shuffle_parts
+    assert repartition_n(large) == shuffle_parts + 8
+    cols = ["query_id", "neighbor_id", "rank"]
+    default = S.cosine_topk_bruteforce(local, q, k=3)
+    assert sorted(map(tuple, small.select(*cols).collect())) == \
         sorted(map(tuple, default.select(*cols).collect()))

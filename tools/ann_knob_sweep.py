@@ -130,8 +130,10 @@ def main() -> None:
     CONFIGS = [
         ("ivf_auto", lambda: S.ann_ivf_topk(emb, k=K, n=n)),
         ("ivfpq_auto", lambda: S.ann_ivfpq_topk(emb, k=K, n=n)),
-        ("lsh_auto", lambda: S.ann_lsh_topk(emb, k=K, n=n)),
     ]
+    if os.environ.get("ANN_SWEEP_SKIP_LSH", "0") != "1":
+        CONFIGS.append(
+            ("lsh_auto", lambda: S.ann_lsh_topk(emb, k=K, n=n)))
     if os.environ.get("ANN_SWEEP_OLD", "0") == "1":
         CONFIGS += [
             (f"ivf_old_np{old_np}",
@@ -157,6 +159,35 @@ def main() -> None:
             ("lsh_t32_p6",
              lambda: S.ann_lsh_topk(emb, k=K, n=n, num_tables=32,
                                     num_planes=6)),
+        ]
+    if os.environ.get("ANN_SWEEP_CAP", "0") == "1":
+        # VERDICT r10 #1: the _candidate_budget cap only BINDS past
+        # n ≈ 65k (where ⌈nlist^0.75⌉·n/nlist first exceeds 64√n) and
+        # no artifact had ever executed that regime. On a corpus built
+        # 2×+ past the clip point, measure the capped auto default
+        # against (a) the UNCAPPED power law (what the cap clips) and
+        # (b) a 2× explicit high-recall setting (the documented
+        # recall-beyond-the-budget knob) — recall delta is what the
+        # cap costs, wall delta is what it buys.
+        uncapped = S._auto_nprobe(nlist)
+        capped = S._budget_capped_nprobe(nlist, n)
+        hi = min(nlist, 2 * uncapped)
+        print(f"cap sweep: nlist={nlist} capped_np={capped} "
+              f"uncapped_np={uncapped} hi_np={hi}", file=sys.stderr)
+        CONFIGS += [
+            (f"ivf_capped_np{capped}",
+             lambda: S.ann_ivf_topk(emb, k=K, n=n)),
+            (f"ivf_uncapped_np{uncapped}",
+             lambda: S.ann_ivf_topk(emb, k=K, n=n, nlist=nlist,
+                                    nprobe=uncapped)),
+            (f"ivf_hi_np{hi}",
+             lambda: S.ann_ivf_topk(emb, k=K, n=n, nlist=nlist,
+                                    nprobe=hi)),
+            (f"ivfpq_capped_np{capped}",
+             lambda: S.ann_ivfpq_topk(emb, k=K, n=n)),
+            (f"ivfpq_uncapped_np{uncapped}",
+             lambda: S.ann_ivfpq_topk(emb, k=K, n=n, nlist=nlist,
+                                      nprobe=uncapped)),
         ]
     if os.environ.get("ANN_SWEEP_NLIST", "0") == "1":
         # VERDICT r9 #6: recall vs nlist at the gate SFs. Two controls:
