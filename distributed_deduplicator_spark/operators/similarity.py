@@ -502,13 +502,13 @@ def _auto_nprobe(nlist: int) -> int:
 
 def _candidate_budget(n: int) -> int:
     """Per-query expected-candidate cap for the ANN auto-sizing paths:
-    ``max(2048, 64·⌊√n⌋)``.
+    ``max(2048, 128·⌊√n⌋)``.
 
     Why √n and not a flat cap (the round-9 shape): all-pairs IVF
     top-k INESCAPABLY pays n·nlist = n^1.5 distance computations just
     selecting each query's probe lists (nlist ≈ √n). A per-query
-    scoring budget of 64√n keeps total candidate-scoring work at
-    64·n^1.5 — the SAME asymptotic order as that probe-selection scan
+    scoring budget of c·√n keeps total candidate-scoring work at
+    c·n^1.5 — the SAME asymptotic order as that probe-selection scan
     — so the cap never changes the operator's asymptotics; it only
     prevents the ⌈nlist^0.75⌉ probe power law from going
     near-brute-force (uncapped candidates grow n^0.875/query, total
@@ -517,14 +517,25 @@ def _candidate_budget(n: int) -> int:
     recall decayed measurably with corpus growth — at n=20k the flat
     cap was DOMINATED on both axes (recall 0.477 @ 12.1 s vs the
     uncapped power law's 0.780 @ 7.2 s, BENCH.md round-9 knob table).
-    Under this curve the power law stays unclipped through n ≈ 65k
-    (where n^0.875 = 64√n), covering every measured fixture scale;
-    past it the scanned fraction decays as 64/√n — far slower than
-    2048/n — and recall beyond the budget remains the caller's
-    explicit nprobe/tables knob, same contract as before. The 2048
-    floor keeps sub-√n-budget corpora (n < ~1800) at full historical
-    coverage."""
-    return max(2048, 64 * math.isqrt(max(int(n), 0)))
+
+    Why c = 128, not round-10's 64 (BENCH.md round-11, the first
+    measurement where a cap actually BINDS): at n=140k the 64-cap
+    clipped nprobe 86 → 63 and cost recall@5 0.790 → 0.710 while
+    saving only ~6% wall (94.2 vs 100.5 s IVF, 256-query exact
+    truth) — the scoring flops the cap bounds are BLAS-cheap and the
+    wall is fan-out/overhead-dominated at every measurable scale, so
+    the 64-constant bought nothing measurable where it first bound.
+    Doubling to 128 defers the clip to n ≈ 420k (where n^0.875 =
+    128√n) and holds twice the probed fraction (128/√n) wherever it
+    binds (at n=1M the clip is 178 → 128, the same 1.39× ratio the
+    64-cap showed at 140k). Beyond the budget, recall remains
+    the caller's explicit nprobe/tables knob — on isotropic data ANY
+    sublinear candidate scheme decays; the budget is a work-bound
+    contract, not a recall promise. The 2048 floor keeps
+    sub-√n-budget corpora (n < ~260) at full historical coverage
+    (the gate-SF plans are floor-dominated and unchanged under any
+    c ≥ 64)."""
+    return max(2048, 128 * math.isqrt(max(int(n), 0)))
 
 
 def _budget_capped_nprobe(nlist: int, n: int) -> int:
@@ -691,7 +702,7 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     if nprobe is None:
         # ⌈nlist^0.75⌉ keeps recall from the constant-nprobe decay,
         # capped so a query's EXPECTED candidate count (nprobe·n/nlist)
-        # stays ≤ _candidate_budget(n) = max(2048, 64√n) — total
+        # stays ≤ _candidate_budget(n) = max(2048, 128√n) — total
         # scoring work then matches the n·nlist assignment scan's
         # n^1.5 order instead of going near-brute-force (uncapped
         # power law: n^1.88 total). See _candidate_budget for why the
@@ -960,7 +971,7 @@ def ann_ivf_query_index(spark, index_dir: str, queries: DataFrame,
         # stored-index statistics (local parquet footers, else the
         # manifest sidecar — works on remote index dirs too): the auto
         # default matches what an in-memory ann_ivf_topk over the same
-        # corpus would pick, including the max(2048, 64√n) expected-
+        # corpus would pick, including the max(2048, 128√n) expected-
         # candidate budget cap (_candidate_budget) that keeps default
         # total scoring work at the assignment scan's n^1.5 order
         nlist, nmembers = _ivf_index_stats(spark, index_dir)
@@ -1722,12 +1733,12 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     floor 4 — the constant-4 default's recall decayed with scale)
     ADDITIONALLY capped so a query's expected candidate count
     (nprobe·n/nlist) stays within :func:`_candidate_budget` =
-    max(2048, 64√n) — under the √n curve the power law runs unclipped
-    through n ≈ 65k, and past that the cap holds nprobe near
-    64·nlist/√n ≈ 64 (n=100k/nlist=316 → 63 probes), bounding both
-    the per-list ADC work and the number of ~2 KB float32 qtab
-    replicas each query ships; pass ``nprobe`` explicitly to trade
-    wire volume for recall. ``m=32`` (2-dim subspaces): each m
+    max(2048, 128√n) — under the √n curve the power law runs unclipped
+    through n ≈ 420k, and past that the cap holds nprobe near
+    128·nlist/√n ≈ 128 (n=1M/nlist=1000 → 128 probes), bounding both
+    the per-list ADC work and the number of probe-payload replicas
+    (dim·4 ≈ 256 B qunit rows at the default wire) each query ships;
+    pass ``nprobe`` explicitly to trade wire volume for recall. ``m=32`` (2-dim subspaces): each m
     doubling halves the per-subspace quantization error that ate the
     IVF candidate recall the lists had paid for (drive recall@5 at
     sf0.01: m=8 0.35 → m=16 0.767 → m=32 0.778 — the IVF list
@@ -1797,14 +1808,15 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     if nprobe is None:
         # auto nprobe, additionally capped so a query's expected
         # candidate volume (nprobe·n/nlist) stays within
-        # _candidate_budget(n) = max(2048, 64√n): the cap bounds both
+        # _candidate_budget(n) = max(2048, 128√n): the cap bounds both
         # the per-list ADC gather work and — the binding wire cost —
-        # the number of m·ksub·4-byte qtab replicas (~2 KB at the m=32
-        # default) each query ships (one per probed list); under the
-        # √n curve that wire cost is nprobe ≈ 64·nlist/√n ≈ 64
-        # replicas/query at ANY capped scale (vs the flat-2048 cap's
-        # 2, which bought its cheapness with recall decaying as
-        # 2048/n — see _candidate_budget). The earlier declarative
+        # the number of probe-payload replicas (dim·4 ≈ 256 B qunit
+        # rows at the default wire) each query ships (one per probed
+        # list); under the √n curve that wire cost is nprobe ≈
+        # 128·nlist/√n ≈ 128 replicas/query at ANY capped scale (vs
+        # the flat-2048 cap's 2, which bought its cheapness with
+        # recall decaying as 2048/n — see _candidate_budget). The
+        # earlier declarative
         # ADC join additionally materialized a qtab per CANDIDATE row
         # and failed the 10× sweep step outright once m=16 pushed the
         # codes table past the auto-broadcast threshold.
@@ -2285,7 +2297,7 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
                  num_planes: int | None = None, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64,
                  target_bucket: int = 128, n: int | None = None,
-                 unit_wire: str = "float32") -> DataFrame:
+                 unit_wire: str = "float64") -> DataFrame:
     """Approximate all-pairs top-k: cosine top-k over LSH-collided pairs.
 
     The scale path vs brute force: candidate generation is per-(table,
@@ -2315,7 +2327,7 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
     default measures 0.995 / 0.918. Tables are additionally capped at
     _candidate_budget(n)/target_bucket so the EXPECTED per-query
     candidate volume (tables·bucket) stays within the same
-    max(2048, 64√n) budget as the capped IVF paths (the round-9 flat
+    max(2048, 128√n) budget as the capped IVF paths (the round-9 flat
     2048/target_bucket clipped the growth curve from n≈2000 — the
     very scale band it was fitted on; under the √n budget the 0.22
     curve is the OPERATIVE sizing at any realistic n and the cap is
@@ -2356,16 +2368,19 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
              .select(F.col("a.id").alias("id_a"),
                      F.col("b.id").alias("id_b"))
              .distinct())
-    # unit_wire='float32' (default): the scoring join copies TWO
-    # dim-element unit arrays onto every surviving candidate pair —
-    # the join's dominant payload (at sf1: 2×512 B × ~2.6M distinct
-    # pairs) — and the float64 low bits it would preserve are recall-
-    # irrelevant (the fold below upcasts per element, so products and
-    # the accumulator stay float64; only the INPUTS carry float32's
-    # ~6e-8 relative rounding — two orders below the 1e-6 rank-key
-    # rounding the ANN truth discipline already absorbs, and the
-    # emitted approximate `cosine` keeps its documented contract).
-    # 'float64' is the pre-round-11 wire, kept for A/B (BENCH.md).
+    # unit_wire='float64' (default) — the round-11 float32 experiment
+    # is a MEASURED NEGATIVE here (BENCH.md round-11 A/B): recall is
+    # bit-identical (0.7273 at sf1, the fold upcasts per element so
+    # only inputs carry float32's ~6e-8 rounding), but wall GREW
+    # ~1.16× (49.1 s vs 42.2 s mean, interleaved same-session pairs).
+    # Unlike IVF-PQ's probe join — a real exchange, where the same
+    # trick paid 1.3× — this scoring join is two BROADCAST hash
+    # joins: the unit arrays are local memcpy from the broadcast
+    # table, never network, so halving bytes saves almost nothing
+    # while the 2×dim per-element casts inside the fold add real CPU
+    # on all ~41M pair rows. On a cluster where this join turned
+    # sort-merge (corpus too big to broadcast), the trade could
+    # invert — hence a knob, not a removal.
     if unit_wire == "float32":
         uw = u.select("id", F.transform(
             "unit", lambda x: x.cast("float")).alias("unit"))

@@ -60,13 +60,16 @@ from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 #
 # Round-11 verification rotation. The first 50 names are pinned
 # (2 + 35 + 13):
-# - the TWO ANN queries whose executed plan changed in round 11
-#   (changed-code rule): ann_ivfpq_topk's probe join ships the
-#   dim·4-byte float32 query unit vector instead of the ~2 KB
-#   precomputed qtab (the ADC table is rebuilt in-task from a
-#   plan-time-collected codebook — VERDICT r10 #2), and
-#   ann_lsh_topk's scoring join attaches float32 unit vectors
-#   (upcast per element inside the float64 fold — VERDICT r10 #6).
+# - the TWO ANN queries whose code changed in round 11 (changed-code
+#   rule): ann_ivfpq_topk's probe join ships the dim·4-byte float32
+#   query unit vector instead of the ~2 KB precomputed qtab (the ADC
+#   table is rebuilt in-task from a plan-time-collected codebook —
+#   VERDICT r10 #2; executed plan changed, A/B recall-identical and
+#   1.3× faster at sf1). ann_lsh_topk gained a unit_wire knob whose
+#   float32 setting measured recall-identical but SLOWER (broadcast
+#   join — memcpy not network; BENCH.md round-11 negative), so its
+#   default — and executed plan — stays the float64 wire; pinned
+#   anyway since the function body changed.
 #   Round 11's other code changes touch no registered query's
 #   executed path: cosine_topk_bruteforce's corpus_min_partitions
 #   derived-plan branch clamps to the session shuffle width (ADVICE

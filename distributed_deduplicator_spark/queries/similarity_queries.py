@@ -338,7 +338,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build time): a fixed table count loses recall as the corpus grows
     — 0.86 → 0.537 recall@5 across one 10× step under the old 8-table
     default; the n-scaled default holds ≥0.9 at both gate SFs under
-    the same max(2048, 64√n)-candidates/query budget the IVF paths
+    the same max(2048, 128√n)-candidates/query budget the IVF paths
     run (plane count round()s onto the measured recall-per-second
     knee — BENCH.md round-10 LSH knob table)."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -193,30 +193,37 @@ def test_auto_nprobe_formula():
 
 
 def test_candidate_budget_curve():
-    """max(2048, 64·⌊√n⌋): floor below n≈1800, √n-scaled above — the
+    """max(2048, 128·⌊√n⌋): floor below n≈260, √n-scaled above — the
     round-10 re-curve of the flat 2048 cap (dominated at n=20k:
-    recall 0.477 @ 12.1 s vs the uncapped power law's 0.780 @ 7.2 s,
-    BENCH.md). Effective nprobe follows from it."""
+    recall 0.477 @ 12.1 s vs the uncapped power law's 0.780 @ 7.2 s)
+    with the coefficient re-measured 64 → 128 in round 11 (at the
+    64-cap's first binding scale, n=140k, it cost recall 0.790 →
+    0.710 for ~6% wall — BENCH.md round-11 capped-regime table).
+    Effective nprobe follows from it."""
     import math
-    assert S._candidate_budget(500) == 2048    # floor (gate SF)
-    assert S._candidate_budget(0) == 2048
-    assert S._candidate_budget(2000) == 2816   # 64·44
-    assert S._candidate_budget(20000) == 9024  # 64·141 (sf1)
-    assert S._candidate_budget(10**9) == 64 * 31622
+    assert S._candidate_budget(500) == 2816    # 128·22
+    assert S._candidate_budget(0) == 2048      # floor
+    assert S._candidate_budget(200) == 2048    # floor
+    assert S._candidate_budget(2000) == 5632   # 128·44
+    assert S._candidate_budget(20000) == 18048  # 128·141 (sf1)
+    assert S._candidate_budget(10**9) == 128 * 31622
     # effective auto nprobe at the measured scales — through the
     # PRODUCTION helper all three IVF call sites use
     # (_budget_capped_nprobe), so a formula regression can't hide
-    # behind a test-local copy. Gate SFs keep their historical
-    # uncapped-power-law settings; sf1 lifts 14→41 (the
-    # BENCH.md-measured point); at n=1e9 the budget caps nprobe near
-    # 64 — total scoring work stays at the n·nlist assignment scan's
-    # n^1.5 order
+    # behind a test-local copy. Gate SFs and sf1 keep their
+    # uncapped-power-law settings (the clip now first binds at
+    # n≈420k); n=140k stays on the law (86 — the round-11 measured
+    # point); n=1M clips 178 → 128 (the executed capped regime);
+    # at n=1e9 the budget caps nprobe near 128 — total scoring work
+    # stays at the n·nlist assignment scan's n^1.5 order
     def eff(n):
         return S._budget_capped_nprobe(max(4, int(math.sqrt(n))), n)
     assert eff(500) == 11
     assert eff(2000) == 18
     assert eff(20000) == 41
-    assert 60 <= eff(10**9) <= 64
+    assert eff(140_000) == 86
+    assert eff(10**6) == 128
+    assert 120 <= eff(10**9) <= 128
 
 
 def test_lsh_auto_sizing_curves():
@@ -227,7 +234,7 @@ def test_lsh_auto_sizing_curves():
     round(log2(n/target_bucket)) centers expected bucket occupancy ON
     the target (ceil biased it to half — BENCH.md round-10 LSH knob
     table), and the table growth curve ceil(8.75·(n/tb)^0.22) is the
-    OPERATIVE sizing under the max(2048, 64√n)/tb cap at any
+    OPERATIVE sizing under the max(2048, 128√n)/tb cap at any
     realistic n."""
     def planes(n):
         return S._lsh_auto_sizing(n)[1]
@@ -242,7 +249,7 @@ def test_lsh_auto_sizing_curves():
     assert planes(20000) == 7
     assert tables(20000) == 27
     # the round-9 flat cap clipped the growth curve from n≈2000; the
-    # √n budget leaves it operative (cap 2816//128 = 22 > grow 17)
+    # √n budget leaves it operative (cap 5632//128 = 44 > grow 17)
     assert tables(2000) == 17
     # at extreme n the growth curve still binds, not the cap
     assert tables(10**9) == 288

@@ -67,6 +67,14 @@ def numpy_exact_truth(spark, emb, k: int, sample: int | None = 256):
     import numpy as np
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    # a synthetic corpus with COLLIDING ids silently corrupts both
+    # the truth (searchsorted on a non-unique sort) and the operators
+    # (pq_encode's groupBy(id) merges codes of different vectors) —
+    # the round-11 first 140k build hit exactly this (copies of an
+    # ALREADY-shifted corpus re-overlap the id ranges), reading
+    # recall 0.01 that had nothing to do with the knobs under test
+    assert len(np.unique(ids)) == len(ids), \
+        "corpus ids are not unique — rebuild from an unshifted source"
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     order = np.argsort(ids)
@@ -129,8 +137,10 @@ def main() -> None:
 
     CONFIGS = [
         ("ivf_auto", lambda: S.ann_ivf_topk(emb, k=K, n=n)),
-        ("ivfpq_auto", lambda: S.ann_ivfpq_topk(emb, k=K, n=n)),
     ]
+    if os.environ.get("ANN_SWEEP_SKIP_PQ", "0") != "1":
+        CONFIGS.append(
+            ("ivfpq_auto", lambda: S.ann_ivfpq_topk(emb, k=K, n=n)))
     if os.environ.get("ANN_SWEEP_SKIP_LSH", "0") != "1":
         CONFIGS.append(
             ("lsh_auto", lambda: S.ann_lsh_topk(emb, k=K, n=n)))
@@ -183,12 +193,17 @@ def main() -> None:
             (f"ivf_hi_np{hi}",
              lambda: S.ann_ivf_topk(emb, k=K, n=n, nlist=nlist,
                                     nprobe=hi)),
-            (f"ivfpq_capped_np{capped}",
-             lambda: S.ann_ivfpq_topk(emb, k=K, n=n)),
-            (f"ivfpq_uncapped_np{uncapped}",
-             lambda: S.ann_ivfpq_topk(emb, k=K, n=n, nlist=nlist,
-                                      nprobe=uncapped)),
         ]
+        # IVF-PQ shares _budget_capped_nprobe with IVF; at n ≥ ~500k
+        # its wall makes the extra configs a poor spend — gate them
+        if os.environ.get("ANN_SWEEP_CAP_IVF_ONLY", "0") != "1":
+            CONFIGS += [
+                (f"ivfpq_capped_np{capped}",
+                 lambda: S.ann_ivfpq_topk(emb, k=K, n=n)),
+                (f"ivfpq_uncapped_np{uncapped}",
+                 lambda: S.ann_ivfpq_topk(emb, k=K, n=n, nlist=nlist,
+                                          nprobe=uncapped)),
+            ]
     if os.environ.get("ANN_SWEEP_NLIST", "0") == "1":
         # VERDICT r9 #6: recall vs nlist at the gate SFs. Two controls:
         # (a) fixed nlist·nprobe (the verdict's formula — holds the
