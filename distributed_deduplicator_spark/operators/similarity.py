@@ -593,17 +593,22 @@ def _pq_list_scorer(rerank: int, m: int, ksub: int, cent=None):
     - ``qunit`` (the engine default, round-11): the probe row carries
       the query's float32 unit vector (dim·4 ≈ 256 B) and the qtab is
       computed IN-TASK as m tiny (Q×dsub)@(dsub×ksub) GEMMs against
-      ``cent`` — a driver-collected (m, ksub, dsub) float64 codebook
-      array closed over at plan-build time (m·ksub·dsub doubles,
-      n-INDEPENDENT — ~8 KB at the m=32 default). Rationale: the qtab
-      (m·ksub·4 B ≈ 2 KB) was the probe fan-out join's dominant wire
-      payload (one replica per (query, probed list) — n·nprobe rows),
-      while recomputing it costs Q·dim·ksub flops per list (~0.1% of
-      the ADC GEMM itself). Shipping the 8× smaller qunit and
-      rebuilding the table next to the data is the classic
-      ship-function-not-data trade. Slots absent from a sparse
-      codebook hold 0.0 in ``cent`` — identical to the dense-qtab
-      contract (no member can carry such a code).
+      the (m, ksub, dsub) codebook array. The codebook arrives either
+      as the ``cent`` closure (unit tests / standalone use) or
+      IN-BAND: probe rows flagged ``_cb=True`` whose ``qunit`` field
+      is the flattened dense slot-scattered codebook
+      (m·ksub·dsub floats ≈ 4 KB) — one such row per list group,
+      unioned into the probes side by :func:`ann_ivfpq_topk` via a
+      broadcast crossJoin, so query CONSTRUCTION stays pure planning
+      (no driver collect, no eager job). Rationale for the payload
+      itself: the qtab (m·ksub·4 B ≈ 2 KB) was the probe fan-out
+      join's dominant wire payload (one replica per (query, probed
+      list) — n·nprobe rows), while recomputing it costs Q·dim·ksub
+      flops per list (~0.1% of the ADC GEMM itself). Shipping the 8×
+      smaller qunit and rebuilding the table next to the data is the
+      classic ship-function-not-data trade. Slots absent from a
+      sparse codebook hold 0.0 in the dense scatter — identical to
+      the dense-qtab contract (no member can carry such a code).
     - ``qtab``: a precomputed DENSE slot-indexed array<float> (the
       pre-round-11 wire format, kept for the legacy
       ``probe_payload='qtab'`` A/B path and as the direct numerics
@@ -626,6 +631,17 @@ def _pq_list_scorer(rerank: int, m: int, ksub: int, cent=None):
     sent = m * ksub  # one extra zero slot for absent subspaces
 
     def score(m_pdf, q_pdf):
+        ctab = cent
+        if "_cb" in q_pdf.columns:
+            # in-band codebook: the flagged row's qunit field is the
+            # flattened dense (m·ksub·dsub) codebook for this index —
+            # split it out of the query rows before scoring
+            mask = q_pdf["_cb"].to_numpy(dtype=bool)
+            if mask.any():
+                flat = np.asarray(q_pdf["qunit"][mask].iloc[0],
+                                  dtype=np.float64)
+                ctab = flat.reshape(m, ksub, flat.size // (m * ksub))
+            q_pdf = q_pdf[~mask]
         if len(m_pdf) == 0 or len(q_pdf) == 0:
             return empty()
         codes = np.full((len(m_pdf), m), sent, dtype=np.int64)
@@ -642,14 +658,18 @@ def _pq_list_scorer(rerank: int, m: int, ksub: int, cent=None):
         else:
             # qunit mode: rebuild the table in-task. qmat is the
             # float32 wire payload upcast once; per subspace s,
-            # qt[:, s·ksub:(s+1)·ksub] = q_s @ cent_s^T — m tiny
+            # qt[:, s·ksub:(s+1)·ksub] = q_s @ ctab_s^T — m tiny
             # GEMMs, Q·dim·ksub flops total for the group.
+            if ctab is None:
+                raise ValueError(
+                    "qunit scoring needs a codebook: pass cent= or "
+                    "union in-band _cb rows (ann_ivfpq_topk does)")
             qmat = np.vstack([np.asarray(c, dtype=np.float64)
                               for c in q_pdf["qunit"]])
             dsub = qmat.shape[1] // m
             qsub = qmat.reshape(len(q_pdf), m, dsub)
             for s in range(m):
-                qt[:, s * ksub:(s + 1) * ksub] = qsub[:, s, :] @ cent[s].T
+                qt[:, s * ksub:(s + 1) * ksub] = qsub[:, s, :] @ ctab[s].T
         # ADC as ONE BLAS GEMM against a 0/1 code-indicator matrix:
         # adc[q, x] = Σ_s qt[q, slot(x, s)] = (qt @ onehot)[q, x] with
         # onehot[slot, x] = 1 iff member x's subspace-s code maps to
@@ -1792,7 +1812,7 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     ``probe_payload`` selects what each (query, probed list) row
     carries into the cogrouped scorer: ``'qunit'`` (default) ships
     the dim·4-byte float32 unit vector and rebuilds the ADC table
-    in-task from a plan-time-collected codebook (see
+    in-task from an in-band broadcast codebook row (see
     :func:`_pq_list_scorer` — the round-11 8× cut on the probe
     join's dominant wire payload); ``'qtab'`` is the legacy
     precomputed-table wire, kept for A/B measurement (BENCH.md
@@ -1879,25 +1899,54 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
         # round-11 wire cut (VERDICT r10 #2): the probe row ships the
         # query's float32 unit vector (dim·4 ≈ 256 B) instead of the
         # m·ksub·4 ≈ 2 KB qtab, and the scorer rebuilds each query's
-        # table in-task from the codebook — collected driver-side
-        # ONCE at plan-build time (m·ksub rows, n-INDEPENDENT; this
-        # is index metadata, not data through the driver). The qtab
-        # entries are then float64 dots of float32-rounded inputs —
-        # the same ~1e-7 rounding the old float32 qtab wire already
-        # carried, orders below the PQ quantization error either way.
-        import numpy as np
+        # table in-task from the codebook. The codebook travels
+        # IN-BAND: one flattened dense row per list (slot-scattered
+        # to m·ksub·dsub floats so a sparse codebook can never shift
+        # positions) is unioned into the probes side via a broadcast
+        # crossJoin onto the nlist centroid ids — nlist × ~4 KB
+        # total, and the whole construction stays pure planning (a
+        # driver-side cb.collect() here would run the codebook
+        # pipeline as an EAGER job at query-construction time,
+        # breaking the registry's no-jobs laziness contract —
+        # tests/test_plan_shapes.py — and bottlenecking plan build on
+        # a driver round-trip). The rebuilt qtab entries are float64
+        # dots of float32-rounded inputs — the same ~1e-7 rounding
+        # the old float32 qtab wire already carried, orders below the
+        # PQ quantization error either way.
         dsub = dim // m
-        cent = np.zeros((m, ksub, dsub), dtype=np.float64)
-        for row in cb.collect():
-            cent[int(row["sub_id"]), int(row["code"]), :] = row["ccent"]
+        cb_map = cb.agg(F.map_from_entries(F.collect_list(F.struct(
+            (F.col("sub_id") * ksub + F.col("code")).cast("int")
+            .alias("slot"), F.col("ccent")))).alias("_m"))
+        cb_flat = cb_map.select(F.flatten(F.transform(
+            F.sequence(F.lit(0), F.lit(m * ksub - 1)),
+            lambda s: F.coalesce(
+                F.element_at(F.col("_m"), s),
+                F.array_repeat(F.lit(0.0), dsub)))).alias("qunit"))
+        cb_flat = cb_flat.select(F.transform(
+            "qunit", lambda x: x.cast("float")).alias("qunit"))
+        # dummy-key equi-join, not crossJoin: same one-row broadcast,
+        # but it plans as BroadcastHashJoin (the registry's plan gate
+        # bans nested-loop shapes outside the documented brute-force
+        # paths)
+        cb_rows = (cents.select(F.col("centroid_id").alias("list_id"),
+                                F.lit(1).alias("_j"))
+                        .join(F.broadcast(cb_flat.withColumn(
+                            "_j", F.lit(1))), "_j")
+                        .select(F.lit(-1).cast("long").alias("query_id"),
+                                "list_id", "qunit",
+                                *([F.lit(0.0).alias("qc")]
+                                  if residual else []),
+                                F.lit(True).alias("_cb")))
         probes = (assigns.select(*probe_cols)
                          .join(u.select(F.col("id").alias("query_id"),
                                         F.transform(
                                             "unit",
                                             lambda x: x.cast("float"))
                                          .alias("qunit")),
-                               "query_id"))
-        scorer = _pq_list_scorer(rerank, m, ksub, cent=cent)
+                               "query_id")
+                         .withColumn("_cb", F.lit(False))
+                         .unionByName(cb_rows))
+        scorer = _pq_list_scorer(rerank, m, ksub)
     else:
         # legacy qtab wire (the pre-round-11 shape, kept for A/B
         # measurement): one dense table per query, precomputed as a

@@ -63,7 +63,7 @@ from distributed_deduplicator_spark.queries import relational  # noqa: F401,E402
 # - the TWO ANN queries whose code changed in round 11 (changed-code
 #   rule): ann_ivfpq_topk's probe join ships the dim·4-byte float32
 #   query unit vector instead of the ~2 KB precomputed qtab (the ADC
-#   table is rebuilt in-task from a plan-time-collected codebook —
+#   table is rebuilt in-task from an in-band broadcast codebook row —
 #   VERDICT r10 #2; executed plan changed, A/B recall-identical and
 #   1.3× faster at sf1). ann_lsh_topk gained a unit_wire knob whose
 #   float32 setting measured recall-identical but SLOWER (broadcast

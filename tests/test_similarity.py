@@ -662,6 +662,23 @@ def test_pq_list_scorer_qunit_mode_matches_qtab_mode():
          .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+    # the IN-BAND codebook wire — what ann_ivfpq_topk actually ships
+    # (a per-list `_cb`-flagged probe row whose qunit field is the
+    # flattened dense slot-scattered codebook; keeps query
+    # construction job-free). cent is fully dense here, so C-order
+    # reshape IS the slot-major scatter.
+    via_inband = pd.concat(
+        [via_qunit.assign(_cb=False),
+         pd.DataFrame({"list_id": [1], "query_id": [-1],
+                       "qunit": [cent.reshape(-1)], "qc": [0.0],
+                       "_cb": [True]})], ignore_index=True)
+    c = (S._pq_list_scorer(rerank, m, ksub)(members, via_inband)
+         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, c)
+    # a list whose probe group is ONLY the codebook row (no real
+    # queries probed it) must emit empty, not error
+    only_cb = via_inband[via_inband["_cb"]]
+    assert len(S._pq_list_scorer(rerank, m, ksub)(members, only_cb)) == 0
 
 
 @pytest.mark.full  # ~4 min: builds a 140k-vector corpus and runs the
