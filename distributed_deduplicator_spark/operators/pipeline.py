@@ -694,11 +694,17 @@ def exactsubstr_prune(docs: DataFrame, id_col: str, text_col: str,
         _tracked_persist)
     # one row per doc, three consumers (gram stream, token stream,
     # per-doc totals) — persist the linear tokenized table; released
-    # by the registry hook via release_persisted()
+    # by the registry hook via release_persisted(). fanout first: the
+    # single-split fixture scan otherwise pins the cached table (and
+    # the tokenize pass itself) to ONE partition, serializing all
+    # three consumers' first stages (profiled round 11: a 1-task ~2 s
+    # stage at sf0.1; no-op at real scale where scans have many
+    # splits)
     toks = _tracked_persist(
-        docs.where(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("id"),
-                    TXT.tokens(text_col).alias("_t")))
+        fanout(docs.where(F.col(text_col).isNotNull())
+                   .select(F.col(id_col).alias("id"),
+                           F.col(text_col).alias("_text")))
+        .select("id", TXT.tokens("_text").alias("_t")))
     # posexplode → 0-based gram position == 0-based index of the
     # window's FIRST token in the token stream below
     occ = (toks.where(F.size("_t") >= n)

@@ -79,6 +79,34 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _cache_coalesce(df: DataFrame, est_bytes: int,
+                    floor: int | None = None) -> DataFrame:
+    """Trim a to-be-persisted subtree to a size-derived partition count.
+
+    Cached plans bypass AQE partition coalescing (Spark pins a cached
+    relation's output partitioning unless
+    ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`` is
+    flipped — and flipping it globally measured NEGATIVE here:
+    advisory-size coalescing collapses tiny cached tables to ONE
+    partition and serializes their consumers, BENCH.md round 11). So a
+    persisted shuffle materializes at the session's INITIAL partition
+    count (8×cores) no matter how small the data is, and every
+    downstream InMemoryTableScan pays that many near-empty tasks —
+    profiled at sf0.1 as several 256-task stages per ANN query with
+    ~45 ms scheduling overhead and ~0 CPU each. ``est_bytes`` is known
+    at PLAN time for the ANN intermediates (the same parquet row stats
+    the index sizing uses), so coalesce to the 64 MB grain with a
+    ``floor`` of defaultParallelism (never serialize a consumer's
+    scan; pass ``floor=1`` for bounded-size tables that only feed
+    broadcasts). coalesce never widens, so a genuinely large table
+    keeps its planned width."""
+    sc = df.sparkSession.sparkContext
+    if floor is None:
+        floor = sc.defaultParallelism
+    target = max(floor, -(-int(est_bytes) // (64 << 20)))
+    return df.coalesce(target)
+
+
 def _persistent_jrdds(sc) -> dict:
     """id → java RDD handle for every currently persisted RDD."""
     jmap = sc._jsc.getPersistentRDDs()
@@ -738,11 +766,19 @@ def ann_ivf_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
     # deep centroid DAG (seed sample → Lloyd step → renormalize)
     # re-evaluates once per consumer. Both are tiny — persist and let
     # the caller release via release_persisted().
-    cents = _tracked_persist(ivf_centroids(u, nlist, dim))
+    # cents is bounded (nlist ≈ √n rows × ~520 B — 16 MB even at
+    # n = 10⁹) and only feeds broadcast collects: one cached partition
+    cents = _tracked_persist(_cache_coalesce(
+        ivf_centroids(u, nlist, dim), nlist * 520, floor=1))
     # one assignment pass serves both roles: rank 1 = the vector's own
     # list, ranks 1..nprobe = the lists its queries probe. Skinny: the
     # id↔list mapping only — vectors are re-attached ONCE per side
     # below, never per candidate pair.
+    # assigns deliberately NOT width-trimmed: its cached partitioning
+    # feeds the cogrouped numpy scorer, whose float64 GEMM cosines
+    # move by 1 ulp when batch composition changes (measured at
+    # sf0.01, BENCH.md round 11) — that would silently break the
+    # row-for-row ann_ivf_persisted_topk == ann_ivf_topk gate
     assigns = _tracked_persist(
         ivf_assign(u, cents, dim, nprobe=nprobe, keep_unit=False))
     members = (assigns.where(F.col("crank") == 1)
@@ -1567,6 +1603,32 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
 # IVF-PQ: product-quantization scoring on IVF candidates
 # ---------------------------------------------------------------------------
 
+def _pq_d2(dsub: int) -> Column:
+    """Squared L2 between a unit vector's ``sub_id``-th subvector and
+    the joined codebook cell ``ccent``, spelled as an explicit
+    ``element_at`` chain instead of the earlier
+    slice + zip_with + aggregate fold: higher-order functions are
+    CodegenFallback-interpreted, and on the n·m·ksub-row encode
+    crossJoin that interpretation (plus the per-row slice/zip array
+    allocations) was the profiled cost of the two hottest codegen
+    spans in ann_ivfpq_topk (WholeStageCodegen 5+6, ~46 s of task time
+    at sf0.1 — BENCH.md round 11; the element_at spelling measured
+    0.65 s vs 0.95 s median on the isolated encode fragment).
+    ``dsub`` is a plan-time constant, so the chain stays tiny (2 terms
+    at the m=32 default — nothing like the 64-term flat chains the
+    round-2 note warns about). The left-associated sum adds terms in
+    exactly the fold's order (the fold's 0.0 seed is exact: every term
+    is a square, ≥ +0.0), so the result is bit-identical."""
+    total: Column | None = None
+    for j in range(dsub):
+        a = F.element_at(F.col("unit"),
+                         (F.col("sub_id") * dsub + j + 1).cast("int"))
+        b = F.element_at(F.col("ccent"), j + 1)
+        t = (a - b) * (a - b)
+        total = t if total is None else total + t
+    return total
+
+
 def pq_codebooks(unit: DataFrame, m: int, ksub: int, dim: int,
                  refine: bool = True) -> DataFrame:
     """Deterministic product-quantization codebooks (Jégou et al.,
@@ -1610,8 +1672,7 @@ def pq_codebooks(unit: DataFrame, m: int, ksub: int, dim: int,
     # per-dimension means; empty cells keep their seed
     sample = unit.where(F.xxhash64(F.col("id"), F.lit(11)) % 4 == 0)
     sub = F.slice("unit", F.col("sub_id") * dsub + 1, dsub)
-    d2 = F.aggregate(F.zip_with(sub, "ccent", lambda a, b: (a - b) * (a - b)),
-                     F.lit(0.0), lambda acc, v: acc + v)
+    d2 = _pq_d2(dsub)
     assigned = (sample.crossJoin(F.broadcast(cb))
                       .select("id", "sub_id", sub.alias("_sv"),
                               F.struct(d2.alias("d2"),
@@ -1642,15 +1703,13 @@ def pq_encode(unit: DataFrame, codebooks: DataFrame, m: int, ksub: int,
     of the vector's subvector. Returns (id, codes map<sub_id, code>).
 
     The scoring join is corpus × broadcast(m·ksub codebook) with a
-    dsub-dim distance fold in codegen; the argmin is a struct-MIN
-    aggregate ((d2, code) lexicographic — map-side combinable, no
-    window), then one collect_list pack per id. Work is n·dim·ksub
+    dsub-term codegen distance chain (:func:`_pq_d2`); the argmin is a
+    struct-MIN aggregate ((d2, code) lexicographic — map-side
+    combinable, no window), then one collect_list pack per id. Work is n·dim·ksub
     multiply-adds — ksub× the IVF assignment scan, still linear in n.
     """
     dsub = dim // m
-    sub = F.slice("unit", F.col("sub_id") * dsub + 1, dsub)
-    d2 = F.aggregate(F.zip_with(sub, "ccent", lambda a, b: (a - b) * (a - b)),
-                     F.lit(0.0), lambda acc, v: acc + v)
+    d2 = _pq_d2(dsub)
     scored = (unit.crossJoin(F.broadcast(codebooks))
                   .select("id", "sub_id",
                           F.struct(d2.alias("d2"),
@@ -1843,13 +1902,20 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
         nprobe = _budget_capped_nprobe(nlist, sized_n)
     rerank = rerank if rerank is not None else 16 * k
     u = _tracked_persist(unit_vectors(emb, id_col, vec_col))
-    cents = _tracked_persist(ivf_centroids(u, nlist, dim))
+    # cents / cb are bounded-size tables that only feed broadcasts —
+    # trim both cached widths (see _cache_coalesce: cached plans
+    # bypass AQE coalescing, so they'd otherwise materialize at the
+    # 8×cores initial partition count)
+    cents = _tracked_persist(_cache_coalesce(
+        ivf_centroids(u, nlist, dim), nlist * 520, floor=1))
     # keep_score only under residual encoding, where the ranking's
     # dot(q, c) becomes the exact per-probe qc offset the residual ADC
     # needs (see below). It is free to COMPUTE (the assignment ranks on
     # it anyway) but not to carry: the default raw path never reads it,
     # and persisting + shuffling an extra double across the n·nprobe
     # assigns rows buys nothing there.
+    # assigns deliberately NOT width-trimmed — same 1-ulp GEMM
+    # batch-composition sensitivity as ann_ivf_topk (see note there)
     assigns = _tracked_persist(
         ivf_assign(u, cents, dim, nprobe=nprobe, keep_unit=False,
                    keep_score=residual))
@@ -1872,8 +1938,9 @@ def ann_ivfpq_topk(emb: DataFrame, k: int = 10, nlist: int | None = None,
                                        lambda x, c: x - c).alias("unit")))
     else:
         enc_in = u
-    cb = _tracked_persist(pq_codebooks(enc_in, m, ksub, dim,
-                                       refine=cb_refine))
+    cb = _tracked_persist(_cache_coalesce(
+        pq_codebooks(enc_in, m, ksub, dim, refine=cb_refine),
+        m * ksub * 64, floor=1))
     codes = pq_encode(enc_in, cb, m, ksub, dim)
     # Per-list cogrouped ADC, the same shape as IVF-flat's GEMM stage:
     # members carry their m-byte codes once per list, probing queries

@@ -901,15 +901,26 @@ def q_pareto_quality_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons and the emitted values are bit-identical — full value
     oracle."""
     from distributed_deduplicator_spark.functions import text as TXT
+    from distributed_deduplicator_spark.operators.similarity import (
+        _tracked_persist)
+    from distributed_deduplicator_spark.sources.fixtures import fanout
     d = load_table(spark, sf_dir, "documents")
     toks = TXT.tokens("text")
-    m = (d.select("doc_id", "source", toks.alias("_t"))
-          .where(F.size("_t") > 0)
-          .select("doc_id", "source",
-                  F.size("_t").cast("bigint").alias("n_tok"),
-                  F.size(F.array_distinct("_t")).cast("bigint")
-                   .alias("_nd")))
-    r = m.withColumn("distinct_ratio",
-                     F.col("_nd") / F.col("n_tok"))
+    # fanout before the regex-heavy tokenize (the single-split fixture
+    # scan otherwise runs it on one task), and persist the SKINNY
+    # per-doc metrics: the skyline's local pass consumes its input
+    # twice (per-x aggregate + join-back), which re-ran the whole
+    # tokenize chain per consumer (profiled round 11: four ~1.3 s
+    # single-task stages at sf0.1). ~30 B/doc cached vs re-tokenizing
+    # the corpus — released by the registry via release_persisted().
+    m = (fanout(d.select("doc_id", "source", "text"))
+         .select("doc_id", "source", toks.alias("_t"))
+         .where(F.size("_t") > 0)
+         .select("doc_id", "source",
+                 F.size("_t").cast("bigint").alias("n_tok"),
+                 F.size(F.array_distinct("_t")).cast("bigint")
+                  .alias("_nd")))
+    r = _tracked_persist(m.withColumn("distinct_ratio",
+                                      F.col("_nd") / F.col("n_tok")))
     return (P.pareto_front_2d(r, "n_tok", "distinct_ratio", ["source"])
              .select("doc_id", "source", "n_tok", "distinct_ratio"))

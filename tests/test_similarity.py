@@ -624,6 +624,50 @@ def test_pq_list_scorer_qc_offset():
     assert np.allclose(out["adc"], [11.5, 22.5, 10.0, 21.0])
 
 
+def test_pq_encode_matches_numpy_argmin(spark, emb):
+    """pq_encode's per-(id, subspace) code must equal an independent
+    NumPy argmin of sequential-accumulation squared-L2 (ties → lowest
+    code). Pins the round-11 element_at-chain spelling of the distance
+    (_pq_d2) to the operator's declared semantics: the chain adds the
+    dsub squared differences left-associated, exactly like the old
+    zip_with/aggregate fold, so codes must be reproducible from the
+    same arithmetic outside Spark. Includes a SPARSE codebook (one
+    subspace missing entirely, one with fewer codes): absent subspaces
+    must simply not appear in the codes map."""
+    import numpy as np
+
+    m, ksub, dim = 8, 4, 64
+    dsub = dim // m
+    u = S.unit_vectors(emb.limit(50), "vec_id", "embedding")
+    cb = S.pq_codebooks(u, m, ksub, dim, refine=True)
+    # sparse codebook: drop all of subspace 3 and half of subspace 5
+    cb_sparse = cb.where(~((F.col("sub_id") == 3)
+                           | ((F.col("sub_id") == 5) & (F.col("code") >= 2))))
+    for book in (cb, cb_sparse):
+        cb_rows = [(r["sub_id"], r["code"], np.array(r["ccent"]))
+                   for r in book.collect()]
+        got = {r["id"]: dict(r["codes"])
+               for r in S.pq_encode(u, book, m, ksub, dim).collect()}
+        units = {r["id"]: np.array(r["unit"]) for r in u.collect()}
+        by_sub: dict = {}
+        for sub_id, code, cc in cb_rows:
+            by_sub.setdefault(sub_id, []).append((code, cc))
+        for uid, vec in units.items():
+            for sub_id, cells in by_sub.items():
+                best = None
+                for code, cc in sorted(cells):
+                    a = vec[sub_id * dsub:(sub_id + 1) * dsub]
+                    d2 = 0.0
+                    for j in range(dsub):
+                        d = a[j] - cc[j]
+                        d2 = d2 + d * d
+                    if best is None or d2 < best[0]:
+                        best = (d2, code)
+                assert got[uid][sub_id] == best[1], (uid, sub_id)
+            # absent subspaces never appear
+            assert set(got[uid]) == set(by_sub), uid
+
+
 def test_pq_list_scorer_qunit_mode_matches_qtab_mode():
     """The round-11 qunit wire (probe rows carry the float32 unit
     vector; the scorer rebuilds the ADC table in-task from the
