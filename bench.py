@@ -125,6 +125,24 @@ def _wait_for_calm_box(max_wait_s: float = 120.0,
     return round(waited, 1)
 
 
+def _steal_ticks() -> int | None:
+    """Cumulative hypervisor steal ticks from /proc/stat (field 8 of
+    the aggregate cpu line), or None off-Linux. Motivation (round 11):
+    identical-code bench runs on this box read 52–74 s with
+    loadavg_start < 1.5 and zero foreign JVMs — the inflation source
+    is HOST-level contention (CPU steal), which loadavg cannot see
+    (measured ~0.4 cores stolen at idle, more under load). A run's
+    steal fraction is the missing contamination signal: read `value`
+    against it the same way the foreign-JVM flag is read."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts[0] == "cpu" and len(parts) > 8 \
+            else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # settle first, probe second — both BEFORE get_session so our own
@@ -139,6 +157,8 @@ def main() -> None:
         print(f"  WARNING: {len(foreign_jvms)} foreign Spark JVM(s) "
               f"running (pids {foreign_jvms}) — timings below are "
               "contaminated by CPU contention", file=sys.stderr)
+    steal0 = _steal_ticks()
+    wall0 = time.monotonic()
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -176,6 +196,12 @@ def main() -> None:
         load_end = round(os.getloadavg()[0], 2)
     except OSError:
         load_end = None
+    steal1 = _steal_ticks()
+    steal_cores = None
+    if steal0 is not None and steal1 is not None:
+        # ticks are USER_HZ (100/s); average stolen cores over the run
+        elapsed = max(time.monotonic() - wall0, 1e-6)
+        steal_cores = round((steal1 - steal0) / 100.0 / elapsed, 2)
     print(json.dumps({
         "metric": "headline_query_suite_time",
         "value": total,
@@ -195,6 +221,12 @@ def main() -> None:
             # (VERDICT r10 #4); > 0 with a still-high loadavg_start
             # means "waited the full bound and proceeded anyway"
             "settle_waited_s": settle_waited,
+            # average CPU cores stolen by the hypervisor over the
+            # whole run (warm pass included) — host-level contention
+            # that loadavg/foreign-JVM probes cannot see (round 11:
+            # identical-code runs read 52–74 s; the inflated ones
+            # carry the steal). None off-Linux.
+            "steal_cores_avg": steal_cores,
         },
     }))
     spark.stop()
