@@ -180,11 +180,20 @@ def main() -> None:
         release_persisted()
 
     timings: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
+        st0 = _steal_ticks()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        wall = time.perf_counter() - t0
+        st1 = _steal_ticks()
+        timings[name] = round(wall, 3)
+        if st0 is not None and st1 is not None and wall > 0:
+            # average cores stolen DURING this query — steal arrives
+            # in bursts, so the run-level average under-flags the
+            # specific queries it inflated
+            query_steal[name] = round((st1 - st0) / 100.0 / wall, 2)
         # drop operator-persisted subtrees so cached blocks never
         # accumulate across queries (and never subsidize a later one)
         release_persisted()
@@ -227,6 +236,11 @@ def main() -> None:
             # identical-code runs read 52–74 s; the inflated ones
             # carry the steal). None off-Linux.
             "steal_cores_avg": steal_cores,
+            # per-query steal (cores stolen during that query's own
+            # window): steal arrives in bursts, so this is the map a
+            # reader needs to discount a specific inflated entry
+            # instead of the whole run
+            "query_steal_cores": query_steal,
         },
     }))
     spark.stop()
