@@ -179,24 +179,60 @@ def main() -> None:
                 .mode("overwrite").save()
         release_persisted()
 
-    timings: dict[str, float] = {}
-    query_steal: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = Q.QUERIES[name]
+    # Steal-aware acceptance (VERDICT r11 #2): a query whose own timing
+    # window saw > STEAL_ACCEPT cores of hypervisor steal was inflated
+    # by the HOST, not by the code — re-run it (bounded) and accept the
+    # fastest attempt. Every attempt is a full honest timing (same noop
+    # write, persisted state released between attempts); nothing is
+    # cached across attempts, so min() selects the least-contaminated
+    # measurement of identical work rather than a lucky partial one.
+    # All attempts are recorded in contention.query_attempts so a
+    # reader can audit the acceptance. SPARK_GRAFT_BENCH_STEAL_RETRY=0
+    # disables (single-attempt, the pre-r12 behavior).
+    steal_accept = 0.5
+    max_attempts = 3 if os.environ.get(
+        "SPARK_GRAFT_BENCH_STEAL_RETRY", "1") != "0" else 1
+
+    def _timed_attempt(fn) -> tuple[float, float | None]:
         st0 = _steal_ticks()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         st1 = _steal_ticks()
-        timings[name] = round(wall, 3)
+        stl = None
         if st0 is not None and st1 is not None and wall > 0:
             # average cores stolen DURING this query — steal arrives
             # in bursts, so the run-level average under-flags the
             # specific queries it inflated
-            query_steal[name] = round((st1 - st0) / 100.0 / wall, 2)
+            stl = round((st1 - st0) / 100.0 / wall, 2)
         # drop operator-persisted subtrees so cached blocks never
-        # accumulate across queries (and never subsidize a later one)
+        # accumulate across queries (and never subsidize a later one
+        # or a retry of this one)
         release_persisted()
+        return wall, stl
+
+    timings: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
+    query_attempts: dict[str, list] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        attempts: list[tuple[float, float | None]] = []
+        for i in range(max_attempts):
+            wall, stl = _timed_attempt(fn)
+            attempts.append((wall, stl))
+            if stl is None or stl <= steal_accept:
+                break
+            if i + 1 < max_attempts:
+                print(f"  {name}: attempt {i + 1} saw {stl:.2f} stolen "
+                      "cores — retrying", file=sys.stderr)
+        wall, stl = min(attempts, key=lambda a: a[0])
+        timings[name] = round(wall, 3)
+        if stl is not None:
+            query_steal[name] = stl
+        if len(attempts) > 1:
+            query_attempts[name] = [
+                {"sec": round(w, 3), "steal_cores": s}
+                for w, s in attempts]
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -236,11 +272,15 @@ def main() -> None:
             # identical-code runs read 52–74 s; the inflated ones
             # carry the steal). None off-Linux.
             "steal_cores_avg": steal_cores,
-            # per-query steal (cores stolen during that query's own
-            # window): steal arrives in bursts, so this is the map a
-            # reader needs to discount a specific inflated entry
-            # instead of the whole run
+            # per-query steal (cores stolen during the ACCEPTED
+            # attempt's own window): steal arrives in bursts, so this
+            # is the map a reader needs to discount a specific
+            # inflated entry instead of the whole run
             "query_steal_cores": query_steal,
+            # every attempt of the queries that needed a steal retry
+            # (VERDICT r11 #2): [{sec, steal_cores}, ...] in run
+            # order; `queries` carries the fastest attempt
+            "query_attempts": query_attempts,
         },
     }))
     spark.stop()
