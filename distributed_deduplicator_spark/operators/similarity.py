@@ -513,6 +513,41 @@ def _ivf_list_scorer(k: int):
     return score
 
 
+def _lsh_bucket_scorer(k: int):
+    """Build the grouped per-bucket scorer for :func:`ann_lsh_topk`'s
+    ``scorer='bucket_gemm'`` path: f(bucket_pdf(id, unit)) →
+    (query_id, neighbor_id, cosine) — ONE float64 GEMM of the bucket's
+    members against themselves, then the shared per-query top-(k+1)
+    emit (:func:`_per_query_topx`, so tie-break / self-exclusion
+    semantics are the IVF scorers').
+
+    Exactness of the per-bucket prune: the pair's cosine does not
+    depend on which bucket scored it, so for any query q and neighbor
+    x in q's GLOBAL top-k, every member ranked above x (cosine desc,
+    id asc) in the bucket where x attains its accepted score is also
+    ranked above x globally — fewer than k of those exist, so x
+    survives some bucket's top-(k+1) cut. The global max(cosine)
+    dedup + window above therefore computes exactly the score-all-
+    collided-pairs result. Module-level so the GEMM/tie-break logic
+    is unit-testable without a SparkSession."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf):
+        if len(pdf) < 2:
+            # a single-member bucket collides with nobody
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")})
+        ids = pdf["id"].to_numpy()
+        mat = np.vstack(pdf["unit"].to_numpy()).astype(np.float64)
+        sims = mat @ mat.T                  # b×b float64 GEMM
+        return _per_query_topx(sims, ids, ids, k, "cosine")
+
+    return score
+
+
 def _auto_nprobe(nlist: int) -> int:
     """Default probe count for the IVF family: ⌈nlist^0.75⌉, floor 4,
     cap nlist. Rationale: a CONSTANT nprobe (the old 4) probes a
@@ -2371,7 +2406,8 @@ def _plane_signs(plane: int, dim: int) -> list[float]:
 
 def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   dim: int = 64, unit: DataFrame | None = None) -> DataFrame:
+                   dim: int = 64, unit: DataFrame | None = None,
+                   keep_unit: bool = False) -> DataFrame:
     """Multi-table random-hyperplane LSH (Charikar cosine LSH).
 
     For each of ``num_tables`` independent tables, bit j of the bucket
@@ -2380,6 +2416,10 @@ def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
     materialized (the plane arrays constant-fold). Returns one row per
     (vector, table): (id, table, bucket) — deliberately WITHOUT the
     vector, so candidate generation shuffles only ids.
+    ``keep_unit=True`` additionally carries the unit vector on every
+    (vector, table) row — the bucket-GEMM scorer's wire format, where
+    each vector crosses to its scoring group once per table instead
+    of once per candidate pair.
 
     Collision probability for angle θ is (1-θ/π)^planes per table;
     multiple tables trade compute for recall: R = 1-(1-p^b)^L — the
@@ -2403,8 +2443,9 @@ def rp_lsh_buckets(emb: DataFrame, num_tables: int = 8, num_planes: int = 4,
         bucket = " | ".join(bits)
         tables.append(f"struct({t}L as table, ({bucket}) as bucket)")
     tb = F.expr(f"explode(array({','.join(tables)}))").alias("tb")
-    return (u.select("id", tb)
-             .select("id", F.col("tb.table").alias("table"),
+    keep = ["id", "unit"] if keep_unit else ["id"]
+    return (u.select(*keep, tb)
+             .select(*keep, F.col("tb.table").alias("table"),
                      F.col("tb.bucket").alias("bucket")))
 
 
@@ -2413,16 +2454,26 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
                  num_planes: int | None = None, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64,
                  target_bucket: int = 128, n: int | None = None,
-                 unit_wire: str = "float64") -> DataFrame:
+                 unit_wire: str = "float64",
+                 scorer: str = "bucket_gemm") -> DataFrame:
     """Approximate all-pairs top-k: cosine top-k over LSH-collided pairs.
 
-    The scale path vs brute force: candidate generation is per-(table,
-    bucket) self-joins — shuffle on (table, bucket), work Σ|bucket|²
-    per table instead of n². The collision join carries bare id pairs
-    (16 bytes/row); vectors re-attach AFTER cross-table dedup, and
-    cosine on pre-normalized units is a single dot product — the
-    shuffle-the-vectors-per-pair plan this replaces was ~60× heavier
-    on the wire.
+    The scale path vs brute force: scoring is per-(table, bucket) —
+    shuffle on (table, bucket), work Σ|bucket|² per table instead of
+    n². ``scorer='bucket_gemm'`` (default since round 12, VERDICT r11
+    #1) runs each bucket group through ONE members×members float64
+    BLAS GEMM in a grouped Arrow stage and emits only the per-query
+    top-(k+1) — exact, see :func:`_lsh_bucket_scorer` — so the
+    cross-table dedup and the global window see n·tables·(k+1) pruned
+    rows instead of every collided pair. ``scorer='pair_fold'`` keeps
+    the round-7..11 shape (bare id-pair candidate join → DISTINCT →
+    re-attach both unit arrays → 64-term JVM fold per pair → explode
+    both directions → window); at sf1 (n=20k, 27 tables) that path
+    DISTINCTs ~42M directed id pairs and folds ~36M dots — measured
+    47.7 s median vs 10.1 s for bucket_gemm (interleaved A/B, BENCH.md
+    round 12), output rank-identical at every fixture scale and
+    cosine bit-identical at the gate SFs (1 ulp at sf1: BLAS blocking
+    vs the fold's sequential sum).
 
     ``num_planes=None`` adapts to corpus size: planes =
     round(log2(n / target_bucket)) — round, NOT ceil: ceil biased the
@@ -2470,6 +2521,38 @@ def ann_lsh_topk(emb: DataFrame, k: int = 10,
         if num_tables is None:
             num_tables = auto_tables
     u = unit_vectors(emb, id_col, vec_col)
+    if scorer == "bucket_gemm":
+        # Round-12 default (VERDICT r11 #1): score each (table, bucket)
+        # group with ONE members×members float64 GEMM and emit only the
+        # per-query top-(k+1) — the cogrouped-numpy shape that already
+        # pays in _ivf_list_scorer/_pq_list_scorer. vs the pair_fold
+        # path below at sf1 (n=20k, 27 tables × 7 planes): that path
+        # materializes ~42M directed candidate id pairs, DISTINCTs
+        # them (~670 MB exchange), re-attaches both 512 B unit arrays
+        # per surviving pair, folds a 64-term dot per row, then
+        # windows over ~2× that after the direction explode. Here each
+        # unit crosses the wire once per TABLE (n·L rows ≈ 280 MB at
+        # sf1), the Σ|bucket|² dot products run as BLAS GEMMs, and the
+        # dedup + global window see only n·L·(k+1) pruned rows (~6M at
+        # sf1 vs ~72M). Per-bucket top-(k+1) is exact — see
+        # _lsh_bucket_scorer. The same pair scored in two buckets can
+        # differ in the last ulp (BLAS blocking depends on matrix
+        # shape), so the dedup takes max(cosine) — deterministic, and
+        # the value a score-all-pairs GEMM would keep.
+        bu = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col,
+                            dim, unit=u, keep_unit=True)
+        per = (bu.groupBy("table", "bucket")
+                 .applyInPandas(
+                     _lsh_bucket_scorer(k),
+                     "query_id long, neighbor_id long, cosine double"))
+        pairs = (per.groupBy("query_id", "neighbor_id")
+                    .agg(F.max("cosine").alias("cosine")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id"))
+        return (pairs.withColumn("rk", F.row_number().over(w))
+                     .where(F.col("rk") <= k)
+                     .select("query_id", "neighbor_id",
+                             F.col("rk").alias("rank"), "cosine"))
     b = rp_lsh_buckets(emb, num_tables, num_planes, id_col, vec_col, dim,
                        unit=u)
     a, c = b.alias("a"), b.alias("b")

@@ -454,6 +454,73 @@ def test_ivf_list_scorer_matches_numpy_bruteforce():
         assert list(sub["neighbor_id"])[:k] == [i for _, i in want]
 
 
+def test_lsh_bucket_scorer_tiebreak_self_exclusion_and_tiny_groups():
+    """Pure-pandas gate on the per-bucket GEMM scorer (round 12):
+    members score against themselves, (cosine desc, neighbor_id asc)
+    tie-break, self-match dropped, single-member buckets emit the
+    typed empty frame — no SparkSession."""
+    import numpy as np
+    import pandas as pd
+
+    score = S._lsh_bucket_scorer(k=2)
+    e1 = np.array([1.0, 0.0]); e2 = np.array([0.0, 1.0])
+    # ids 1 and 2 are IDENTICAL vectors (forced tie → id asc breaks
+    # it); id 7 is distinct, so its self-match (cosine 1.0) would top
+    # its row and must be dropped by the k+1 slack
+    bucket = pd.DataFrame({"id": [2, 1, 7], "unit": [e1, e1, e2]})
+    out = score(bucket)
+    per7 = out[out["query_id"] == 7].sort_values(
+        ["cosine", "neighbor_id"], ascending=[False, True])
+    assert list(per7["neighbor_id"]) == [1, 2]
+    assert np.allclose(per7["cosine"], [0.0, 0.0])
+    per1 = out[out["query_id"] == 1]
+    assert 1 not in set(per1["neighbor_id"])  # self excluded
+    assert 2 in set(per1["neighbor_id"])      # the duplicate survives
+    single = score(bucket.iloc[:1])
+    assert len(single) == 0 and list(single.columns) == [
+        "query_id", "neighbor_id", "cosine"]
+    assert str(single["cosine"].dtype) == "float64"
+
+
+def test_lsh_bucket_scorer_matches_numpy_bruteforce():
+    """Per-bucket top-(k+1) == a naive per-query sort over the same
+    bucket members, on a seeded random batch."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    m, d, k = 41, 8, 3
+    vecs = rng.normal(size=(m, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    got = S._lsh_bucket_scorer(k)(
+        pd.DataFrame({"id": np.arange(m), "unit": list(vecs)}))
+    sims_all = vecs @ vecs.T
+    for qi in range(m):
+        want = sorted(((-s, i) for i, s in enumerate(sims_all[qi])
+                       if i != qi))[:k]
+        sub = got[got["query_id"] == qi].sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True])
+        assert list(sub["neighbor_id"])[:k] == [i for _, i in want]
+
+
+def test_ann_lsh_scorer_paths_agree(spark, emb):
+    """The round-12 bucket_gemm default computes the same query as the
+    legacy pair_fold path: identical (query, neighbor, rank) triples
+    and cosines equal to float64 resolution on the fixture corpus (the
+    per-bucket top-(k+1) prune is exact — _lsh_bucket_scorer's
+    docstring carries the argument; this is the executable parity gate
+    VERDICT r11 #1 asked for)."""
+    k = 5
+    kw = dict(k=k, num_tables=8, num_planes=4)
+    new = {(r.query_id, r.neighbor_id): (r.rank, r.cosine)
+           for r in S.ann_lsh_topk(emb, **kw).collect()}
+    old = {(r.query_id, r.neighbor_id): (r.rank, r.cosine)
+           for r in S.ann_lsh_topk(emb, scorer="pair_fold", **kw).collect()}
+    assert set(new) == set(old)
+    assert all(new[p][0] == old[p][0] for p in new)
+    assert all(abs(new[p][1] - old[p][1]) < 1e-12 for p in new)
+
+
 def test_pq_list_scorer_gather_sentinel_and_tiebreak():
     """Pure-pandas gate on the cogrouped ADC scorer: table-gather ADC
     equals the hand-summed lookup, a subspace ABSENT from a member's
