@@ -2802,36 +2802,50 @@ def edit_distance_join(df: DataFrame, id_col: str, name_col: str,
               .withColumn("_band",
                           (F.col("_len") / band_w).cast("long")))
     bcols = [f"_blk_{i}" for i in range(len(blocks))]
-    # one row per input row, consumed by: the sample, the prefix
-    # build, both channel join sides, and the two name re-attaches —
-    # linear, the thing you persist at any scale. Released by the
-    # registry hook via release_persisted().
+    # one row per input row — the id↔name occurrence table the final
+    # expansion joins against. Released by the registry hook via
+    # release_persisted().
     base = _tracked_persist(fanout(base))
+
+    # Name-level restructure (round 12, guide §8 "decide with small
+    # rows"): every decision this operator makes — banding, gram
+    # prefixes, the bounded DP — is a function of the NAME, never the
+    # id, so the channels and the verify run on DISTINCT (block, name)
+    # rows and the surviving name pairs expand back to id pairs at the
+    # end. On corpora where names repeat (the normal case for a fuzzy
+    # entity-key join: the sf1 fixture has 64 distinct names over 200k
+    # rows) this collapses the Σ|block|² candidate join and the DP
+    # bill by the duplication factor squared (~80M bounded DPs → ~2k
+    # at sf1); with all-unique names it degenerates to the round-7..11
+    # occurrence-level plan plus one output-bounded expansion join.
+    nbase = _tracked_persist(
+        base.groupBy(*bcols, "_name", "_len", "_band").agg(
+            F.count("*").alias("_nocc")).drop("_nocc"))
 
     probe_bands = F.explode(F.array(F.col("_band") - 1, F.col("_band"),
                                     F.col("_band") + 1)).alias("_pband")
 
     # --- short channel: no gram filter has power; band-only block ---
-    short = base.where(F.col("_len") < min_long)
-    sp = short.select(F.col("_id").alias("_ida"),
+    short = nbase.where(F.col("_len") < min_long)
+    sp = short.select(F.col("_name").alias("_na"),
                       F.col("_len").alias("_lena"), *bcols, probe_bands)
-    sb = base.select(F.col("_id").alias("_idb"),
-                     F.col("_len").alias("_lenb"),
-                     F.col("_band").alias("_pband"), *bcols)
+    sb = nbase.select(F.col("_name").alias("_nb"),
+                      F.col("_len").alias("_lenb"),
+                      F.col("_band").alias("_pband"), *bcols)
     cand_short = (sp.join(sb, bcols + ["_pband"])
                     .where(F.abs(F.col("_lena") - F.col("_lenb")) <= k)
                     # short×long pairs exist ONLY here (the long
-                    # channel is long×long), so any id order is kept
+                    # channel is long×long), so any name order is kept
                     # once; short×short pairs would arrive twice —
-                    # keep the probe-id-smaller copy
+                    # keep the probe-name-smaller copy
                     .where((F.col("_lenb") >= min_long)
-                           | (F.col("_ida") < F.col("_idb")))
-                    .where(F.col("_ida") != F.col("_idb"))
-                    .select(F.least("_ida", "_idb").alias("id_a"),
-                            F.greatest("_ida", "_idb").alias("id_b")))
+                           | (F.col("_na") < F.col("_nb")))
+                    .where(F.col("_na") != F.col("_nb"))
+                    .select(F.least("_na", "_nb").alias("name_a"),
+                            F.greatest("_na", "_nb").alias("name_b")))
 
     # --- long channel: q-gram prefix filter ---
-    longd = base.where(F.col("_len") >= min_long)
+    longd = nbase.where(F.col("_len") >= min_long)
     grams = F.transform(
         F.sequence(F.lit(1), F.col("_len") - q + 1),
         lambda i: F.col("_name").substr(i, F.lit(q)))
@@ -2846,55 +2860,86 @@ def edit_distance_join(df: DataFrame, id_col: str, name_col: str,
             F.size(F.filter(F.slice(F.col("_grams"), 1, i),
                             lambda y: y == g)).alias("occ")))
     lg = longd.withColumn("_grams", grams).withColumn("_elems", elems)
-    # sampled element rarity → broadcast hot map (estimated df); the
-    # prefix theorem needs only a consistent order, so the unsampled
-    # tail ranks 0 and tie-breaks on (g, occ)
-    hot = (lg.where(F.xxhash64(F.col("_id")) % sample_mod == 0)
+    # sampled element rarity → broadcast hot map (estimated df over
+    # the name-distinct corpus — a 1/sample_mod hash-sample of NAMES;
+    # the prefix theorem needs only a consistent order, so the
+    # unsampled tail ranks 0 and tie-breaks on (g, occ)
+    hot = (lg.where(F.xxhash64(F.col("_name")) % sample_mod == 0)
              .select(F.explode("_elems").alias("_e"))
              .groupBy("_e").agg(F.count("*").alias("_c"))
              .where(F.col("_c") >= hot_min)
              .select(F.col("_e"),
                      (F.col("_c") * sample_mod).alias("_df")))
-    ranked = (lg.select("_id", "_len", "_band", *bcols,
+    ranked = (lg.select("_name", "_len", "_band", *bcols,
                         F.explode("_elems").alias("_e"))
                 .join(F.broadcast(hot), "_e", "left")
-                .select("_id", "_len", "_band", *bcols,
+                .select("_name", "_len", "_band", *bcols,
                         F.struct(F.coalesce("_df", F.lit(0).cast("long"))
                                   .alias("df"),
                                  F.col("_e.g").alias("g"),
                                  F.col("_e.occ").alias("occ"))
                          .alias("_r")))
     prefix_len = k * q + 1
-    prefixes = (ranked.groupBy("_id", "_len", "_band", *bcols)
+    prefixes = (ranked.groupBy("_name", "_len", "_band", *bcols)
                       .agg(F.slice(F.sort_array(F.collect_list("_r")),
                                    1, prefix_len).alias("_pref")))
-    # both join sides consume this (and it embeds the persisted base,
+    # both join sides consume this (and it embeds the persisted nbase,
     # so rebuild is cheap — but the explode×join above is not): pin it
     prefixes = _tracked_persist(prefixes)
-    pa = prefixes.select(F.col("_id").alias("_ida"),
+    pa = prefixes.select(F.col("_name").alias("_na"),
                          F.col("_len").alias("_lena"), *bcols,
                          probe_bands,
                          F.explode("_pref").alias("_e"))
-    pb = prefixes.select(F.col("_id").alias("_idb"),
+    pb = prefixes.select(F.col("_name").alias("_nb"),
                          F.col("_len").alias("_lenb"),
                          F.col("_band").alias("_pband"), *bcols,
                          F.explode("_pref").alias("_e"))
     cand_long = (pa.join(pb, bcols + ["_pband", "_e"])
-                   .where(F.col("_ida") < F.col("_idb"))
+                   .where(F.col("_na") < F.col("_nb"))
                    .where(F.abs(F.col("_lena") - F.col("_lenb")) <= k)
-                   .groupBy(F.col("_ida").alias("id_a"),
-                            F.col("_idb").alias("id_b"))
-                   .agg(F.count("*").alias("_nshared"))
-                   .drop("_nshared"))
+                   .select(F.col("_na").alias("name_a"),
+                           F.col("_nb").alias("name_b")))
 
-    cand = cand_short.unionByName(cand_long)
-    na = base.select(F.col("_id").alias("id_a"),
+    # a name pair re-arrives once per co-occurring block (and per
+    # shared prefix element in the long channel): dedup BEFORE the DP
+    # so each distinct name pair is verified exactly once, corpus-wide
+    dp = (cand_short.unionByName(cand_long)
+                    .groupBy("name_a", "name_b").agg(
+                        F.count("*").alias("_nsrc")).drop("_nsrc")
+                    .withColumn("edit_dist",
+                                F.levenshtein("name_a", "name_b", k))
+                    .where(F.col("edit_dist") >= 0))
+
+    # --- expansion back to id pairs ---
+    # different-name winners: attach every occurrence of each side
+    # within the same block; each unordered id pair arises from
+    # exactly one ordered name pair, so no dedup is needed — the
+    # joins are output-bounded. Orientation: id_a is the smaller id
+    # and name_a must be ITS name, so names swap with the ids.
+    oa = base.select(F.col("_id").alias("_ida"), *bcols,
                      F.col("_name").alias("name_a"))
-    nb = base.select(F.col("_id").alias("id_b"),
+    ob = base.select(F.col("_id").alias("_idb"), *bcols,
                      F.col("_name").alias("name_b"))
-    return (cand.join(na, "id_a").join(nb, "id_b")
-                .withColumn("edit_dist",
-                            F.levenshtein("name_a", "name_b", k))
-                .where(F.col("edit_dist") >= 0)
-                .select("id_a", "id_b", "name_a", "name_b",
-                        "edit_dist"))
+    a_first = F.col("_ida") < F.col("_idb")
+    out_diff = (dp.join(oa, "name_a").join(ob, ["name_b"] + bcols)
+                  .select(F.least("_ida", "_idb").alias("id_a"),
+                          F.greatest("_ida", "_idb").alias("id_b"),
+                          F.when(a_first, F.col("name_a"))
+                           .otherwise(F.col("name_b")).alias("name_a"),
+                          F.when(a_first, F.col("name_b"))
+                           .otherwise(F.col("name_a")).alias("name_b"),
+                          "edit_dist"))
+    # equal-name pairs (edit distance 0 ≤ k by definition): all id
+    # pairs within one (block, name) group — the one pair class the
+    # name-level channels exclude. Output-bounded (every emitted row
+    # is a result row).
+    sa = base.select(F.col("_id").alias("_ida"), *bcols, "_name")
+    sbb = base.select(F.col("_id").alias("_idb"), *bcols, "_name")
+    out_same = (sa.join(sbb, bcols + ["_name"])
+                  .where(F.col("_ida") < F.col("_idb"))
+                  .select(F.col("_ida").alias("id_a"),
+                          F.col("_idb").alias("id_b"),
+                          F.col("_name").alias("name_a"),
+                          F.col("_name").alias("name_b"),
+                          F.lit(0).alias("edit_dist")))
+    return out_diff.unionByName(out_same)
